@@ -1,0 +1,168 @@
+"""Vectorized planar geometry: ray-cast PIP, polygon cell covers, haversine.
+
+Pure numpy — these kernels run (a) driver-side to precompute zone cell
+covers before broadcast, and (b) inside Arrow pandas UDFs to refine
+boundary-cell candidates (BASELINE.json: "ray-casting with
+prepared-geometry cell covers").
+
+Conventions
+-----------
+- A *ring* is an (m, 2) float64 array of ``(lon, lat)`` vertices. Rings
+  may be given open or closed (first == last); both are handled.
+- A *polygon* is ``[outer_ring, hole_ring, ...]``. Point-in-polygon uses
+  the even-odd rule, so holes are just additional rings XORed in.
+- Boundary points follow the standard half-open even-odd convention
+  (``(yi > y) != (yj > y)`` with strict ``x <`` test): deterministic,
+  partition-invariant, and identical between the Spark path and the
+  pandas oracle used in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import cells
+
+
+def _close_ring(ring: np.ndarray) -> np.ndarray:
+    ring = np.asarray(ring, dtype=np.float64)
+    if ring.ndim != 2 or ring.shape[1] != 2:
+        raise ValueError("ring must be (m, 2) of (lon, lat)")
+    if not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])
+    return ring
+
+
+def points_in_ring(lon, lat, ring) -> np.ndarray:
+    """Even-odd ray cast of points against one ring. Returns bool (n,).
+
+    Broadcasts points × edges: fine for Arrow-batch-sized n and
+    fixture-sized rings (n·m booleans).
+    """
+    ring = _close_ring(ring)
+    x = np.asarray(lon, dtype=np.float64)[:, None]
+    y = np.asarray(lat, dtype=np.float64)[:, None]
+    x0, y0 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    x1, y1 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    straddle = (y0 > y) != (y1 > y)
+    # Intercept only where straddling (avoid div-by-zero on horizontal edges)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+    crossing = straddle & (x < xint)
+    return (crossing.sum(axis=1) % 2).astype(bool)
+
+
+def points_in_polygon(lon, lat, rings) -> np.ndarray:
+    """Even-odd over all rings (outer XOR holes). Returns bool (n,)."""
+    inside = np.zeros(len(np.atleast_1d(lon)), dtype=bool)
+    for ring in rings:
+        inside ^= points_in_ring(lon, lat, ring)
+    return inside
+
+
+def _edges(rings) -> np.ndarray:
+    """All edges of all rings as (E, 4): x0, y0, x1, y1."""
+    segs = []
+    for ring in rings:
+        r = _close_ring(ring)
+        segs.append(np.hstack([r[:-1], r[1:]]))
+    return np.vstack(segs)
+
+
+def polygon_cover(rings, res: int):
+    """Prepared-geometry cell cover of a polygon at resolution ``res``.
+
+    Returns ``(interior_cells, boundary_cells)`` int64 arrays:
+
+    - *interior*: cells proven fully inside → PIP accepts by equi-join
+      alone, no ray-cast needed;
+    - *boundary*: cells the polygon boundary may pass through → PIP
+      candidates that an exact ray-cast must refine.
+
+    The classification is conservative in both directions and therefore
+    exact end-to-end: a cell is *interior* only if all 4 corners are
+    inside AND no edge's bbox overlaps the cell; it is *excluded* only if
+    all 4 corners are outside AND no edge's bbox overlaps it (the
+    boundary cannot enter a cell without an edge bbox touching it).
+    Everything else is *boundary*.
+    """
+    edges = _edges(rings)
+    dlon, dlat = cells.cell_size_deg(res)
+    n = 1 << res
+
+    lon_min = max(edges[:, [0, 2]].min(), -180.0)
+    lon_max = min(edges[:, [0, 2]].max(), 180.0)
+    lat_min = max(edges[:, [1, 3]].min(), -90.0)
+    lat_max = min(edges[:, [1, 3]].max(), 90.0)
+
+    ix0 = max(0, int(np.floor((lon_min + 180.0) / dlon)))
+    ix1 = min(n - 1, int(np.floor((lon_max + 180.0) / dlon)))
+    iy0 = max(0, int(np.floor((lat_min + 90.0) / dlat)))
+    iy1 = min(n - 1, int(np.floor((lat_max + 90.0) / dlat)))
+    nx, ny = ix1 - ix0 + 1, iy1 - iy0 + 1
+    if nx <= 0 or ny <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+
+    # Corner grid: (nx+1) x (ny+1) lattice points; ray-cast each once.
+    cx = (np.arange(ix0, ix1 + 2, dtype=np.float64)) * dlon - 180.0
+    cy = (np.arange(iy0, iy1 + 2, dtype=np.float64)) * dlat - 90.0
+    gx, gy = np.meshgrid(cx, cy, indexing="ij")  # (nx+1, ny+1)
+    corner_in = points_in_polygon(gx.ravel(), gy.ravel(), rings).reshape(gx.shape)
+
+    all_in = (
+        corner_in[:-1, :-1] & corner_in[1:, :-1]
+        & corner_in[:-1, 1:] & corner_in[1:, 1:]
+    )  # (nx, ny)
+    any_in = (
+        corner_in[:-1, :-1] | corner_in[1:, :-1]
+        | corner_in[:-1, 1:] | corner_in[1:, 1:]
+    )
+
+    # Mark cells whose rect overlaps any edge's bbox (conservative).
+    near_edge = np.zeros((nx, ny), dtype=bool)
+    ex0 = np.minimum(edges[:, 0], edges[:, 2])
+    ex1 = np.maximum(edges[:, 0], edges[:, 2])
+    ey0 = np.minimum(edges[:, 1], edges[:, 3])
+    ey1 = np.maximum(edges[:, 1], edges[:, 3])
+    bx0 = np.clip(np.floor((ex0 + 180.0) / dlon).astype(np.int64) - ix0, 0, nx - 1)
+    bx1 = np.clip(np.floor((ex1 + 180.0) / dlon).astype(np.int64) - ix0, 0, nx - 1)
+    by0 = np.clip(np.floor((ey0 + 90.0) / dlat).astype(np.int64) - iy0, 0, ny - 1)
+    by1 = np.clip(np.floor((ey1 + 90.0) / dlat).astype(np.int64) - iy0, 0, ny - 1)
+    for i in range(len(edges)):
+        near_edge[bx0[i]:bx1[i] + 1, by0[i]:by1[i] + 1] = True
+
+    interior_mask = all_in & ~near_edge
+    boundary_mask = (near_edge | (any_in & ~all_in)) | (all_in & near_edge)
+
+    def to_cells(mask):
+        xs, ys = np.nonzero(mask)
+        return cells.ixiy_to_cell(xs + ix0, ys + iy0, res)
+
+    return to_cells(interior_mask), to_cells(boundary_mask)
+
+
+EARTH_RADIUS_KM = 6371.0088
+
+
+def haversine_km(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Great-circle distance in km (vectorized)."""
+    p = np.pi / 180.0
+    lat1, lon1 = np.asarray(lat1) * p, np.asarray(lon1) * p
+    lat2, lon2 = np.asarray(lat2) * p, np.asarray(lon2) * p
+    a = (
+        np.sin((lat2 - lat1) / 2) ** 2
+        + np.cos(lat1) * np.cos(lat2) * np.sin((lon2 - lon1) / 2) ** 2
+    )
+    return 2 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
+
+
+def planar_dist2(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Squared planar degree distance — bit-exact in IEEE across engines.
+
+    Used as the kNN metric in oracle-checked queries: pure +,-,*
+    arithmetic reproduces identically in Spark, numpy and DuckDB,
+    unlike transcendental-based haversine.
+    """
+    dlat = np.asarray(lat1, dtype=np.float64) - np.asarray(lat2, dtype=np.float64)
+    dlon = np.asarray(lon1, dtype=np.float64) - np.asarray(lon2, dtype=np.float64)
+    return dlat * dlat + dlon * dlon

@@ -1,0 +1,87 @@
+"""SparkSession factory tuned for this engine.
+
+One place for the settings that matter for correctness (UTC timestamps —
+DuckDB oracle comparison) and for scale (AQE, Arrow batching, shuffle
+partitions sized to cores instead of the 200 default).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def build_pyfiles_zip(out_path: str | None = None) -> str:
+    """Zip the ``o2g_spark`` package for ``spark-submit --py-files``.
+
+    The north rule runs the engine via ``--py-files`` on a multi-executor
+    cluster; locally :func:`get_spark` ships the same zip via
+    ``addPyFile`` so Python workers can import the package regardless of
+    the caller's cwd/sys.path (exactly what a real cluster requires).
+    """
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    if out_path is None:
+        out_path = os.path.join(tempfile.gettempdir(), "o2g_spark_pyfiles.zip")
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_root):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in sorted(filenames):
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.join(
+                    "o2g_spark", os.path.relpath(full, pkg_root)
+                )
+                zf.write(full, rel)
+    return out_path
+
+
+def get_spark(
+    app_name: str = "o2g_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
+    ``local[*]``. ``shuffle_partitions`` defaults to 2× the local
+    parallelism — small enough to avoid tiny-task overhead locally,
+    honest about what a real cluster would set (≈2–3× total cores).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
+        cores = os.cpu_count() or 8
+        shuffle_partitions = 2 * (cores if n == "*" else max(1, int(n)))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # deterministic float formatting between runs
+        .config("spark.sql.legacy.respectNullabilityInTextDatasetConversion", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # Ship the package to Python workers (--py-files equivalent); without
+    # this, pandas UDFs fail to unpickle when the caller's cwd isn't the
+    # repo root — on a real cluster this is mandatory, not optional.
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
+    return spark
