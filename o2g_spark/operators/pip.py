@@ -1,0 +1,132 @@
+"""Point-in-polygon join (BASELINE.json B5) — cell covers + ray-cast refine.
+
+Semantics parity with the reference: o2g resolves route members against
+the node dict with an inner join that silently drops dangling refs
+(SURVEY.md §2.A A6–A7 [o2g-PK]); here a point joins a zone iff it lies
+inside the zone polygon, points covered by no zone drop out, and a point
+inside two overlapping zones yields two rows. Exact row counts are the
+graft's correctness bar (BASELINE.json north_rule).
+
+Two-phase plan (the "prepared-geometry cell covers" design):
+
+1. **cover join** — points carry a cell id (pure-JVM Morton encode);
+   zones are precomputed into ``(zone_id, cell_id, kind)`` covers.
+   ``kind='interior'`` cells are *proven* inside → accepted with no
+   geometry test. ``kind='boundary'`` cells are candidates.
+   The cover table is tiny relative to points (≈ zones × cells/zone) →
+   broadcast hash join, no shuffle of the point side at all.
+2. **refine** — boundary candidates get an exact even-odd ray cast in
+   one Arrow pandas UDF whose zone geometry arrives via a Spark
+   broadcast variable (zones are a dimension; the candidate stream
+   stays distributed and never collects to the driver).
+
+Scale notes (100 TB): phase 1 is a map-only stage over the point table;
+phase 2 touches only the boundary sliver (fraction shrinks as cover
+``res`` rises — adaptive: pick res so interior cells dominate). For
+zone sets too large to broadcast, pass ``broadcast_covers=False`` to
+fall back to a shuffle join on ``cell_id`` — same semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import cellfns
+from ..kernels import geometry
+
+
+def zone_covers(
+    spark: SparkSession,
+    rings_by_zone: dict[int, list[np.ndarray]],
+    res: int,
+) -> DataFrame:
+    """Precompute (zone_id, cell_id, kind) covers driver-side (numpy).
+
+    Zones are a dimension table (SURVEY.md §4.3); the cover runs once
+    per job and broadcasts. ``kind`` ∈ {interior, boundary}.
+    """
+    rows = []
+    for zid, rings in rings_by_zone.items():
+        interior, boundary = geometry.polygon_cover(rings, res)
+        rows.extend((int(zid), int(c), "interior") for c in interior)
+        rows.extend((int(zid), int(c), "boundary") for c in boundary)
+    schema = "zone_id long, cell_id long, kind string"
+    return spark.createDataFrame(rows, schema)
+
+
+def _raycast_udf(spark: SparkSession, rings_by_zone: dict[int, list[np.ndarray]]):
+    """BooleanType Arrow UDF: exact PIP for (zone_id, lon, lat) batches.
+
+    Zone geometry ships once per executor via a broadcast variable
+    (closures would re-pickle per task — guide §Pitfalls). Inside a
+    batch, points are grouped per zone and ray-cast vectorized.
+    """
+    bc = spark.sparkContext.broadcast(
+        {int(z): [np.asarray(r, dtype=np.float64) for r in rings] for z, rings in rings_by_zone.items()}
+    )
+
+    @F.pandas_udf(T.BooleanType())
+    def _inside(zone_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        rings = bc.value
+        out = np.zeros(len(zone_id), dtype=bool)
+        zid_arr = zone_id.to_numpy()
+        lon_arr = lon.to_numpy(dtype=np.float64)
+        lat_arr = lat.to_numpy(dtype=np.float64)
+        for z in pd.unique(zid_arr):
+            m = zid_arr == z
+            out[m] = geometry.points_in_polygon(lon_arr[m], lat_arr[m], rings[int(z)])
+        return pd.Series(out)
+
+    return _inside
+
+
+def pip_join(
+    points: DataFrame,
+    rings_by_zone: dict[int, list[np.ndarray]],
+    res: int = 9,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    covers: DataFrame | None = None,
+    broadcast_covers: bool = True,
+) -> DataFrame:
+    """points ⋈ zones (point-in-polygon). Output: point columns + zone_id.
+
+    Exact (not approximate): interior-cell hits skip geometry, boundary
+    hits are ray-cast. Deterministic and partition-invariant — the
+    kernel is a pure per-row function.
+    """
+    spark = points.sparkSession
+    if covers is None:
+        covers = zone_covers(spark, rings_by_zone, res)
+    cov = F.broadcast(covers) if broadcast_covers else covers
+
+    pts = points.withColumn("__cell", cellfns.cell_encode(lat_col, lon_col, res))
+    joined = pts.join(cov, pts["__cell"] == cov["cell_id"], "inner")
+
+    interior = joined.filter(F.col("kind") == "interior")
+    boundary = joined.filter(F.col("kind") == "boundary")
+    inside = _raycast_udf(spark, rings_by_zone)
+    refined = boundary.filter(inside(F.col("zone_id"), F.col(lon_col), F.col(lat_col)))
+
+    out_cols = [c for c in points.columns] + ["zone_id"]
+    return interior.select(*out_cols).unionByName(refined.select(*out_cols))
+
+
+def pip_anti(
+    points: DataFrame,
+    rings_by_zone: dict[int, list[np.ndarray]],
+    res: int = 9,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Points inside NO zone — the dangling-ref audit (o2g A7 parity:
+    members whose ref resolves nowhere are dropped, and the audit path
+    counts them via an anti join)."""
+    matched = pip_join(points, rings_by_zone, res, lat_col, lon_col).select(
+        *points.columns
+    )
+    return points.join(matched, on=points.columns, how="left_anti")

@@ -1,0 +1,94 @@
+"""Geotag extraction (B2) vs generation-time truth + invariants."""
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from o2g_spark.functions import geotag
+from o2g_spark.sources import tables
+
+
+def _spark_pages(spark, pages_truth):
+    pages, truth = pages_truth
+    return tables.pages_df(spark, pages), pages, truth
+
+
+def test_coord_extraction_matches_truth(spark, pages_truth):
+    df, pages, truth = _spark_pages(spark, pages_truth)
+    got = (
+        geotag.extract_coords(df)
+        .select("url", "lat", "lon")
+        .distinct()  # recrawled urls repeat the same extraction
+        .toPandas()
+        .sort_values(["url", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        truth[truth.geo_source == "coord"][["url", "lat", "lon"]]
+        .drop_duplicates()
+        .sort_values(["url", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+
+def test_place_extraction_matches_truth(spark, pages_truth, gazetteer_pdf):
+    df, pages, truth = _spark_pages(spark, pages_truth)
+    gaz = tables.gazetteer_df(spark, gazetteer_pdf)
+    got = (
+        geotag.extract_places(df, gaz)
+        .select("url", "mention", "lat", "lon")
+        .distinct()
+        .toPandas()
+        .sort_values(["url", "mention"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        truth[truth.geo_source == "place"][["url", "mention", "lat", "lon"]]
+        .drop_duplicates()
+        .sort_values(["url", "mention"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+
+def test_geotag_union_row_count(spark, pages_truth, gazetteer_pdf):
+    df, pages, truth = _spark_pages(spark, pages_truth)
+    gaz = tables.gazetteer_df(spark, gazetteer_pdf)
+    tagged = geotag.geotag(df, gaz)
+    # every truth extraction appears once per crawl of its url
+    crawls = pages.groupby("url").size()
+    expected = sum(crawls[u] for u in truth["url"]) if len(truth) else 0
+    assert tagged.count() == expected
+
+
+def test_pandas_udf_variant_agrees(spark, pages_truth):
+    df, _, _ = _spark_pages(spark, pages_truth)
+    jvm = geotag.extract_coords(df).select("url", "lat", "lon")
+    udf = geotag.extract_coords_pandas_udf()
+    arrow = (
+        df.withColumn("pt", F.explode(udf("text")))
+        .select("url", F.col("pt.lat").alias("lat"), F.col("pt.lon").alias("lon"))
+    )
+    assert jvm.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(jvm).count() == 0
+
+
+def test_text_byte_identical_through_geotag(spark, pages_truth, gazetteer_pdf):
+    """BASELINE.json invariant: extraction must not mutate text."""
+    df, pages, _ = _spark_pages(spark, pages_truth)
+    gaz = tables.gazetteer_df(spark, gazetteer_pdf)
+    out = geotag.geotag(df, gaz).select("url", "text").distinct().toPandas()
+    src = {r.url: hashlib.sha256(r.text.encode()).hexdigest() for r in pages.itertuples()}
+    for r in out.itertuples():
+        assert hashlib.sha256(r.text.encode()).hexdigest() == src[r.url]
+
+
+def test_no_geo_pages_yield_nothing(spark, pages_truth, gazetteer_pdf):
+    df, pages, truth = _spark_pages(spark, pages_truth)
+    gaz = tables.gazetteer_df(spark, gazetteer_pdf)
+    tagged_urls = {
+        r.url for r in geotag.geotag(df, gaz).select("url").distinct().collect()
+    }
+    assert tagged_urls == set(truth["url"])
