@@ -10,7 +10,7 @@ kernel over Common-Crawl-style web-page tables, per BASELINE.json:
 - kNN via iterative k-ring expansion — :mod:`o2g_spark.operators.knn`
 - raster↔vector tile assignment — :mod:`o2g_spark.operators.tiles`
 - skew handling (salting + adaptive resolution split) — :mod:`o2g_spark.operators.skew`
-- checkpoint/lineage + resume — :mod:`o2g_spark.plans.lineage`
+- checkpoint/lineage + resume — :mod:`o2g_spark.plans.checkpoint`
 - training-data ops (dedup, similarity, text analysis) —
   :mod:`o2g_spark.operators.dedup`, :mod:`o2g_spark.operators.similarity`,
   :mod:`o2g_spark.functions.text`

@@ -45,6 +45,24 @@ def _scaled_floor(v: Column, offset: float, extent: float, res: int) -> Column:
     return F.least(F.greatest(idx, F.lit(0)), F.lit(n - 1))
 
 
+def grid_ix(lon: Column | str, res: int) -> Column:
+    """Grid x index at ``res`` — pure JVM (matches kernels.cells.latlon_to_ixiy)."""
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    return _scaled_floor(lon, 180.0, 360.0, res)
+
+
+def grid_iy(lat: Column | str, res: int) -> Column:
+    """Grid y index at ``res`` — pure JVM."""
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    return _scaled_floor(lat, 90.0, 180.0, res)
+
+
+def cell_from_ixiy(ix: Column, iy: Column, res: int) -> Column:
+    """(ix, iy) integer Columns → int64 cell id — pure JVM Morton encode."""
+    morton = _spread_col(ix).bitwiseOR(F.shiftleft(_spread_col(iy), 1))
+    return morton.bitwiseOR(F.lit(res << 58))
+
+
 def cell_encode(lat: Column | str, lon: Column | str, res: int) -> Column:
     """lat/lon Columns → int64 cell id at ``res`` — pure JVM expression."""
     if not 0 <= res <= cells.MAX_RES:

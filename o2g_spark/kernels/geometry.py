@@ -141,6 +141,97 @@ def polygon_cover(rings, res: int):
     return to_cells(interior_mask), to_cells(boundary_mask)
 
 
+MERCATOR_LAT_MAX = 85.05112878
+
+
+def lonlat_to_tilef(lon, lat, zoom: int):
+    """Continuous Web-Mercator tile coordinates (tx, ty) at ``zoom``.
+
+    Matches o2g_spark.functions.geo.tile_x/tile_y before the floor.
+    """
+    n = 1 << zoom
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -MERCATOR_LAT_MAX, MERCATOR_LAT_MAX)
+    tx = (lon + 180.0) / 360.0 * n
+    ty = (1.0 - np.arcsinh(np.tan(np.radians(lat))) / np.pi) / 2.0 * n
+    return tx, ty
+
+
+def tilef_to_lonlat(tx, ty, zoom: int):
+    """Inverse of :func:`lonlat_to_tilef` (continuous coords → lon/lat)."""
+    n = 1 << zoom
+    lon = np.asarray(tx, dtype=np.float64) / n * 360.0 - 180.0
+    lat = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * np.asarray(ty, dtype=np.float64) / n))))
+    return lon, lat
+
+
+def tile_cover(rings, zoom: int):
+    """Prepared cover of a polygon in the Web-Mercator tile grid.
+
+    Returns ``(interior, boundary)`` as int64 arrays of packed tile keys
+    ``(zoom << 58) | (x << 29) | y`` (same layout as
+    ``o2g_spark.functions.geo.tile_id``).
+
+    Correctness argument mirrors :func:`polygon_cover`: tx depends only
+    on lon and ty only on lat, both monotone, so a straight lon/lat edge
+    maps to a monotone curve contained in the tile-space bbox of its
+    endpoints — a tile the boundary enters always overlaps some edge
+    bbox. Corner insidedness is tested exactly in lon/lat space.
+    """
+    n = 1 << zoom
+    edges = _edges(rings)
+    ex0, ey0 = lonlat_to_tilef(edges[:, 0], edges[:, 1], zoom)
+    ex1, ey1 = lonlat_to_tilef(edges[:, 2], edges[:, 3], zoom)
+    bx0f = np.minimum(ex0, ex1)
+    bx1f = np.maximum(ex0, ex1)
+    by0f = np.minimum(ey0, ey1)
+    by1f = np.maximum(ey0, ey1)
+
+    ix0 = max(0, int(np.floor(bx0f.min())))
+    ix1 = min(n - 1, int(np.floor(bx1f.max())))
+    iy0 = max(0, int(np.floor(by0f.min())))
+    iy1 = min(n - 1, int(np.floor(by1f.max())))
+    nx, ny = ix1 - ix0 + 1, iy1 - iy0 + 1
+    if nx <= 0 or ny <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+
+    cx = np.arange(ix0, ix1 + 2, dtype=np.float64)
+    cy = np.arange(iy0, iy1 + 2, dtype=np.float64)
+    gx, gy = np.meshgrid(cx, cy, indexing="ij")
+    glon, glat = tilef_to_lonlat(gx.ravel(), gy.ravel(), zoom)
+    corner_in = points_in_polygon(glon, glat, rings).reshape(gx.shape)
+
+    all_in = (
+        corner_in[:-1, :-1] & corner_in[1:, :-1]
+        & corner_in[:-1, 1:] & corner_in[1:, 1:]
+    )
+    any_in = (
+        corner_in[:-1, :-1] | corner_in[1:, :-1]
+        | corner_in[:-1, 1:] | corner_in[1:, 1:]
+    )
+
+    near_edge = np.zeros((nx, ny), dtype=bool)
+    bx0 = np.clip(np.floor(bx0f).astype(np.int64) - ix0, 0, nx - 1)
+    bx1 = np.clip(np.floor(bx1f).astype(np.int64) - ix0, 0, nx - 1)
+    by0 = np.clip(np.floor(by0f).astype(np.int64) - iy0, 0, ny - 1)
+    by1 = np.clip(np.floor(by1f).astype(np.int64) - iy0, 0, ny - 1)
+    for i in range(len(edges)):
+        near_edge[bx0[i]:bx1[i] + 1, by0[i]:by1[i] + 1] = True
+
+    interior_mask = all_in & ~near_edge
+    boundary_mask = near_edge | (any_in & ~all_in)
+
+    def to_keys(mask):
+        xs, ys = np.nonzero(mask)
+        return (
+            (np.int64(zoom) << np.int64(58))
+            | ((xs + ix0).astype(np.int64) << np.int64(29))
+            | (ys + iy0).astype(np.int64)
+        )
+
+    return to_keys(interior_mask), to_keys(boundary_mask)
+
+
 EARTH_RADIUS_KM = 6371.0088
 
 

@@ -1,0 +1,236 @@
+"""kNN join via iterative k-ring expansion (BASELINE.json B6).
+
+Reference parity: o2g orders a route's stops by relation-member position
+(SURVEY.md §2.A A5/A9/A11 [o2g-PK]); the graft re-expresses "ordered
+neighbor lists" as k-nearest-neighbor ranks that must be deterministic
+and stable (SURVEY.md §2.C). This module produces, for every query
+point, its k nearest target points with a total deterministic ordering.
+
+Algorithm — distance-bounded shuffle joins (the north-rule wording):
+
+    ring 0: join each query's own cell to the target cell index
+    ring r: join the 8r cells at Chebyshev grid distance exactly r
+    after ring r, any unexamined target sits in a cell at Chebyshev
+    distance ≥ r+1, hence at planar distance ≥ r * dlat(res); a query
+    is DONE once it holds k candidates whose k-th distance is within
+    that bound. Loop until every query is done.
+
+Every per-round step is a plain DataFrame op (explode of a literal
+offset array → JVM Morton encode → equi-join on cell id → windowed
+top-k), so Catalyst plans each round and AQE handles skewed cells.
+Python never sees a row.
+
+Scale notes (100 TB):
+- the target index is built once (`cell_encode`, pure JVM) and is
+  broadcast when small (gazetteers, POI sets) — the query side then
+  never shuffles; with huge target sets the join degrades gracefully
+  to a shuffle hash join on ``cell_id``.
+- each round touches only still-active queries (anti-join on done set
+  semantics via the ``__done`` flag), so hot regions converge in ring
+  0-1 and the tail shrinks geometrically;
+- per-round state (running top-k) is ``persist()``-ed and the previous
+  round unpersisted — lineage depth stays O(rounds), not O(rows).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..functions import cellfns
+from ..kernels import cells
+
+
+def _ring_offsets(r: int) -> list[tuple[int, int]]:
+    """(dx, dy) offsets of the hollow ring at Chebyshev distance r."""
+    if r == 0:
+        return [(0, 0)]
+    return [
+        (dx, dy)
+        for dx in range(-r, r + 1)
+        for dy in range(-r, r + 1)
+        if max(abs(dx), abs(dy)) == r
+    ]
+
+
+def knn_join(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int,
+    res: int = 7,
+    query_id: str = "qid",
+    target_id: str = "tid",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_rings: int | None = None,
+    broadcast_targets: bool = True,
+) -> DataFrame:
+    """For each query point: the k nearest targets by squared planar
+    degree distance (bit-exact across engines — see kernels.geometry).
+
+    Output: ``(query_id, target_id, dist2, knn_rank)`` with
+    ``knn_rank`` ∈ 1..k, ordered deterministically by
+    ``(dist2, target_id)`` — ties cannot flip between runs or
+    partitionings. Queries with fewer than k reachable targets return
+    the ones that exist.
+    """
+    n = 1 << res
+    dlat = 180.0 / n  # smaller cell axis in degrees → safe radius unit
+    if max_rings is None:
+        max_rings = n  # full sweep worst case; loop exits on done anyway
+
+    tgt = targets.select(
+        F.col(target_id).alias("__tid"),
+        F.col(lat_col).alias("__tlat"),
+        F.col(lon_col).alias("__tlon"),
+        cellfns.cell_encode(lat_col, lon_col, res).alias("__tcell"),
+    )
+    tgt = F.broadcast(tgt) if broadcast_targets else tgt.repartition("__tcell")
+
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(lat_col).alias("__qlat"),
+        F.col(lon_col).alias("__qlon"),
+        cellfns.grid_ix(lon_col, res).alias("__ix"),
+        cellfns.grid_iy(lat_col, res).alias("__iy"),
+    )
+
+    active = q.localCheckpoint(eager=True)
+    best: DataFrame | None = None  # running top-k per query
+    w = Window.partitionBy("__qid").orderBy(F.col("dist2").asc(), F.col("__tid").asc())
+
+    # Geometrically widening ring batches: round i examines Chebyshev
+    # distances [lo, hi] with the window doubling each round. One Spark
+    # job per round instead of per ring, so sparse regions converge in
+    # O(log r_final) rounds; every cell is still examined exactly once
+    # (ranges are disjoint). localCheckpoint truncates lineage each
+    # round — plan depth stays O(1), not O(rounds).
+    explored = -1  # max Chebyshev distance fully examined so far
+    width = 1
+    while explored < max_rings:
+        lo = explored + 1
+        hi = min(max_rings, lo + width - 1)
+        # keep the literal offset array bounded (~4k entries per round)
+        while hi > lo and 4 * (hi * hi + hi - lo * lo + lo) > 4096:
+            hi -= 1
+        offsets = [
+            off for r_ in range(lo, hi + 1) for off in _ring_offsets(r_)
+        ]
+        off_arr = F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in offsets
+            ]
+        )
+        cand_cells = (
+            active.withColumn("__off", F.explode(off_arr))
+            .withColumn("__nx", F.col("__ix") + F.col("__off.dx"))
+            .withColumn("__ny", F.col("__iy") + F.col("__off.dy"))
+            .filter(
+                (F.col("__nx") >= 0)
+                & (F.col("__nx") < n)
+                & (F.col("__ny") >= 0)
+                & (F.col("__ny") < n)
+            )
+            .withColumn(
+                "__cell", cellfns.cell_from_ixiy(F.col("__nx"), F.col("__ny"), res)
+            )
+        )
+        hits = (
+            cand_cells.join(tgt, cand_cells["__cell"] == tgt["__tcell"], "inner")
+            .withColumn("__dlat", F.col("__qlat") - F.col("__tlat"))
+            .withColumn("__dlon", F.col("__qlon") - F.col("__tlon"))
+            .withColumn(
+                "dist2",
+                F.col("__dlat") * F.col("__dlat") + F.col("__dlon") * F.col("__dlon"),
+            )
+            .select("__qid", "__qlat", "__qlon", "__ix", "__iy", "__tid", "dist2")
+        )
+        pool = hits if best is None else best.unionByName(hits)
+        best = (
+            pool.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__rk")
+            .localCheckpoint(eager=True)  # truncate lineage across rounds
+        )
+        explored = hi
+        width *= 2
+
+        # A query is done when it has k hits and the k-th is provably
+        # nearer than anything an unexplored ring could hold.
+        safe2 = (explored * dlat) ** 2
+        done_stats = best.groupBy("__qid").agg(
+            F.count("*").alias("__cnt"), F.max("dist2").alias("__kth")
+        )
+        active = (
+            active.join(done_stats, "__qid", "left")
+            .filter(
+                F.col("__cnt").isNull()
+                | (F.col("__cnt") < k)
+                | (F.col("__kth") > F.lit(safe2))
+            )
+            .select(active.columns)
+            .localCheckpoint(eager=True)
+        )
+        if active.isEmpty():
+            break
+
+    assert best is not None
+    out = (
+        best.withColumn("knn_rank", F.row_number().over(w))
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__tid").alias(target_id),
+            F.col("dist2"),
+            F.col("knn_rank").cast(T.IntegerType()),
+        )
+    )
+    return out
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int,
+    query_id: str = "qid",
+    target_id: str = "tid",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Cross-join reference implementation (oracle / small dims only).
+
+    Same output contract as :func:`knn_join`; used by tests and as the
+    DuckDB-expressible oracle shape. O(|Q|·|T|) — never the scale path.
+    """
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(lat_col).alias("__qlat"),
+        F.col(lon_col).alias("__qlon"),
+    )
+    t = targets.select(
+        F.col(target_id).alias("__tid"),
+        F.col(lat_col).alias("__tlat"),
+        F.col(lon_col).alias("__tlon"),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("dist2").asc(), F.col("__tid").asc())
+    return (
+        q.crossJoin(F.broadcast(t))
+        .withColumn("__dlat", F.col("__qlat") - F.col("__tlat"))
+        .withColumn("__dlon", F.col("__qlon") - F.col("__tlon"))
+        .withColumn(
+            "dist2",
+            F.col("__dlat") * F.col("__dlat") + F.col("__dlon") * F.col("__dlon"),
+        )
+        .withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__tid").alias(target_id),
+            F.col("dist2"),
+            F.col("knn_rank").cast(T.IntegerType()),
+        )
+    )

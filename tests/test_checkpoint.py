@@ -1,0 +1,81 @@
+"""Checkpoint/lineage/resume (SURVEY.md §5.2 items 5-6, §2.B B15)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from o2g_spark.plans.checkpoint import CheckpointManager, lineage_rows
+
+
+def _mk_df(spark, n=500):
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+    )
+
+
+def test_lineage_partition_invariant(spark):
+    df = _mk_df(spark)
+    a = lineage_rows(df.repartition(2), "url", n_buckets=8)
+    b = lineage_rows(df.repartition(23), "url", n_buckets=8)
+    assert a == b
+    assert sum(r["row_count"] for r in a) == 500
+
+
+def test_lineage_detects_content_change(spark):
+    a = lineage_rows(_mk_df(spark, 500), "url", n_buckets=4)
+    b = lineage_rows(_mk_df(spark, 501), "url", n_buckets=4)
+    assert a != b
+
+
+def test_stage_commit_and_resume(spark, tmp_path):
+    base = str(tmp_path / "wh")
+    ckpt = CheckpointManager(spark, base, n_buckets=4)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return _mk_df(spark)
+
+    out1 = ckpt.run_stage("s1", build, key_col="url")
+    assert calls["n"] == 1 and out1.count() == 500
+    m = ckpt.manifest("s1")
+    assert m["committed"] and m["row_count"] == 500
+    assert len(m["lineage"]) <= 4 and all("digest" in r for r in m["lineage"])
+
+    # resume: build_fn must NOT run again; data identical
+    out2 = ckpt.run_stage("s1", build, key_col="url")
+    assert calls["n"] == 1
+    assert sorted(out1.collect()) == sorted(out2.collect())
+
+
+def test_uncommitted_stage_recomputes(spark, tmp_path):
+    base = str(tmp_path / "wh2")
+    ckpt = CheckpointManager(spark, base)
+    # simulate a kill: data present, manifest missing
+    sdir = os.path.join(base, "sX")
+    os.makedirs(os.path.join(sdir, "data"), exist_ok=True)
+    with open(os.path.join(sdir, "data", "part-garbage.parquet"), "w") as f:
+        f.write("partial")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return _mk_df(spark, 100)
+
+    out = ckpt.run_stage("sX", build, key_col="url")
+    assert calls["n"] == 1 and out.count() == 100
+    assert ckpt.is_committed("sX")
+
+
+def test_manifest_atomic_marker(spark, tmp_path):
+    base = str(tmp_path / "wh3")
+    ckpt = CheckpointManager(spark, base)
+    ckpt.run_stage("s", lambda: _mk_df(spark, 50), key_col="url")
+    # no temp files linger; manifest parses as committed JSON
+    names = os.listdir(os.path.join(base, "s"))
+    assert set(names) == {"data", "manifest.json"}
+    with open(os.path.join(base, "s", "manifest.json")) as f:
+        assert json.load(f)["committed"] is True

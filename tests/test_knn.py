@@ -1,0 +1,90 @@
+"""kNN k-ring expansion vs brute force (SURVEY.md §2.B B6, §2.C rank parity)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from o2g_spark.operators import knn
+
+
+@pytest.fixture(scope="module")
+def qt(spark):
+    rng = np.random.default_rng(7)
+    nq, nt = 60, 300
+    q = pd.DataFrame(
+        {
+            "qid": np.arange(nq),
+            "lat": np.round(rng.uniform(-20, 50, nq), 4),
+            "lon": np.round(rng.uniform(-25, 25, nq), 4),
+        }
+    )
+    # targets clustered (some cells dense, some empty → multi-ring paths)
+    t = pd.DataFrame(
+        {
+            "tid": np.arange(nt),
+            "lat": np.round(
+                np.concatenate(
+                    [rng.uniform(-20, 50, nt // 2), rng.normal(48.85, 0.5, nt - nt // 2)]
+                ),
+                4,
+            ),
+            "lon": np.round(
+                np.concatenate(
+                    [rng.uniform(-25, 25, nt // 2), rng.normal(2.35, 0.5, nt - nt // 2)]
+                ),
+                4,
+            ),
+        }
+    )
+    return spark.createDataFrame(q), spark.createDataFrame(t)
+
+
+def _collect(df):
+    return sorted(
+        (r.qid, r.tid, r.knn_rank, round(r.dist2, 9)) for r in df.collect()
+    )
+
+
+def test_knn_matches_bruteforce(qt):
+    q, t = qt
+    got = _collect(knn.knn_join(q, t, k=5, res=5))
+    exp = _collect(knn.knn_bruteforce(q, t, k=5))
+    assert got == exp
+
+
+def test_knn_matches_bruteforce_fine_res(qt):
+    # finer grid → many empty rings; exercises multi-round expansion
+    q, t = qt
+    got = _collect(knn.knn_join(q, t, k=3, res=8))
+    exp = _collect(knn.knn_bruteforce(q, t, k=3))
+    assert got == exp
+
+
+def test_knn_fewer_targets_than_k(spark):
+    q = spark.createDataFrame(
+        pd.DataFrame({"qid": [0, 1], "lat": [10.0, -5.0], "lon": [3.0, 7.0]})
+    )
+    t = spark.createDataFrame(
+        pd.DataFrame({"tid": [100, 101], "lat": [11.0, 60.0], "lon": [3.5, 20.0]})
+    )
+    out = knn.knn_join(q, t, k=5, res=3).collect()
+    # every query finds both targets, ranks 1..2
+    assert len(out) == 4
+    assert {(r.qid, r.knn_rank) for r in out} == {(0, 1), (0, 2), (1, 1), (1, 2)}
+
+
+def test_knn_deterministic_ties(spark):
+    # two targets equidistant from the query → rank by tid ascending
+    q = spark.createDataFrame(pd.DataFrame({"qid": [0], "lat": [0.0], "lon": [0.0]}))
+    t = spark.createDataFrame(
+        pd.DataFrame({"tid": [7, 3], "lat": [1.0, -1.0], "lon": [0.0, 0.0]})
+    )
+    out = {r.knn_rank: r.tid for r in knn.knn_join(q, t, k=2, res=4).collect()}
+    assert out == {1: 3, 2: 7}
+
+
+def test_knn_partition_invariance(qt):
+    q, t = qt
+    a = _collect(knn.knn_join(q.repartition(1), t, k=4, res=6))
+    b = _collect(knn.knn_join(q.repartition(13), t.repartition(7), k=4, res=6))
+    assert a == b
