@@ -1,0 +1,383 @@
+"""Deduplication family for training-data pipelines (driver brief:
+exact, MinHash+LSH, SimHash, n-gram Jaccard — first-class components).
+
+Reference parity: o2g dedups shared stops — a node serving several
+routes becomes ONE GTFS stop (SURVEY.md §2.A A8 [o2g-PK]); these
+operators generalize that "same entity, keep one canonical row" rule to
+web-scale text.
+
+Design rules:
+- candidate generation NEVER compares all pairs: exact dedup groups by
+  the text itself; near-dup families bucket first (LSH bands / shared
+  shingles / simhash chunks) and only verify within buckets;
+- everything except simhash is pure Column expressions with a DuckDB
+  SQL twin (value-hash oracles); simhash packs 64-bit signs in numpy
+  inside one Arrow pandas UDF (bit loops are where SQL stops being the
+  right tool) and gets a brute-force pytest oracle instead;
+- all tie-breaks are total orders (min id) → partition-invariant.
+
+Scale notes (100 TB): exact dedup shuffles once on a 60-bit text hash
+(not the text bytes). MinHash bands shuffle (band_idx, band_key) pairs
+— rows ≈ docs × bands, keys are 8-byte ints. The pair-verify join fans
+in only bucket collisions; AQE skew-join handles viral duplicate
+clusters; `dup_group` canonicalization is one more hash-keyed agg.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..functions import text as X
+
+
+# ------------------------------------------------------------------ exact
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dup_group) where dup_group = min id among byte-equal texts.
+
+    Grouping key is the 60-bit md5 hash (shuffle ints, not documents);
+    byte-equality within a hash bucket is then exact because the full
+    md5 is also compared — collisions of BOTH are ignored as negligible
+    (2^-128) and, crucially, *identically* negligible in the oracle.
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("dup_group"),
+    )
+
+
+def dedup_exact_sql(table: str, id_col: str, text_col: str) -> str:
+    return (
+        f"SELECT {id_col}, min({id_col}) OVER (PARTITION BY md5({text_col})) "
+        f"AS dup_group FROM {table}"
+    )
+
+
+def dedup_keep_latest(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+    """One row per key: the latest by ts (B13; ties broken impossible —
+    caller guarantees (key, ts) unique, as crawl snapshots do)."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------- ngram jaccard
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shared-shingle buckets.
+
+    Only pairs sharing ≥1 shingle are ever materialized (the classic
+    inverted-index join), so cost is Σ_shingle df(shingle)² — bounded in
+    practice by dedup_exact running first. Output: (id_a, id_b, jaccard)
+    with id_a < id_b, jaccard rounded to 6dp, ≥ threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(X.shingles(text_col, n)).alias("__sh"),
+    )
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__common"))
+    )
+    sz_a = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"))
+    sz_b = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"))
+    return (
+        common.join(sz_a, "id_a").join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__common")
+                / (F.col("__sza") + F.col("__szb") - F.col("__common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_pairs_sql(
+    table: str, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> str:
+    sh_expr = X.shingles_sql(text_col, n)
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id, unnest({sh_expr}) AS sh FROM {table}
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(c / (sa.sz + sb.sz - c), 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------- minhash + LSH
+
+def minhash_signature(text_col: str, num_hashes: int = 32) -> F.Column:
+    """Array of ``num_hashes`` minhash values over 3-gram shingles.
+
+    Hash family: H_i(s) = md5_hash60(i || ':' || s) — independent-ish
+    permutation surrogates, reproducible in DuckDB. Empty shingle sets
+    get value 2^60 (sentinel larger than any hash) per slot.
+    """
+    sh = X.shingles(text_col, 3)
+    sentinel = F.lit(1 << 60).cast(T.LongType())
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.coalesce(
+            F.array_min(
+                F.transform(
+                    sh,
+                    lambda s: X.md5_hash60(
+                        F.concat(i.cast("string"), F.lit(":"), s)
+                    ),
+                )
+            ),
+            sentinel,
+        ),
+    )
+
+
+def minhash_signature_sql(text_col: str, num_hashes: int = 32) -> str:
+    sh = X.shingles_sql(text_col, 3)
+    h = X.md5_hash60_sql("concat(CAST(i AS VARCHAR), ':', s)")
+    return (
+        f"list_transform(range(0, {num_hashes}), "
+        f"i -> coalesce(list_min(list_transform({sh}, s -> {h})), "
+        f"CAST({1 << 60} AS BIGINT)))"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs: LSH banding for candidates, exact n-gram Jaccard
+    to verify. Output identical schema to :func:`jaccard_pairs` —
+    (id_a, id_b, jaccard ≥ threshold) — but candidate generation scales
+    as O(docs × bands), not O(pairs sharing any shingle).
+
+    A pair is a candidate iff some band of the minhash signature agrees
+    exactly; verification recomputes true Jaccard, so precision is
+    exact and only recall depends on (num_hashes, bands, threshold).
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rpb = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(text_col, num_hashes).alias("__sig"),
+        X.shingles(text_col, 3).alias("__sh"),
+    )
+    # bands shuffle only (id, band, 16-byte key) — shingle arrays are
+    # joined back per candidate pair afterwards, never multiplied ×bands
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(",", F.transform(
+                            F.slice(F.col("__sig"), b * rpb + 1, rpb),
+                            lambda v: v.cast("string"),
+                        ))
+                    ).alias("key"),
+                ),
+            )
+        ).alias("__b"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__b.band") == F.col("b.__b.band"))
+            & (F.col("a.__b.key") == F.col("b.__b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sha = sig.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    shb = sig.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    cand = pairs.join(sha, "id_a").join(shb, "id_b")
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.col("__sha")) + F.size(F.col("__shb")) - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> str:
+    rpb = num_hashes // bands
+    sig = minhash_signature_sql(text_col, num_hashes)
+    sh = X.shingles_sql(text_col, 3)
+    return f"""
+WITH sig AS (
+  SELECT {id_col} AS id, {sig} AS sig, {sh} AS sh FROM {table}
+),
+banded AS (
+  SELECT id, unnest(range(0, {bands})) AS band,
+         unnest(list_transform(range(0, {bands}),
+                b -> md5(array_to_string(
+                       list_transform(sig[b*{rpb}+1 : b*{rpb}+{rpb}],
+                                      v -> CAST(v AS VARCHAR)), ','))))
+           AS key
+  FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+cand AS (
+  SELECT id_a, id_b, sa.sh AS sha, sb.sh AS shb
+  FROM pairs JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sha, shb)) /
+             greatest(len(sha) + len(shb) - len(list_intersect(sha, shb)), 1),
+             6) AS jaccard
+FROM cand
+WHERE round(len(list_intersect(sha, shb)) /
+            greatest(len(sha) + len(shb) - len(list_intersect(sha, shb)), 1),
+            6) >= {threshold}
+"""
+
+
+# ----------------------------------------------------------------- simhash
+
+def simhash_udf(num_bits: int = 64):
+    """Arrow pandas UDF: text → simhash (int64, sign-packed token hashes).
+
+    Token hashes are md5-based (hashlib) — pure, partition-invariant.
+    numpy does the bit unpack/accumulate per Arrow batch (the per-bit
+    loop is why this one kernel is not a Column expression).
+    """
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = [w for w in _norm_words(t)]
+            if not toks:
+                continue
+            acc = np.zeros(num_bits, dtype=np.int64)
+            for tok in toks:
+                h = np.uint64(int(hashlib.md5(tok.encode()).hexdigest()[:16], 16))
+                bits = (h >> np.arange(num_bits, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            sig = np.uint64(0)
+            for j in range(num_bits):
+                if acc[j] > 0:
+                    sig |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    return _simhash
+
+
+def _norm_words(t: str) -> list[str]:
+    """Python twin of functions.text.words (tested equal)."""
+    import re
+
+    return [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if w]
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with simhash Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: with ``chunks`` 16-bit chunks, any pair within
+    Hamming ≤ chunks-1 shares at least one exact chunk → bucket join on
+    (chunk_idx, chunk_value), verify with bit_count(xor). Requires
+    max_hamming < chunks (guaranteed recall); raises otherwise.
+    """
+    if max_hamming >= chunks:
+        raise ValueError("pigeonhole recall needs max_hamming < chunks")
+    bits = 64 // chunks
+    sh = df.select(
+        F.col(id_col).alias("__id"), simhash_udf()(F.col(text_col)).alias("__sim")
+    )
+    chunked = sh.select(
+        "__id",
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("idx"),
+                        F.shiftrightunsigned(F.col("__sim"), c * bits)
+                        .bitwiseAND(F.lit((1 << bits) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("__c"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__c.idx") == F.col("b.__c.idx"))
+            & (F.col("a.__c.val") == F.col("b.__c.val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(
+                F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,111 @@
+"""Embedding similarity: brute-force cosine top-k, LSH ANN, near-dup."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from o2g_spark.operators import similarity as sim
+
+
+def _emb(n=200, dim=16, seed=9, with_dups=True) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    if with_dups:
+        m[10] = m[3] + rng.standard_normal(dim).astype(np.float32) * 1e-3  # near dup
+        m[11] = m[3]  # exact dup
+    return pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [v.tolist() for v in m]}
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(_emb())
+
+
+def _np_topk(pdf, qids, k):
+    m = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    out = set()
+    for q in qids:
+        sims = (m @ m[q]) / np.maximum(norms * norms[q], 1e-300)
+        order = sorted(range(len(sims)), key=lambda i: (-round(sims[i], 6), i))
+        for rank, i in enumerate(order[:k], 1):
+            out.add((q, i, rank))
+    return out
+
+
+def test_cosine_topk_matches_numpy(emb):
+    pdf = _emb()
+    qids = [0, 3, 50]
+    queries = emb.filter(emb.vec_id.isin(qids)).select(
+        emb.vec_id.alias("qid"), "embedding"
+    )
+    got = {
+        (r.qid, r.vec_id, r.sim_rank)
+        for r in sim.cosine_topk(emb, queries, k=5).collect()
+    }
+    assert got == _np_topk(pdf, qids, 5)
+
+
+def test_cosine_topk_sql_twin(emb, spark):
+    pdf = _emb()
+    queries = emb.filter(emb.vec_id.isin([1, 7])).select(
+        emb.vec_id.alias("qid"), "embedding"
+    )
+    got = sorted(
+        (r.qid, r.vec_id, r.sim, r.sim_rank)
+        for r in sim.cosine_topk(emb, queries, k=4).collect()
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    q_sql = "SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id IN (1, 7)"
+    d = sorted(
+        tuple(r)
+        for r in con.execute(
+            sim.cosine_topk_sql("embeddings", q_sql, k=4)
+        ).fetchall()
+    )
+    con.close()
+    assert [(a, b, round(c, 6), d_) for a, b, c, d_ in got] == [
+        (a, b, round(c, 6), d_) for a, b, c, d_ in d
+    ]
+
+
+def test_ann_lsh_recall_and_precision(emb):
+    pdf = _emb()
+    qids = list(range(0, 40))
+    queries = emb.filter(emb.vec_id.isin(qids)).select(
+        emb.vec_id.alias("qid"), "embedding"
+    )
+    got = sim.ann_lsh_topk(emb, queries, dim=16, k=3, n_planes=6).collect()
+    exact = _np_topk(pdf, qids, 3)
+    exact_pairs = {(q, i) for q, i, _ in exact}
+    got_pairs = {(r.qid, r.vec_id) for r in got}
+    # self-match always in the same bucket → rank-1 recall is perfect
+    assert all((q, q) in got_pairs for q in qids)
+    # overall recall against exact top-3 should be substantial
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall > 0.5, recall
+
+
+def test_embedding_near_dup_pairs(emb):
+    got = {
+        (r.id_a, r.id_b)
+        for r in sim.embedding_near_dup_pairs(emb, sim_threshold=0.99).collect()
+    }
+    assert (3, 10) in got and (3, 11) in got and (10, 11) in got
+    # random 16-dim gaussians essentially never hit cosine ≥ 0.99
+    assert got == {(3, 10), (3, 11), (10, 11)}
+
+
+def test_dot_and_norm_columns(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [[1.0, 2.0, 3.0]], "b": [[4.0, 5.0, 6.0]]})
+    )
+    r = df.select(
+        sim.dot(df.a, df.b).alias("d"), sim.norm(df.a).alias("n")
+    ).first()
+    assert r.d == 32.0
+    assert abs(r.n - np.sqrt(14.0)) < 1e-12
