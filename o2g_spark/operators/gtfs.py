@@ -1,0 +1,234 @@
+"""o2g compatibility layer: OSM-shaped stop/route extraction → GTFS.
+
+This module re-expresses the reference's ACTUAL pipeline (SURVEY.md
+§2.A A3–A12 [o2g-PK:o2g transform + gtfs_dummy + writer]) as DataFrame
+ops, so a user of the reference can run the queries they run today:
+
+    o2g semantics                      here
+    ---------------------------------  --------------------------------
+    A3 tag filter (stops, routes)      filter_stops / filter_routes
+    A4 tag → GTFS field projection     build_routes (route_type enum)
+    A5 ordered member unnest           resolve_members (posexplode)
+    A6 member.ref → node.id FK join    resolve_members (inner join)
+    A7 dangling refs silently dropped  inner join; dangling_members audit
+    A8 shared stop dedup               build_stops (dropDuplicates)
+    A9 route → ordered stop list       route_stop_lists (ordered collect)
+    A10 dummy calendar/trips/times     dummy_schedule (range cross join +
+                                       running-sum window)
+    A11 sequence numbering             posexplode pos → stop_sequence
+    A12 GTFS zip sink                  write_gtfs_zip
+
+Input shapes (OSM-entity tables, SURVEY.md §1.1):
+- stops/nodes: (stop_id long, lat double, lon double,
+  tags map<string,string>)
+- routes/relations: (route_id long, route_type string,
+  members array<struct<ref long, role string>>)  — member order is the
+  stop order, exactly o2g's relation-member semantics.
+
+Every transform is JVM-side Column algebra; join row counts and
+orderings are partition-invariant (the graft's §2.C parity bar).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import os
+import zipfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# OSM route=* value → GTFS route_type (reference mapping, SURVEY.md §1.1)
+ROUTE_TYPE_MAP = {
+    "tram": 0,
+    "light_rail": 0,
+    "subway": 1,
+    "rail": 2,
+    "train": 2,
+    "bus": 3,
+    "trolleybus": 3,
+    "ferry": 4,
+}
+
+def stop_tag_predicate():
+    """A3 tag predicate (built lazily: Columns need a live session)."""
+    return (
+        (F.element_at("tags", "public_transport").isin("stop_position", "platform"))
+        | (F.element_at("tags", "highway") == "bus_stop")
+        | (F.element_at("tags", "railway").isin("station", "halt"))
+    )
+
+
+def filter_stops(nodes: DataFrame) -> DataFrame:
+    """A3: nodes that are public-transport stops (pure Catalyst
+    predicates on the MapType tag bag)."""
+    return nodes.filter(stop_tag_predicate())
+
+
+def resolve_members(routes: DataFrame, stops: DataFrame) -> DataFrame:
+    """A5+A6+A7+A11: ordered member unnest, FK join to stop coords.
+
+    Output: (route_id, route_type, stop_sequence, stop_id, lat, lon).
+    ``stop_sequence`` is the 0-based member position (order-significant,
+    o2g's relation-member order). Dangling refs drop silently — the
+    inner join IS the reference semantics; row count per route ==
+    number of RESOLVABLE members (the §2.C exact-count assertion).
+    """
+    members = routes.select(
+        "route_id",
+        "route_type",
+        F.posexplode("members").alias("stop_sequence", "m"),
+    )
+    return members.join(
+        F.broadcast(stops.select("stop_id", "lat", "lon")),
+        members["m.ref"] == F.col("stop_id"),
+        "inner",
+    ).select("route_id", "route_type", "stop_sequence", "stop_id", "lat", "lon")
+
+
+def dangling_members(routes: DataFrame, stops: DataFrame) -> DataFrame:
+    """A7 audit: member refs that resolve to no stop (left_anti)."""
+    members = routes.select(
+        "route_id", F.posexplode("members").alias("stop_sequence", "m")
+    ).select("route_id", "stop_sequence", F.col("m.ref").alias("ref"))
+    return members.join(
+        stops.select(F.col("stop_id").alias("ref")), "ref", "left_anti"
+    )
+
+
+def build_stops(resolved: DataFrame) -> DataFrame:
+    """A8: one GTFS stop per node, however many routes serve it."""
+    return (
+        resolved.select(
+            "stop_id",
+            F.col("lat").alias("stop_lat"),
+            F.col("lon").alias("stop_lon"),
+        )
+        .dropDuplicates(["stop_id"])
+        .withColumn("stop_name", F.concat(F.lit("stop"), F.col("stop_id")))
+        .select("stop_id", "stop_name", "stop_lat", "stop_lon")
+    )
+
+
+def build_routes(routes: DataFrame) -> DataFrame:
+    """A4: tag projection + route_type enum map (literal CASE chain —
+    a broadcast dimension would also do; the enum is 8 entries)."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in ROUTE_TYPE_MAP.items() for x in kv]
+    )
+    return routes.select(
+        "route_id",
+        F.lit("o2g").alias("agency_id"),
+        F.concat(F.lit("route"), F.col("route_id")).alias("route_short_name"),
+        F.coalesce(mapping[F.col("route_type")], F.lit(3)).alias("route_type"),
+    )
+
+
+def route_stop_lists(resolved: DataFrame) -> DataFrame:
+    """A9: route → member-ordered stop id array (deterministic)."""
+    return resolved.groupBy("route_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("stop_sequence", "stop_id"))
+            ),
+            lambda s: s["stop_id"],
+        ).alias("stop_ids")
+    )
+
+
+def dummy_schedule(
+    resolved: DataFrame,
+    trips_per_route: int = 2,
+    start_s: int = 6 * 3600,
+    headway_s: int = 1800,
+    inter_stop_s: int = 120,
+) -> tuple[DataFrame, DataFrame]:
+    """A10: synthesize trips + stop_times (OSM has no timetables; o2g
+    emits dummies so the feed validates [o2g-PK:o2g/gtfs_dummy.py]).
+
+    trips = routes × range(k) cross join; stop_times get monotonically
+    increasing times via a running offset over stop_sequence — the
+    window-function re-expression of o2g's enumerate loop.
+    """
+    spark = resolved.sparkSession
+    trips = (
+        resolved.select("route_id").distinct()
+        .crossJoin(spark.range(trips_per_route).select(F.col("id").alias("trip_idx")))
+        .withColumn(
+            "trip_id",
+            F.concat_ws("_", F.lit("t"), F.col("route_id"), F.col("trip_idx")),
+        )
+        .withColumn("service_id", F.lit("always"))
+    )
+    st = resolved.join(trips, "route_id")
+    secs = (
+        F.lit(start_s)
+        + F.col("trip_idx") * headway_s
+        + F.col("stop_sequence") * inter_stop_s
+    )
+    hhmmss = F.format_string(
+        "%02d:%02d:%02d",
+        (secs / 3600).cast("int"),
+        (secs % 3600 / 60).cast("int"),
+        (secs % 60).cast("int"),
+    )
+    stop_times = st.select(
+        "trip_id",
+        F.col("stop_sequence"),
+        "stop_id",
+        hhmmss.alias("arrival_time"),
+        hhmmss.alias("departure_time"),
+    )
+    return trips.select("trip_id", "route_id", "service_id"), stop_times
+
+
+def write_gtfs_zip(
+    out_path: str,
+    stops: DataFrame,
+    routes: DataFrame,
+    trips: DataFrame,
+    stop_times: DataFrame,
+) -> str:
+    """A12: the GTFS zip sink. Tables collect to the driver (GTFS feeds
+    are dimension-sized — the fact tables of this engine checkpoint via
+    plans.checkpoint instead) and serialize deterministically (sorted)."""
+    agency = [
+        {"agency_id": "o2g", "agency_name": "o2g_spark", "agency_url": "https://example.org", "agency_timezone": "UTC"}
+    ]
+    calendar = [
+        {
+            "service_id": "always",
+            **{d: 1 for d in ("monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday")},
+            "start_date": "20240101",
+            "end_date": "20341231",
+        }
+    ]
+
+    def rows_of(df: DataFrame):
+        cols = df.columns
+        data = sorted([tuple(r[c] for c in cols) for r in df.collect()])
+        return cols, data
+
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, df in (
+            ("stops.txt", stops),
+            ("routes.txt", routes),
+            ("trips.txt", trips),
+            ("stop_times.txt", stop_times),
+        ):
+            cols, data = rows_of(df)
+            buf = io.StringIO()
+            wr = csv.writer(buf, lineterminator="\n")
+            wr.writerow(cols)
+            wr.writerows(data)
+            zf.writestr(name, buf.getvalue())
+        for name, recs in (("agency.txt", agency), ("calendar.txt", calendar)):
+            buf = io.StringIO()
+            wr = csv.DictWriter(buf, fieldnames=list(recs[0]), lineterminator="\n")
+            wr.writeheader()
+            wr.writerows(recs)
+            zf.writestr(name, buf.getvalue())
+    return out_path

@@ -1,0 +1,162 @@
+"""o2g parity suite (SURVEY.md §2.C): the reference's GTFS stop/route
+fixture assertions, run BOTH as the direct GTFS pipeline AND
+re-expressed as spatial-join assertions — counts must agree exactly."""
+
+import hashlib
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from o2g_spark.operators import gtfs, pip
+from o2g_spark.sources import synth, tables
+
+
+@pytest.fixture(scope="module")
+def parity(spark):
+    stops_pdf, routes_pdf, zones_pdf = synth.gen_parity()
+    return (
+        tables.stops_df(spark, stops_pdf),
+        tables.routes_df(spark, routes_pdf),
+        zones_pdf,
+        stops_pdf,
+        routes_pdf,
+    )
+
+
+def test_tag_filter_counts(parity):
+    """o2g: N stop nodes pass the tag filter (A3)."""
+    stops, _, _, stops_pdf, _ = parity
+    got = gtfs.filter_stops(stops).count()
+    exp = sum(
+        1 for t in stops_pdf["tags"] if t.get("public_transport") == "stop_position"
+    )
+    assert got == exp == 36  # 40 nodes, every 10th is a bench
+
+
+def test_member_resolution_counts(parity):
+    """o2g: route with M resolvable members → M join rows (A5/A6/A7)."""
+    stops, routes, _, stops_pdf, routes_pdf = parity
+    resolved = gtfs.resolve_members(routes, gtfs.filter_stops(stops))
+    got = {r.route_id: r.n for r in resolved.groupBy("route_id").agg(F.count("*").alias("n")).collect()}
+    stop_ids = {
+        r.stop_id
+        for r in stops_pdf.itertuples()
+        if r.tags.get("public_transport") == "stop_position"
+    }
+    exp = {
+        r.route_id: sum(1 for m in r.members if m["ref"] in stop_ids)
+        for r in routes_pdf.itertuples()
+    }
+    assert got == exp
+
+
+def test_dangling_refs_audited(parity):
+    """o2g: dangling member refs skipped, not errors (A7)."""
+    stops, routes, _, _, _ = parity
+    dang = gtfs.dangling_members(routes, gtfs.filter_stops(stops)).collect()
+    # each route has exactly one ref=999 dangling member + benches
+    assert sum(1 for d in dang if d.ref == 999) == 3
+
+
+def test_shared_stop_dedup(parity):
+    """o2g: a stop served by several routes appears once (A8)."""
+    stops, routes, _, _, _ = parity
+    resolved = gtfs.resolve_members(routes, gtfs.filter_stops(stops))
+    built = gtfs.build_stops(resolved)
+    assert built.count() == resolved.select("stop_id").distinct().count()
+    # stops 0 and 1 are served by route 0 AND route 2 but appear once
+    assert built.filter(F.col("stop_id").isin(0, 1)).count() == 2
+
+
+def test_member_order_preserved(parity):
+    """o2g: stop_sequence == relation member order (A5/A11)."""
+    stops, routes, _, stops_pdf, routes_pdf = parity
+    resolved = gtfs.resolve_members(routes, gtfs.filter_stops(stops))
+    lists = {r.route_id: r.stop_ids for r in gtfs.route_stop_lists(resolved).collect()}
+    stop_ids = {
+        r.stop_id
+        for r in stops_pdf.itertuples()
+        if r.tags.get("public_transport") == "stop_position"
+    }
+    for r in routes_pdf.itertuples():
+        exp = [m["ref"] for m in r.members if m["ref"] in stop_ids]
+        # ordered by ORIGINAL member position even after the shuffle
+        got_seq = sorted(
+            (
+                (row.stop_sequence, row.stop_id)
+                for row in resolved.filter(F.col("route_id") == r.route_id).collect()
+            )
+        )
+        assert [s for _, s in got_seq] == exp
+        assert lists[r.route_id] == exp
+
+
+def test_spatial_reexpression_matches_gtfs_counts(parity, spark):
+    """THE graft assertion: 'M resolvable members of route R' ==
+    'M stop points inside parity zone R' (PIP join row counts)."""
+    stops, routes, zones_pdf, _, _ = parity
+    resolved = gtfs.resolve_members(routes, gtfs.filter_stops(stops))
+    # route r's resolvable members, EXCLUDING cross-band shared stops
+    # (stops 0/1 on route 2 lie in band 0's strip, not zone 2)
+    member_counts = {
+        r.route_id: r.n
+        for r in resolved.filter(
+            (F.col("stop_id") % 3) == F.col("route_id")
+        ).groupBy("route_id").agg(F.count("*").alias("n")).collect()
+    }
+    pts = gtfs.filter_stops(stops).select("stop_id", "lat", "lon")
+    rings = synth.zone_rings(zones_pdf)
+    pip_counts = {
+        r.zone_id: r.n
+        for r in pip.pip_join(pts, rings, res=9)
+        .groupBy("zone_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert pip_counts == member_counts
+
+
+def test_dummy_schedule_monotonic(parity):
+    """o2g gtfs_dummy: stop_times strictly increase along each trip (A10)."""
+    stops, routes, _, _, _ = parity
+    resolved = gtfs.resolve_members(routes, gtfs.filter_stops(stops))
+    trips, stop_times = gtfs.dummy_schedule(resolved, trips_per_route=2)
+    assert trips.count() == 6  # 3 routes × 2 trips
+    rows = stop_times.orderBy("trip_id", "stop_sequence").collect()
+    by_trip = {}
+    for r in rows:
+        by_trip.setdefault(r.trip_id, []).append(r.arrival_time)
+    for times in by_trip.values():
+        assert times == sorted(times) and len(set(times)) == len(times)
+
+
+def test_gtfs_zip_roundtrip(parity, tmp_path):
+    """o2g sink: a complete, deterministic GTFS zip (A12)."""
+    stops, routes, _, _, _ = parity
+    fs = gtfs.filter_stops(stops)
+    resolved = gtfs.resolve_members(routes, fs)
+    trips, st = gtfs.dummy_schedule(resolved)
+    p1 = gtfs.write_gtfs_zip(
+        str(tmp_path / "a.zip"), gtfs.build_stops(resolved),
+        gtfs.build_routes(routes), trips, st,
+    )
+    p2 = gtfs.write_gtfs_zip(
+        str(tmp_path / "b.zip"), gtfs.build_stops(resolved.repartition(13)),
+        gtfs.build_routes(routes), trips, st,
+    )
+    names = set(zipfile.ZipFile(p1).namelist())
+    assert names == {
+        "stops.txt", "routes.txt", "trips.txt", "stop_times.txt",
+        "agency.txt", "calendar.txt",
+    }
+    # byte-deterministic under any partitioning
+    h1 = [hashlib.sha256(zipfile.ZipFile(p1).read(n)).hexdigest() for n in sorted(names)]
+    h2 = [hashlib.sha256(zipfile.ZipFile(p2).read(n)).hexdigest() for n in sorted(names)]
+    assert h1 == h2
+
+
+def test_route_type_enum(parity, spark):
+    _, routes, _, _, _ = parity
+    got = {r.route_id: r.route_type for r in gtfs.build_routes(routes).collect()}
+    assert got == {0: 3, 1: 0, 2: 2}  # bus→3, tram→0, rail→2
