@@ -1,0 +1,153 @@
+"""Production pipeline CLI (BASELINE.json north_rule: "runs via
+spark-submit --py-files ... at N and 4N executors").
+
+    spark-submit --master local[8] \
+        --py-files "$(python -c 'from o2g_spark.session import build_pyfiles_zip; print(build_pyfiles_zip())')" \
+        jobs/run_pipeline.py --pages synth:1000000 --out /tmp/wh --stage all
+
+Stages (each checkpoints atomically with per-partition lineage rows and
+resumes from the last committed snapshot — kill this job at any point
+and rerun the same command):
+
+    geotag  scan pages → coordinate extraction → cell encode (B1-B4)
+    pip     cell-cover + ray-cast point-in-polygon join (B5)
+    knn     k-ring kNN against the gazetteer (B6)
+    tiles   Web-Mercator tile assignment + density (B8)
+    report  per-zone/lang + per-tile rollups (B9-B11)
+
+Prints one JSON metrics line per stage: rows, seconds, pages/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from o2g_spark.functions import cellfns, geotag  # noqa: E402
+from o2g_spark.operators import knn, pip, skew, tiles  # noqa: E402
+from o2g_spark.plans.checkpoint import CheckpointManager  # noqa: E402
+from o2g_spark.session import get_spark  # noqa: E402
+from o2g_spark.sources import synth, synth_dist, tables  # noqa: E402
+
+STAGES = ("geotag", "pip", "knn", "tiles", "report")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", default="synth:200000",
+                    help="parquet path, or synth:N for distributed generation")
+    ap.add_argument("--out", required=True, help="checkpoint warehouse dir")
+    ap.add_argument("--stage", default="all", choices=("all",) + STAGES)
+    ap.add_argument("--res", type=int, default=9, help="cell resolution")
+    ap.add_argument("--zoom", type=int, default=11, help="tile zoom")
+    ap.add_argument("--knn-k", type=int, default=3)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("o2g_pipeline", master=args.master)
+    ckpt = CheckpointManager(spark, args.out)
+    metrics = []
+
+    def run(stage, build, key_col, cell_col=None):
+        t0 = time.time()
+        resumed = ckpt.is_committed(stage)
+        df = ckpt.run_stage(stage, build, key_col=key_col, cell_col=cell_col)
+        n = ckpt.manifest(stage)["row_count"]
+        dt = time.time() - t0
+        m = {
+            "stage": stage,
+            "rows": n,
+            "sec": round(dt, 3),
+            "rows_per_sec": round(n / dt, 1) if dt > 0 else None,
+            "resumed": resumed,
+        }
+        metrics.append(m)
+        print(json.dumps(m), flush=True)
+        return df
+
+    if args.pages.startswith("synth:"):
+        n_pages = int(args.pages.split(":", 1)[1])
+        pages = synth_dist.gen_pages_dist(spark, n_pages)
+    else:
+        pages = spark.read.parquet(args.pages)
+
+    zones_pdf = synth.gen_zones()
+    rings = synth.zone_rings(zones_pdf)
+    gaz = tables.gazetteer_df(spark, synth.gen_gazetteer())
+
+    want = STAGES if args.stage == "all" else (args.stage,)
+
+    # geotag: extraction + cell encode, salted against hot cells before
+    # any downstream per-cell work (SURVEY.md §7.2: salt BEFORE Python)
+    def build_geotag():
+        tagged = geotag.extract_coords(pages).select(
+            "url", "warc_ts", "lang", "lat", "lon", "mention"
+        )
+        tagged = tagged.withColumn(
+            "cell", cellfns.cell_encode("lat", "lon", args.res)
+        )
+        return skew.salted_repartition(tagged, "cell", "url", buckets=8)
+
+    if "geotag" in want:
+        tagged = run("geotag", build_geotag, key_col="url", cell_col="cell")
+    else:
+        tagged = ckpt.run_stage("geotag", build_geotag, key_col="url", cell_col="cell")
+
+    if "pip" in want:
+        run(
+            "pip",
+            lambda: pip.pip_join(tagged, rings, res=args.res),
+            key_col="url",
+            cell_col="cell",
+        )
+    if "knn" in want:
+        targets = gaz.select(
+            F.monotonically_increasing_id().alias("tid"), "lat", "lon"
+        ).localCheckpoint()
+        run(
+            "knn",
+            lambda: knn.knn_join(
+                tagged.select(F.col("url").alias("qid"), "lat", "lon"),
+                targets,
+                k=args.knn_k,
+                res=7,
+            ),
+            key_col="qid",
+        )
+    if "tiles" in want:
+        run(
+            "tiles",
+            lambda: tiles.assign_tiles(tagged, args.zoom),
+            key_col="url",
+            cell_col="tile_id",
+        )
+    if "report" in want:
+        def build_report():
+            t = tiles.assign_tiles(tagged, args.zoom)
+            return (
+                t.groupBy("tile_x", "tile_y")
+                .agg(
+                    F.count("*").alias("n_points"),
+                    F.approx_count_distinct("url").alias("approx_urls"),
+                )
+            )
+        run("report", build_report, key_col="tile_x")
+
+    total = {
+        "total_sec": round(sum(m["sec"] for m in metrics), 3),
+        "stages": len(metrics),
+        "resumed_stages": sum(1 for m in metrics if m["resumed"]),
+    }
+    print(json.dumps(total), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,7 +55,11 @@ def extract_coords(pages: DataFrame, text_col: str = "text") -> DataFrame:
     All JVM-side; rows with no match are dropped (0..n semantics).
     Out-of-range pairs (|lat|>90, |lon|>180) are filtered out.
     """
-    m = pages.withColumn("mention", F.explode(coord_matches(text_col)))
+    # project the match array before exploding (GenerateExec evaluates
+    # generator expressions interpreted — keep the regex in a Project)
+    m = pages.withColumn("__matches", coord_matches(text_col)).withColumn(
+        "mention", F.explode("__matches")
+    ).drop("__matches")
     parts = F.split(F.col("mention"), r",\s")
     out = (
         m.withColumn("lat", parts.getItem(0).cast(T.DoubleType()))
@@ -111,8 +115,8 @@ def extract_places(
     )
     pat = f"\\b({alternation})\\b"
     m = pages.withColumn(
-        "mention", F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pat), 1))
-    )
+        "__matches", F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)
+    ).withColumn("mention", F.explode("__matches")).drop("__matches")
     return (
         m.join(F.broadcast(gazetteer), m.mention == gazetteer.place, "inner")
         .drop("place")

@@ -141,6 +141,80 @@ def polygon_cover(rings, res: int):
     return to_cells(interior_mask), to_cells(boundary_mask)
 
 
+def classify_cells(cell_ids: np.ndarray, rings) -> tuple[np.ndarray, np.ndarray]:
+    """Classify arbitrary cells against a polygon: (interior_mask,
+    boundary_mask); cells in neither mask are provably outside.
+
+    Same conservative logic as :func:`polygon_cover` (4-corner ray cast
+    + edge-bbox overlap), vectorized over a flat cell list so it works
+    on mixed/refined levels.
+    """
+    if len(cell_ids) == 0:
+        z = np.zeros(0, dtype=bool)
+        return z, z
+    edges = _edges(rings)
+    lon_min, lat_min, lon_max, lat_max = cells.cell_bounds(cell_ids)
+
+    corners_lon = np.stack([lon_min, lon_max, lon_min, lon_max])  # (4, n)
+    corners_lat = np.stack([lat_min, lat_min, lat_max, lat_max])
+    inside = points_in_polygon(
+        corners_lon.ravel(), corners_lat.ravel(), rings
+    ).reshape(4, -1)
+    all_in = inside.all(axis=0)
+    any_in = inside.any(axis=0)
+
+    ex0 = np.minimum(edges[:, 0], edges[:, 2])[None, :]
+    ex1 = np.maximum(edges[:, 0], edges[:, 2])[None, :]
+    ey0 = np.minimum(edges[:, 1], edges[:, 3])[None, :]
+    ey1 = np.maximum(edges[:, 1], edges[:, 3])[None, :]
+    near_edge = (
+        (lon_min[:, None] <= ex1)
+        & (lon_max[:, None] >= ex0)
+        & (lat_min[:, None] <= ey1)
+        & (lat_max[:, None] >= ey0)
+    ).any(axis=1)
+
+    interior = all_in & ~near_edge
+    boundary = near_edge | (any_in & ~all_in)
+    return interior, boundary
+
+
+def polygon_cover_adaptive(
+    rings, base_res: int, max_res: int, boundary_budget: int = 2048
+):
+    """Hierarchical prepared cover: interior cells at MIXED resolutions
+    (coarse where the polygon is fat, finer toward the boundary) plus a
+    thin boundary band at ``max_res``.
+
+    This is what keeps the exact-refine sliver small: the fraction of
+    points needing a ray cast scales with the boundary band's area,
+    which shrinks 2× per extra resolution level, while broadcast cover
+    size only grows with the perimeter (not the area).
+
+    Returns ``(interior_cells, boundary_cells)`` int64 arrays; interior
+    ids carry their own resolution in the id (cells.MAX_RES layout), so
+    a single equi-join against per-res point encodings stays exact.
+    """
+    if not base_res <= max_res:
+        raise ValueError("need base_res <= max_res")
+    interior0, boundary = polygon_cover(rings, base_res)
+    interior_parts = [interior0]
+    for _res in range(base_res, max_res):
+        if len(boundary) == 0 or 4 * len(boundary) > boundary_budget:
+            # budget rule: each zone refines to ITS OWN natural depth —
+            # a city-block zone goes deep (its boundary stays tiny), a
+            # continent-scale zone stops coarse (its perimeter would
+            # blow the broadcast). Boundary band area ≈ perimeter ×
+            # cell_height keeps halving until the budget caps it.
+            break
+        kids = cells.children(boundary).ravel()
+        im, bm = classify_cells(kids, rings)
+        interior_parts.append(kids[im])
+        boundary = kids[bm]
+    interior = np.concatenate(interior_parts) if interior_parts else np.empty(0, np.int64)
+    return interior.astype(np.int64), boundary.astype(np.int64)
+
+
 MERCATOR_LAT_MAX = 85.05112878
 
 

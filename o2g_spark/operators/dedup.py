@@ -139,39 +139,80 @@ WHERE round(c / (sa.sz + sb.sz - c), 6) >= {threshold}
 
 # ---------------------------------------------------------- minhash + LSH
 
-def minhash_signature(text_col: str, num_hashes: int = 32) -> F.Column:
-    """Array of ``num_hashes`` minhash values over 3-gram shingles.
+_M31 = 1 << 31
+_P31 = 2147483647  # Mersenne prime
+_SENTINEL = 1 << 60
 
-    Hash family: H_i(s) = md5_hash60(i || ':' || s) — independent-ish
-    permutation surrogates, reproducible in DuckDB. Empty shingle sets
-    get value 2^60 (sentinel larger than any hash) per slot.
+
+def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine min-hash family.
+    a odd, both < 2^31 → a*(x%2^31)+b < 2^62: no BIGINT overflow in
+    either engine (DuckDB would raise, Spark would silently wrap)."""
+    out = []
+    for i in range(num_hashes):
+        a = ((1103515245 * (i + 1) + 12345) % _M31) | 1
+        b = (69069 * (i + 1) + 1234567) % _M31
+        out.append((a, b))
+    return out
+
+
+def shingle_hashes(text_col: str, n: int = 3) -> F.Column:
+    """Array of 60-bit md5 hashes of the distinct n-gram shingles.
+
+    The ONE expensive (string-hashing) pass; everything minhash-like
+    derives from this integer array with cheap affine re-hashes. Keep
+    it materialized as its own column (one withColumn/select step) —
+    inlining it into 32 lambda bodies re-evaluates the regex+md5 per
+    hash slot (measured 10× slowdown).
     """
-    sh = X.shingles(text_col, 3)
-    sentinel = F.lit(1 << 60).cast(T.LongType())
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.coalesce(
-            F.array_min(
-                F.transform(
-                    sh,
-                    lambda s: X.md5_hash60(
-                        F.concat(i.cast("string"), F.lit(":"), s)
-                    ),
-                )
-            ),
-            sentinel,
-        ),
+    return F.transform(X.shingles(text_col, n), X.md5_hash60)
+
+
+def shingle_hashes_sql(text_col: str, n: int = 3) -> str:
+    return (
+        f"list_transform({X.shingles_sql(text_col, n)}, "
+        f"s -> {X.md5_hash60_sql('s')})"
     )
+
+
+def minhash_from_hashes(h_col, num_hashes: int = 32) -> F.Column:
+    """Minhash signature from a shingle-hash array column:
+    sig[i] = min over shingles of (a_i·(h mod 2³¹) + b_i) mod p.
+    Empty docs get the 2^60 sentinel in every slot."""
+    h = F.col(h_col) if isinstance(h_col, str) else h_col
+    sentinel = F.lit(_SENTINEL).cast(T.LongType())
+    def _aff(a: int, b: int):
+        # closure factory: Spark HOF lambdas must take exactly 1 or 2
+        # positional params, so no default-arg binding
+        return lambda x: (x % _M31 * F.lit(a) + F.lit(b)) % _P31
+
+    slots = [
+        F.coalesce(F.array_min(F.transform(h, _aff(a, b))), sentinel)
+        for a, b in _affine_params(num_hashes)
+    ]
+    return F.array(*slots)
+
+
+def minhash_signature(text_col: str, num_hashes: int = 32) -> F.Column:
+    """One-expression convenience (oracle-checked queries). For the LSH
+    operator path use shingle_hashes + minhash_from_hashes so the md5
+    pass materializes once."""
+    return minhash_from_hashes(
+        F.transform(X.shingles(text_col, 3), X.md5_hash60), num_hashes
+    )
+
+
+def minhash_from_hashes_sql(hs_expr: str, num_hashes: int = 32) -> str:
+    slots = ", ".join(
+        f"coalesce(list_min(list_transform({hs_expr}, "
+        f"x -> (x % {_M31} * {a} + {b}) % {_P31})), CAST({_SENTINEL} AS BIGINT))"
+        for a, b in _affine_params(num_hashes)
+    )
+    return f"[{slots}]"
 
 
 def minhash_signature_sql(text_col: str, num_hashes: int = 32) -> str:
-    sh = X.shingles_sql(text_col, 3)
-    h = X.md5_hash60_sql("concat(CAST(i AS VARCHAR), ':', s)")
-    return (
-        f"list_transform(range(0, {num_hashes}), "
-        f"i -> coalesce(list_min(list_transform({sh}, s -> {h})), "
-        f"CAST({1 << 60} AS BIGINT)))"
-    )
+    return minhash_from_hashes_sql(shingle_hashes_sql(text_col, 3), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -194,29 +235,35 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rpb = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(text_col, num_hashes).alias("__sig"),
-        X.shingles(text_col, 3).alias("__sh"),
+    # three separate projections so the optimizer keeps each expensive
+    # pass (regex shingling, md5 hashing) evaluated exactly once;
+    # persist because the self-join + verify re-scan this 3×
+    sig = (
+        df.select(F.col(id_col).alias("__id"), X.shingles(text_col, 3).alias("__sh"))
+        .withColumn("__h", F.transform(F.col("__sh"), X.md5_hash60))
+        .withColumn("__sig", minhash_from_hashes("__h", num_hashes))
+        .drop("__h")
+        .persist()
     )
     # bands shuffle only (id, band, 16-byte key) — shingle arrays are
     # joined back per candidate pair afterwards, never multiplied ×bands
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws(",", F.transform(
-                            F.slice(F.col("__sig"), b * rpb + 1, rpb),
-                            lambda v: v.cast("string"),
-                        ))
-                    ).alias("key"),
-                ),
-            )
-        ).alias("__b"),
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(
+                F.concat_ws(",", F.transform(
+                    F.slice(F.col("__sig"), b * rpb + 1, rpb),
+                    lambda v: v.cast("string"),
+                ))
+            ).alias("key"),
+        ),
+    )
+    # project-then-explode: generator expressions evaluate interpreted
+    banded = (
+        sig.select("__id", band_arr.alias("__bands"))
+        .withColumn("__b", F.explode("__bands"))
+        .drop("__bands")
     )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
@@ -250,11 +297,14 @@ def minhash_lsh_pairs_sql(
     threshold: float = 0.5,
 ) -> str:
     rpb = num_hashes // bands
-    sig = minhash_signature_sql(text_col, num_hashes)
-    sh = X.shingles_sql(text_col, 3)
     return f"""
-WITH sig AS (
-  SELECT {id_col} AS id, {sig} AS sig, {sh} AS sh FROM {table}
+WITH hs AS (
+  SELECT {id_col} AS id, {X.shingles_sql(text_col, 3)} AS sh FROM {table}
+),
+sig AS (
+  SELECT id, sh,
+         {minhash_from_hashes_sql(f"list_transform(sh, s -> {X.md5_hash60_sql('s')})", num_hashes)} AS sig
+  FROM hs
 ),
 banded AS (
   SELECT id, unnest(range(0, {bands})) AS band,

@@ -61,7 +61,7 @@ def knn_join(
     queries: DataFrame,
     targets: DataFrame,
     k: int,
-    res: int = 7,
+    res: int | None = None,
     query_id: str = "qid",
     target_id: str = "tid",
     lat_col: str = "lat",
@@ -78,6 +78,12 @@ def knn_join(
     partitionings. Queries with fewer than k reachable targets return
     the ones that exist.
     """
+    if res is None:
+        # pick the grid so a k-NN query expects its answers within ~1
+        # ring: ~k targets per (2r+1)² window at r≈1 ⇒ cells ≈ 9·n/k.
+        # Too fine a grid ⇒ empty rings ⇒ wasted rounds (measured 3×).
+        n_targets = targets.count()
+        res = max(2, min(12, int(math.log2(max(4, 9 * n_targets / max(k, 1)) ** 0.5))))
     n = 1 << res
     dlat = 180.0 / n  # smaller cell axis in degrees → safe radius unit
     if max_rings is None:

@@ -43,19 +43,32 @@ def zone_covers(
     spark: SparkSession,
     rings_by_zone: dict[int, list[np.ndarray]],
     res: int,
-) -> DataFrame:
-    """Precompute (zone_id, cell_id, kind) covers driver-side (numpy).
+    base_res: int | None = None,
+) -> tuple[DataFrame, list[int]]:
+    """Precompute hierarchical (zone_id, cell_id, kind) covers
+    driver-side (numpy) and the sorted list of resolutions present.
 
     Zones are a dimension table (SURVEY.md §4.3); the cover runs once
-    per job and broadcasts. ``kind`` ∈ {interior, boundary}.
+    per job and broadcasts. ``kind`` ∈ {interior, boundary}; interior
+    cells are MIXED resolution (coarse in the fat middle, fine near
+    the boundary — geometry.polygon_cover_adaptive), boundary cells all
+    sit at ``res``. Mixed resolution is what keeps the exact ray-cast
+    refine a sliver: the boundary band halves per extra level while
+    cover size grows only with zone perimeter.
     """
+    if base_res is None:
+        base_res = max(2, res - 5)
     rows = []
+    res_seen: set[int] = set()
     for zid, rings in rings_by_zone.items():
-        interior, boundary = geometry.polygon_cover(rings, res)
+        interior, boundary = geometry.polygon_cover_adaptive(rings, base_res, res)
         rows.extend((int(zid), int(c), "interior") for c in interior)
         rows.extend((int(zid), int(c), "boundary") for c in boundary)
+        res_seen.update(np.unique(geometry.cells.cell_res(interior)).tolist())
+        if len(boundary):
+            res_seen.add(res)
     schema = "zone_id long, cell_id long, kind string"
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows, schema), sorted(res_seen)
 
 
 def _raycast_udf(spark: SparkSession, rings_by_zone: dict[int, list[np.ndarray]]):
@@ -87,10 +100,10 @@ def _raycast_udf(spark: SparkSession, rings_by_zone: dict[int, list[np.ndarray]]
 def pip_join(
     points: DataFrame,
     rings_by_zone: dict[int, list[np.ndarray]],
-    res: int = 9,
+    res: int = 14,
+    base_res: int | None = None,
     lat_col: str = "lat",
     lon_col: str = "lon",
-    covers: DataFrame | None = None,
     broadcast_covers: bool = True,
 ) -> DataFrame:
     """points ⋈ zones (point-in-polygon). Output: point columns + zone_id.
@@ -98,35 +111,54 @@ def pip_join(
     Exact (not approximate): interior-cell hits skip geometry, boundary
     hits are ray-cast. Deterministic and partition-invariant — the
     kernel is a pure per-row function.
+
+    Plan shape: the point side computes its cell id at each resolution
+    the (mixed-res) covers contain — a small literal array, exploded —
+    then ONE broadcast hash equi-join on cell_id. Cell ids embed their
+    resolution, so cross-res collisions are impossible and a point can
+    hit at most one cover cell per zone. Map-only over the point table;
+    the Arrow ray-cast sees only the boundary sliver.
     """
     spark = points.sparkSession
-    if covers is None:
-        covers = zone_covers(spark, rings_by_zone, res)
+    covers, res_list = zone_covers(spark, rings_by_zone, res, base_res)
     cov = F.broadcast(covers) if broadcast_covers else covers
 
-    pts = points.withColumn("__cell", cellfns.cell_encode(lat_col, lon_col, res))
+    cell_arr = F.array(
+        *[cellfns.cell_encode(lat_col, lon_col, r) for r in res_list]
+    )
+    # materialize the array in a Project BEFORE exploding: GenerateExec
+    # evaluates its generator expression interpreted (no subexpression
+    # elimination), which makes explode(computed-array) ~20× slower
+    # than project-then-explode (measured on the Morton encode tree)
+    pts = (
+        points.withColumn("__cells", cell_arr)
+        .withColumn("__cell", F.explode("__cells"))
+        .drop("__cells")
+    )
     joined = pts.join(cov, pts["__cell"] == cov["cell_id"], "inner")
 
-    interior = joined.filter(F.col("kind") == "interior")
-    boundary = joined.filter(F.col("kind") == "boundary")
+    # single pass: interior hits accept on the flag, boundary hits get
+    # the exact Arrow ray cast. (A union of two filtered branches would
+    # re-execute the whole explode+join per branch — measured 2×.)
     inside = _raycast_udf(spark, rings_by_zone)
-    refined = boundary.filter(inside(F.col("zone_id"), F.col(lon_col), F.col(lat_col)))
-
+    keep = (F.col("kind") == "interior") | inside(
+        F.col("zone_id"), F.col(lon_col), F.col(lat_col)
+    )
     out_cols = [c for c in points.columns] + ["zone_id"]
-    return interior.select(*out_cols).unionByName(refined.select(*out_cols))
+    return joined.filter(keep).select(*out_cols)
 
 
 def pip_anti(
     points: DataFrame,
     rings_by_zone: dict[int, list[np.ndarray]],
-    res: int = 9,
+    res: int = 12,
     lat_col: str = "lat",
     lon_col: str = "lon",
 ) -> DataFrame:
     """Points inside NO zone — the dangling-ref audit (o2g A7 parity:
     members whose ref resolves nowhere are dropped, and the audit path
     counts them via an anti join)."""
-    matched = pip_join(points, rings_by_zone, res, lat_col, lon_col).select(
-        *points.columns
-    )
+    matched = pip_join(
+        points, rings_by_zone, res, lat_col=lat_col, lon_col=lon_col
+    ).select(*points.columns)
     return points.join(matched, on=points.columns, how="left_anti")

@@ -77,13 +77,14 @@ def tile_pip_join(
     pts = assign_tiles(points, zoom, lat_col, lon_col)
     joined = pts.join(cov, "tile_id", "inner")
 
-    interior = joined.filter(F.col("kind") == "interior")
-    boundary = joined.filter(F.col("kind") == "boundary")
+    # single-pass accept/refine (see pip.pip_join — a 2-branch union
+    # would re-execute the join per branch)
     inside = _raycast_udf(spark, rings_by_zone)
-    refined = boundary.filter(inside(F.col("zone_id"), F.col(lon_col), F.col(lat_col)))
-
+    keep = (F.col("kind") == "interior") | inside(
+        F.col("zone_id"), F.col(lon_col), F.col(lat_col)
+    )
     out_cols = points.columns + ["tile_x", "tile_y", "tile_id", "zone_id"]
-    return interior.select(*out_cols).unionByName(refined.select(*out_cols))
+    return joined.filter(keep).select(*out_cols)
 
 
 def tile_density(
