@@ -412,6 +412,14 @@ def _q_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_topk(emb, q, dim=int(dim), k=5, n_planes=8)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return similarity.ann_ivf_topk(emb, q, k=5, n_centroids=16, nprobe=3)
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), sim_threshold=0.9, n_planes=6
@@ -471,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         # rows-only showcases
         "gtfs_resolve": _q_gtfs_resolve,

@@ -203,6 +203,102 @@ def ann_lsh_topk(
     )
 
 
+def _kmeans_numpy(sample: np.ndarray, k: int, iters: int = 12, seed: int = 42):
+    """Tiny deterministic k-means (numpy, driver-side) for the IVF
+    coarse quantizer. The sample is dimension-table sized; at 100 TB
+    you train on a bounded hash-sample exactly like this."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(cent)):
+            m = assign == j
+            if m.any():
+                cent[j] = sample[m].mean(axis=0)
+    return cent
+
+
+def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """Arrow UDF: embedding → array of the nprobe nearest centroid ids
+    (one numpy matmul per batch)."""
+    cent = centroids.astype(np.float64)
+    cn = (cent * cent).sum(axis=1)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = cn[None, :] - 2.0 * (m @ cent.T)  # ||c||² - 2v·c (+||v||² const)
+        idx = np.argsort(d, axis=1)[:, :nprobe]
+        return pd.Series([row.tolist() for row in idx.astype(np.int32)])
+
+    return _assign
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    seed: int = 42,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "qid",
+) -> DataFrame:
+    """IVF-bucketed approximate top-k (the other scale path besides
+    LSH): corpus rows live in their nearest-centroid bucket (ONE
+    partitionable assignment, reusable across query batches); each
+    query probes its ``nprobe`` nearest buckets; exact cosine ranks the
+    candidates. Same output schema as :func:`cosine_topk`.
+    """
+    # deterministic training sample: hash-filtered row SET (partition-
+    # independent), sorted by id so centroid init is order-stable
+    sample_rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .withColumn("__r", F.pmod(F.xxhash64("i"), F.lit(1 << 16)))
+        .orderBy("__r", "i")
+        .limit(train_sample)
+        .collect()
+    )
+    sample_rows.sort(key=lambda r: (r["__r"], r["i"]))
+    sample = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample_rows])
+    cent = _kmeans_numpy(sample, n_centroids, seed=seed)
+
+    c_assign = ivf_assign_udf(cent, nprobe=1)
+    q_assign = ivf_assign_udf(cent, nprobe=nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        F.element_at(c_assign(F.col(vec_col)), 1).alias("__bkt"),
+    )
+    q = (
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            F.col(vec_col).alias("__qv"),
+            q_assign(F.col(vec_col)).alias("__bkts"),
+        )
+        .withColumn("__bkt", F.explode("__bkts"))
+        .drop("__bkts")
+    )
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    w = Window.partitionBy("__qid").orderBy(F.col("sim").desc(), F.col("__cid").asc())
+    return (
+        c.join(F.broadcast(q), "__bkt")
+        .dropDuplicates(["__qid", "__cid"])
+        .withColumn("sim", sim)
+        .withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(id_col),
+            "sim",
+            F.col("sim_rank").cast(T.IntegerType()),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     sim_threshold: float = 0.95,

@@ -109,3 +109,25 @@ def test_dot_and_norm_columns(spark):
     ).first()
     assert r.d == 32.0
     assert abs(r.n - np.sqrt(14.0)) < 1e-12
+
+
+def test_ann_ivf_recall_and_determinism(emb, spark):
+    pdf = _emb()
+    qids = list(range(0, 40))
+    queries = emb.filter(emb.vec_id.isin(qids)).select(
+        emb.vec_id.alias("qid"), "embedding"
+    )
+    got = sim.ann_ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=3).collect()
+    exact = _np_topk(pdf, qids, 3)
+    exact_pairs = {(q, i) for q, i, _ in exact}
+    got_pairs = {(r.qid, r.vec_id) for r in got}
+    assert all((q, q) in got_pairs for q in qids)  # self always in own bucket
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall > 0.6, recall
+    # partition invariance: same results under a different partitioning
+    got2 = sim.ann_ivf_topk(
+        emb.repartition(13), queries.repartition(3), k=3, n_centroids=8, nprobe=3
+    ).collect()
+    assert sorted((r.qid, r.vec_id, r.sim_rank) for r in got) == sorted(
+        (r.qid, r.vec_id, r.sim_rank) for r in got2
+    )
