@@ -349,24 +349,35 @@ def simhash_udf(num_bits: int = 64):
     def _simhash(texts: pd.Series) -> pd.Series:
         import hashlib
 
+        # token → ±1 bit-row memo: real corpora reuse vocabulary heavily,
+        # so md5 runs once per distinct token per worker, not per
+        # occurrence (worker processes are reused across batches)
+        memo: dict[str, np.ndarray] = _simhash_memo
         out = np.zeros(len(texts), dtype=np.int64)
+        shifts = np.arange(num_bits, dtype=np.uint64)
+        weights = (np.uint64(1) << shifts).astype(np.uint64)
         for i, t in enumerate(texts):
-            toks = [w for w in _norm_words(t)]
+            toks = _norm_words(t)
             if not toks:
                 continue
-            acc = np.zeros(num_bits, dtype=np.int64)
+            rows = []
             for tok in toks:
-                h = np.uint64(int(hashlib.md5(tok.encode()).hexdigest()[:16], 16))
-                bits = (h >> np.arange(num_bits, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            sig = np.uint64(0)
-            for j in range(num_bits):
-                if acc[j] > 0:
-                    sig |= np.uint64(1) << np.uint64(j)
-            out[i] = np.int64(sig)
+                r = memo.get(tok)
+                if r is None:
+                    h = np.uint64(int(hashlib.md5(tok.encode()).hexdigest()[:16], 16))
+                    bits = (h >> shifts) & np.uint64(1)
+                    r = np.where(bits == 1, np.int64(1), np.int64(-1))
+                    memo[tok] = r
+                rows.append(r)
+            acc = np.sum(rows, axis=0)
+            sig = ((acc > 0).astype(np.uint64) * weights).sum(dtype=np.uint64)
+            out[i] = sig.astype(np.int64)  # two's-complement wrap, no raise
         return pd.Series(out)
 
     return _simhash
+
+
+_simhash_memo: dict = {}
 
 
 def _norm_words(t: str) -> list[str]:
