@@ -70,3 +70,18 @@ def test_parity_fixtures(spark):
         .count()
     )
     assert dangling == 3
+
+
+def test_gen_pages_dist_parallelism_invariant(spark):
+    """The distributed generator must emit identical rows at any
+    partitioning — this underpins the N-vs-4N scaling comparison."""
+    from o2g_spark.sources import synth_dist
+
+    a = synth_dist.gen_pages_dist(spark, 2000, partitions=2)
+    b = synth_dist.gen_pages_dist(spark, 2000, partitions=16)
+    ra = sorted((r.url, r.warc_ts, bytes(r.html), r.text, r.lang) for r in a.collect())
+    rb = sorted((r.url, r.warc_ts, bytes(r.html), r.text, r.lang) for r in b.collect())
+    assert ra == rb
+    # geo mix sanity: most pages carry a coordinate literal
+    n_coord = sum(1 for r in ra if "Coordinates:" in r[3])
+    assert 0.6 < n_coord / len(ra) < 0.8

@@ -60,7 +60,7 @@ def test_stream_tumbling_counts_rate_source(spark):
         .start()
     )
     try:
-        deadline = time.time() + 30
+        deadline = time.time() + 90
         n = 0
         while time.time() < deadline:
             n = spark.sql("SELECT count(*) c FROM win_counts").first().c
