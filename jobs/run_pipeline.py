@@ -116,8 +116,7 @@ def main(argv=None):
             lambda: knn.knn_join(
                 tagged.select(F.col("url").alias("qid"), "lat", "lon"),
                 targets,
-                k=args.knn_k,
-                res=7,
+                k=args.knn_k,  # res auto-tuned from target density
             ),
             key_col="qid",
         )

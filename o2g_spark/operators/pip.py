@@ -58,17 +58,36 @@ def zone_covers(
     """
     if base_res is None:
         base_res = max(2, res - 5)
-    rows = []
+    zids, cids, kinds = [], [], []
     res_seen: set[int] = set()
     for zid, rings in rings_by_zone.items():
         interior, boundary = geometry.polygon_cover_adaptive(rings, base_res, res)
-        rows.extend((int(zid), int(c), "interior") for c in interior)
-        rows.extend((int(zid), int(c), "boundary") for c in boundary)
+        n_i, n_b = len(interior), len(boundary)
+        zids.append(np.full(n_i + n_b, int(zid), dtype=np.int64))
+        cids.append(interior)
+        cids.append(boundary)
+        kinds.append(np.concatenate([np.zeros(n_i, bool), np.ones(n_b, bool)]))
         res_seen.update(np.unique(geometry.cells.cell_res(interior)).tolist())
-        if len(boundary):
+        if n_b:
             res_seen.add(res)
-    schema = "zone_id long, cell_id long, kind string"
-    return spark.createDataFrame(rows, schema), sorted(res_seen)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "zone_id": np.concatenate(zids) if zids else np.empty(0, np.int64),
+            "cell_id": np.concatenate(cids) if cids else np.empty(0, np.int64),
+            "kind": np.where(
+                np.concatenate(kinds) if kinds else np.empty(0, bool),
+                "boundary", "interior",
+            ),
+        }
+    )
+    # Arrow path: ~10× faster than a python-tuple createDataFrame for
+    # the ~10⁵-row covers of realistic zone sets
+    return (
+        spark.createDataFrame(pdf, "zone_id long, cell_id long, kind string"),
+        sorted(res_seen),
+    )
 
 
 def _raycast_udf(spark: SparkSession, rings_by_zone: dict[int, list[np.ndarray]]):
