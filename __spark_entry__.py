@@ -310,6 +310,16 @@ def _q_geotag_coords(spark, sf_dir):
     return out.select("url", "lat", "lon", "mention")
 
 
+def _q_geotag_places(spark, sf_dir):
+    """Gazetteer place-mention extraction over documents (rows-only:
+    the synth gazetteer isn't a driver view, so no SQL twin; the
+    operator's exactness is pinned by tests/test_geotag.py)."""
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "url")
+    gaz = tables.gazetteer_df(spark, synth.gen_gazetteer())
+    out = geotag.extract_places(docs, gaz, "text")
+    return out.select("url", "lat", "lon", "mention")
+
+
 def _q_haversine(spark, sf_dir):
     pts = _points(_t(spark, sf_dir, "customer"), "c_acctbal", "c_custkey").filter(
         F.col("c_custkey") <= 100
@@ -465,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_density": _q_tile_density,
         "knn": _q_knn,
         "geotag_coords": _q_geotag_coords,
+        "geotag_places": _q_geotag_places,
         "haversine": _q_haversine,
         "adaptive_split": _q_adaptive_split,
         # text / dedup / similarity

@@ -50,18 +50,20 @@ def main():
             F.count("*").alias("n")
         )
 
-    def knn_query():
+    def knn_queries():
         # deterministic ~2% hash sample — a global limit() would
         # collapse the query side to one partition
         sample = pages.filter(F.pmod(F.xxhash64("url"), F.lit(50)) == 0)
-        q = geotag.extract_coords(sample).select(
+        return geotag.extract_coords(sample).select(
             F.col("url").alias("qid"), "lat", "lon"
         )
-        return knn.knn_join(q, tgt, k=3)
 
     queries = {
         "spatial_pipeline": spatial_pipeline,
-        "knn": knn_query,
+        # auto strategy: small broadcast targets → one-job brute force
+        "knn_auto": lambda: knn.knn_join(knn_queries(), tgt, k=3),
+        # the iterative distance-bounded k-ring path (the 100 TB shape)
+        "knn_kring": lambda: knn.knn_join(knn_queries(), tgt, k=3, res=5),
         "pip_tables": lambda: E.queries()["pip_rows"](spark, SF_DIR),
         "tile_assign_tables": lambda: E.queries()["tile_assign"](spark, SF_DIR),
         "agg_summary": lambda: E.queries()["agg_summary"](spark, SF_DIR),
@@ -77,6 +79,10 @@ def main():
         ),
         "cosine_topk": lambda: E.queries()["cosine_topk"](spark, SF_DIR),
         "token_quality": lambda: E.queries()["quality"](spark, SF_DIR),
+        "dedup_exact_pages": lambda: dedup.dedup_exact(pages, "url", "text"),
+        "minhash_sig_pages": lambda: pages.select(
+            "url", dedup.minhash_signature("text", 16).alias("sig")
+        ),
         "events_window": lambda: E.queries()["events_window"](spark, SF_DIR),
     }
 

@@ -79,10 +79,19 @@ def knn_join(
     the ones that exist.
     """
     if res is None:
+        n_targets = targets.count()
+        # cost-based strategy: with a broadcast-small target set the
+        # crossJoin + windowed top-k is ONE map-only job (|Q|·|T| cheap
+        # JVM distance rows), strictly better than an iterative loop of
+        # 5+ jobs per ring round. The k-ring path exists for target
+        # sets too large to broadcast-scan per query.
+        if n_targets <= 5000:
+            return knn_bruteforce(
+                queries, targets, k, query_id, target_id, lat_col, lon_col
+            )
         # pick the grid so a k-NN query expects its answers within ~1
         # ring: ~k targets per (2r+1)² window at r≈1 ⇒ cells ≈ 9·n/k.
         # Too fine a grid ⇒ empty rings ⇒ wasted rounds (measured 3×).
-        n_targets = targets.count()
         res = max(2, min(12, int(math.log2(max(4, 9 * n_targets / max(k, 1)) ** 0.5))))
     n = 1 << res
     dlat = 180.0 / n  # smaller cell axis in degrees → safe radius unit

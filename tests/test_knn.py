@@ -88,3 +88,11 @@ def test_knn_partition_invariance(qt):
     a = _collect(knn.knn_join(q.repartition(1), t, k=4, res=6))
     b = _collect(knn.knn_join(q.repartition(13), t.repartition(7), k=4, res=6))
     assert a == b
+
+
+def test_knn_auto_strategy_matches_kring(qt):
+    """Auto (brute for small targets) and explicit k-ring agree exactly."""
+    q, t = qt
+    auto = _collect(knn.knn_join(q, t, k=4))  # 300 targets → brute path
+    ring = _collect(knn.knn_join(q, t, k=4, res=6))
+    assert auto == ring
