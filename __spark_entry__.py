@@ -310,6 +310,22 @@ def _q_geotag_coords(spark, sf_dir):
     return out.select("url", "lat", "lon", "mention")
 
 
+def _q_geotag_extract(spark, sf_dir):
+    """Coordinate extraction with a NON-trivial oracle: build coordinate-
+    bearing text from customer rows (3-dp coords → %.4f formats with a
+    trailing zero, identically in Java format_string and DuckDB printf),
+    then run the real regex extractor over it."""
+    pts = _points(_t(spark, sf_dir, "customer"), "c_acctbal", "c_custkey")
+    docs = pts.select(
+        "c_custkey",
+        F.format_string(
+            "Customer office at %.4f, %.4f (map).", F.col("lat"), F.col("lon")
+        ).alias("text"),
+    )
+    out = geotag.extract_coords(docs, "text")
+    return out.select("c_custkey", "lat", "lon", "mention")
+
+
 def _q_geotag_places(spark, sf_dir):
     """Gazetteer place-mention extraction over documents (rows-only:
     the synth gazetteer isn't a driver view, so no SQL twin; the
@@ -475,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_density": _q_tile_density,
         "knn": _q_knn,
         "geotag_coords": _q_geotag_coords,
+        "geotag_extract": _q_geotag_extract,
         "geotag_places": _q_geotag_places,
         "haversine": _q_haversine,
         "adaptive_split": _q_adaptive_split,
@@ -660,6 +677,28 @@ SELECT q.c_custkey AS qid, t.s_suppkey AS tid,
             t.s_suppkey ASC) AS INTEGER) AS knn_rank
 FROM q CROSS JOIN t
 QUALIFY knn_rank <= 3
+""",
+        "geotag_extract": f"""
+WITH pts AS ({pts_c}),
+txt AS (
+  SELECT c_custkey,
+         printf('Customer office at %.4f, %.4f (map).', lat, lon) AS text
+  FROM pts
+),
+m AS (
+  SELECT c_custkey,
+         unnest(regexp_extract_all(text,
+           '(-?\\d{{1,2}}\\.\\d{{1,6}}),\\s(-?\\d{{1,3}}\\.\\d{{1,6}})', 0))
+           AS mention
+  FROM txt
+)
+SELECT c_custkey,
+       CAST(string_split_regex(mention, ',\\s')[1] AS DOUBLE) AS lat,
+       CAST(string_split_regex(mention, ',\\s')[2] AS DOUBLE) AS lon,
+       mention
+FROM m
+WHERE abs(CAST(string_split_regex(mention, ',\\s')[1] AS DOUBLE)) <= 90.0
+  AND abs(CAST(string_split_regex(mention, ',\\s')[2] AS DOUBLE)) <= 180.0
 """,
         "geotag_coords": r"""
 WITH m AS (

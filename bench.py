@@ -35,7 +35,9 @@ def main():
     spark = get_spark("o2g_bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    pages = synth_dist.gen_pages_dist(spark, SYNTH_PAGES)
+    # materialize once (localCheckpoint): timings measure the operators,
+    # not page generation — same protocol as scripts/bench_scaling.py
+    pages = synth_dist.gen_pages_dist(spark, SYNTH_PAGES).localCheckpoint()
     rings = synth.zone_rings(synth.gen_zones())
     gaz = tables.gazetteer_df(spark, synth.gen_gazetteer()).localCheckpoint()
     tgt = gaz.select(F.monotonically_increasing_id().alias("tid"), "lat", "lon").localCheckpoint()
