@@ -80,12 +80,15 @@ def knn_join(
     """
     if res is None:
         n_targets = targets.count()
-        # cost-based strategy: with a broadcast-small target set the
-        # crossJoin + windowed top-k is ONE map-only job (|Q|·|T| cheap
-        # JVM distance rows), strictly better than an iterative loop of
-        # 5+ jobs per ring round. The k-ring path exists for target
-        # sets too large to broadcast-scan per query.
-        if n_targets <= 5000:
+        # cost-based strategy: brute = ONE map-only job producing
+        # |Q|·|T| cheap JVM distance rows; k-ring = ~3 rounds of
+        # |Q|·(ring cells) probes. Brute wins only when the CROSS
+        # PRODUCT is small — bounding on |T| alone chose a 2.8-billion
+        # row window for 14M queries × 200 targets (observed at 20M
+        # pages). Counting the query side costs one scan; a real
+        # deployment reads both cardinalities from table stats.
+        n_queries = queries.count()
+        if n_targets <= 5000 and n_queries * n_targets <= 200_000_000:
             return knn_bruteforce(
                 queries, targets, k, query_id, target_id, lat_col, lon_col
             )

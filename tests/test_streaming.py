@@ -77,3 +77,50 @@ def test_stream_tumbling_counts_rate_source(spark):
 def test_stream_guard(events):
     with pytest.raises(ValueError):
         st.stream_tumbling_counts(events)
+
+
+def test_running_counts_stateful(spark):
+    """applyInPandasWithState: per-key running counts over a stream."""
+    from o2g_spark.streaming import stateful
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+    keyed = stream.selectExpr(
+        "CAST(value % 3 AS STRING) AS event_type", "CAST(value AS DOUBLE) AS value"
+    )
+    out = stateful.running_counts(keyed)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_counts")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        ok = False
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT key, max(n_events) n FROM running_counts GROUP BY key"
+            ).collect()
+            if len(rows) == 3 and all(r.n >= 10 for r in rows):
+                ok = True
+                break
+            time.sleep(1)
+        assert ok, rows
+        # counts are monotone per key across micro-batches
+        hist = spark.sql("SELECT key, n_events FROM running_counts").collect()
+        by_key = {}
+        for r in hist:
+            by_key.setdefault(r.key, []).append(r.n_events)
+        for counts in by_key.values():
+            assert counts == sorted(counts)
+    finally:
+        q.stop()
+
+
+def test_dedup_stream_guard_and_batch_error(events):
+    from o2g_spark.streaming import stateful
+
+    with pytest.raises(ValueError):
+        stateful.dedup_stream(events)
+    with pytest.raises(ValueError):
+        stateful.running_counts(events)
