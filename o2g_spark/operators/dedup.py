@@ -78,18 +78,51 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shared-shingle buckets.
 
     Only pairs sharing ≥1 shingle are ever materialized (the classic
-    inverted-index join), so cost is Σ_shingle df(shingle)² — bounded in
-    practice by dedup_exact running first. Output: (id_a, id_b, jaccard)
-    with id_a < id_b, jaccard rounded to 6dp, ≥ threshold.
+    inverted-index join), so cost is Σ_shingle df(shingle)². At corpus
+    scale that sum is dominated by boilerplate shingles shared by
+    millions of pages: ``max_df`` drops shingles whose document
+    frequency exceeds it from CANDIDATE GENERATION only (jaccard is
+    still computed over full shingle sets), trading recall for a df²
+    bound — pairs whose only common shingles are boilerplate stop
+    surfacing, which is usually the desired semantics. ``None`` = exact.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, rounded 6dp,
+    ≥ threshold.
     """
-    sh = df.select(
+    sh_full = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(X.shingles(text_col, n)).alias("__sh"),
+        X.shingles(text_col, n).alias("__shset"),
     )
+    sh = sh_full.select("__id", F.explode("__shset").alias("__sh"))
+    if max_df is not None:
+        dfreq = sh.groupBy("__sh").agg(F.count("*").alias("__df"))
+        rare = dfreq.filter(F.col("__df") <= max_df).select("__sh")
+        cand_src = sh.join(F.broadcast(rare), "__sh")
+        pairs = (
+            cand_src.alias("a")
+            .join(
+                cand_src.alias("b"),
+                (F.col("a.__sh") == F.col("b.__sh"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sa = sh_full.select(F.col("__id").alias("id_a"), F.col("__shset").alias("__sha"))
+        sb = sh_full.select(F.col("__id").alias("id_b"), F.col("__shset").alias("__shb"))
+        inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+        union = F.size(F.col("__sha")) + F.size(F.col("__shb")) - inter
+        return (
+            pairs.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     sizes = sh.groupBy("__id").agg(F.count("*").alias("__sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

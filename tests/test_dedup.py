@@ -205,3 +205,20 @@ def test_simhash_pairs_vs_bruteforce(corpus):
             exp.add((a, b, ham))
     assert got == exp
     assert any(h == 0 for _, _, h in got)  # exact dups at hamming 0
+
+
+def test_jaccard_pairs_max_df_keeps_true_dups(corpus):
+    """The df-cap drops boilerplate-only candidates but keeps real
+    near-dups (which share many rare shingles)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(corpus, "doc_id", "text", 3, 0.4).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(
+            corpus, "doc_id", "text", 3, 0.4, max_df=5
+        ).collect()
+    }
+    # exact dups + one-word-edit near dups share shingles with df <= 3
+    assert capped == exact
