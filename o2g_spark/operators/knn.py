@@ -118,7 +118,8 @@ def knn_join(
     )
 
     active = q.localCheckpoint(eager=True)
-    best: DataFrame | None = None  # running top-k per query
+    best: DataFrame | None = None  # running top-k for STILL-ACTIVE queries
+    finished: list[DataFrame] = []  # emitted results of done queries
     w = Window.partitionBy("__qid").orderBy(F.col("dist2").asc(), F.col("__tid").asc())
 
     # Geometrically widening ring batches: round i examines Chebyshev
@@ -127,8 +128,14 @@ def knn_join(
     # O(log r_final) rounds; every cell is still examined exactly once
     # (ranges are disjoint). localCheckpoint truncates lineage each
     # round — plan depth stays O(1), not O(rounds).
+    #
+    # Done queries are EMITTED out of the loop each round (finished
+    # list), so the windowed pool shrinks to the undecided tail instead
+    # of re-sorting every query's top-k all rounds — at 14M queries the
+    # hot majority finishes in round 1 and later rounds touch only the
+    # sparse-region stragglers.
     explored = -1  # max Chebyshev distance fully examined so far
-    width = 1
+    width = 2  # rings 0-1 together: explored=0 can't prove anyone done
     while explored < max_rings:
         lo = explored + 1
         hi = min(max_rings, lo + width - 1)
@@ -181,33 +188,38 @@ def knn_join(
         # A query is done when it has k hits and the k-th is provably
         # nearer than anything an unexplored ring could hold.
         safe2 = (explored * dlat) ** 2
-        done_stats = best.groupBy("__qid").agg(
-            F.count("*").alias("__cnt"), F.max("dist2").alias("__kth")
+        done_ids = (
+            best.groupBy("__qid")
+            .agg(F.count("*").alias("__cnt"), F.max("dist2").alias("__kth"))
+            .filter((F.col("__cnt") >= k) & (F.col("__kth") <= F.lit(safe2)))
+            .select("__qid")
         )
-        active = (
-            active.join(done_stats, "__qid", "left")
-            .filter(
-                F.col("__cnt").isNull()
-                | (F.col("__cnt") < k)
-                | (F.col("__kth") > F.lit(safe2))
-            )
-            .select(active.columns)
+        # rank at emit time (qid sets of emitted batches are disjoint,
+        # so no global re-rank is ever needed)
+        emitted = (
+            best.join(done_ids, "__qid", "left_semi")
+            .withColumn("knn_rank", F.row_number().over(w))
             .localCheckpoint(eager=True)
+        )
+        finished.append(emitted)
+        best = best.join(done_ids, "__qid", "left_anti").localCheckpoint(eager=True)
+        active = active.join(done_ids, "__qid", "left_anti").localCheckpoint(
+            eager=True
         )
         if active.isEmpty():
             break
 
     assert best is not None
-    out = (
-        best.withColumn("knn_rank", F.row_number().over(w))
-        .select(
-            F.col("__qid").alias(query_id),
-            F.col("__tid").alias(target_id),
-            F.col("dist2"),
-            F.col("knn_rank").cast(T.IntegerType()),
-        )
+    # stragglers that exhausted max_rings keep their partial top-k
+    result = best.withColumn("knn_rank", F.row_number().over(w))
+    for part in finished:
+        result = result.unionByName(part)
+    return result.select(
+        F.col("__qid").alias(query_id),
+        F.col("__tid").alias(target_id),
+        F.col("dist2"),
+        F.col("knn_rank").cast(T.IntegerType()),
     )
-    return out
 
 
 def knn_bruteforce(

@@ -80,7 +80,10 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = ONE JVM hosting all executor threads: size the
+        # heap for the whole "cluster", not a driver (8g across 32
+        # threads = 256 MB/task → OOM at the 20M-page kNN stage)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         # deterministic float formatting between runs
         .config("spark.sql.legacy.respectNullabilityInTextDatasetConversion", "true")
