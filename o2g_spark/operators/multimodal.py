@@ -137,6 +137,82 @@ def decode_images(
     return img.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.BinaryType(), False),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("mfcc", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 32, height: int = 32,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """image rows → fixed-size pixel buffers (STUB resample, real
+    plumbing: the output schema, byte sizing and batch shape are what a
+    PIL-backed resize produces — width*height*3 RGB bytes per row)."""
+    if use_real_decoder and not HAVE_PIL:
+        raise NotImplementedError(
+            "real resize needs PIL/pillow — not in this container"
+        )
+
+    n_bytes = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                # deterministic fake resample: stretch the sha256 stream
+                seed = hashlib.sha256(bytes(payload)).digest()
+                reps = (n_bytes + len(seed) - 1) // len(seed)
+                rows.append((mid, width, height, (seed * reps)[:n_bytes]))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "pixels"]
+            )
+
+    img = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    return img.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """audio rows → (duration, rms, 13-dim MFCC-shaped features).
+
+    STUB decode (no audio libs in this container): values derive
+    deterministically from payload bytes; the Spark-side schema,
+    partitioning and Arrow batch shape are the real pipeline."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                d = hashlib.sha256(b).digest()
+                duration = 500 + int.from_bytes(d[:2], "big") % 10_000
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+                rms = float(np.sqrt((arr * arr).mean())) if len(arr) else 0.0
+                mfcc = (np.frombuffer(d[:26], dtype=np.uint8)
+                        .astype(np.float32).reshape(13, 2).mean(axis=1) / 255.0)
+                rows.append((mid, duration, round(rms, 6), mfcc.tolist()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "duration_ms", "rms", "mfcc"]
+            )
+
+    aud = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return aud.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """video rows → sampled frame rows (STUB decode, real plumbing).
 

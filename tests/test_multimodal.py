@@ -78,3 +78,27 @@ def test_sample_frames(spark):
         assert len(frames) == want
         assert sorted(f.frame_idx for f in frames) == list(range(want))
         assert all(len(f.frame) == 32 for f in frames)
+
+
+def test_resize_images_shape(spark):
+    media = mm.synth_media(spark, n=30)
+    out = mm.resize_images(media, width=16, height=8).collect()
+    assert len(out) == media.filter(F.col("kind") == "image").count()
+    for r in out:
+        assert (r.width, r.height) == (16, 8)
+        assert len(r.pixels) == 16 * 8 * 3
+    # deterministic under repartitioning
+    out2 = mm.resize_images(media.repartition(5), 16, 8).collect()
+    assert sorted((r.media_id, bytes(r.pixels)) for r in out) == sorted(
+        (r.media_id, bytes(r.pixels)) for r in out2
+    )
+
+
+def test_audio_features_shape(spark):
+    media = mm.synth_media(spark, n=30)
+    out = mm.audio_features(media).collect()
+    assert len(out) == media.filter(F.col("kind") == "audio").count()
+    for r in out:
+        assert 500 <= r.duration_ms < 10_500
+        assert 0.0 <= r.rms <= 255.0
+        assert len(r.mfcc) == 13 and all(0.0 <= v <= 1.0 for v in r.mfcc)
