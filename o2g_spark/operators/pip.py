@@ -51,10 +51,12 @@ def zone_covers(
     Zones are a dimension table (SURVEY.md §4.3); the cover runs once
     per job and broadcasts. ``kind`` ∈ {interior, boundary}; interior
     cells are MIXED resolution (coarse in the fat middle, fine near
-    the boundary — geometry.polygon_cover_adaptive), boundary cells all
-    sit at ``res``. Mixed resolution is what keeps the exact ray-cast
-    refine a sliver: the boundary band halves per extra level while
-    cover size grows only with zone perimeter.
+    the boundary — geometry.polygon_cover_adaptive). Boundary cells
+    usually sit at ``res`` but the refine loop's boundary_budget can
+    stop a zone COARSER than ``res`` — so the returned resolution list
+    is derived from the actual cell ids of BOTH kinds, never assumed.
+    (Assuming ``res`` silently dropped every point of a tile-thin zone
+    whose boundary stopped at a resolution no interior cell shared.)
     """
     if base_res is None:
         base_res = max(2, res - 5)
@@ -69,7 +71,7 @@ def zone_covers(
         kinds.append(np.concatenate([np.zeros(n_i, bool), np.ones(n_b, bool)]))
         res_seen.update(np.unique(geometry.cells.cell_res(interior)).tolist())
         if n_b:
-            res_seen.add(res)
+            res_seen.update(np.unique(geometry.cells.cell_res(boundary)).tolist())
     import pandas as pd
 
     pdf = pd.DataFrame(
@@ -105,11 +107,16 @@ def _raycast_udf(spark: SparkSession, rings_by_zone: dict[int, list[np.ndarray]]
     def _inside(zone_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
         rings = bc.value
         out = np.zeros(len(zone_id), dtype=bool)
-        zid_arr = zone_id.to_numpy()
-        lon_arr = lon.to_numpy(dtype=np.float64)
-        lat_arr = lat.to_numpy(dtype=np.float64)
-        for z in pd.unique(zid_arr):
-            m = zid_arr == z
+        # null zone_id = caller pre-masked the row out (interior hit):
+        # skip it for free instead of ray-casting
+        valid = zone_id.notna().to_numpy()
+        if not valid.any():
+            return pd.Series(out)
+        zid_arr = zone_id.to_numpy(dtype=np.float64, na_value=np.nan)
+        lon_arr = lon.to_numpy(dtype=np.float64, na_value=np.nan)
+        lat_arr = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+        for z in pd.unique(zid_arr[valid]):
+            m = valid & (zid_arr == z)
             out[m] = geometry.points_in_polygon(lon_arr[m], lat_arr[m], rings[int(z)])
         return pd.Series(out)
 
@@ -159,9 +166,19 @@ def pip_join(
     # single pass: interior hits accept on the flag, boundary hits get
     # the exact Arrow ray cast. (A union of two filtered branches would
     # re-execute the whole explode+join per branch — measured 2×.)
+    # Catalyst hoists the pandas UDF out of the OR into an
+    # ArrowEvalPython over EVERY joined row, so the inputs are
+    # pre-masked to null for interior hits — the Python side then skips
+    # them and only the boundary sliver pays the ray cast.
     inside = _raycast_udf(spark, rings_by_zone)
-    keep = (F.col("kind") == "interior") | inside(
-        F.col("zone_id"), F.col(lon_col), F.col(lat_col)
+    is_boundary = F.col("kind") == "boundary"
+    keep = (F.col("kind") == "interior") | F.coalesce(
+        inside(
+            F.when(is_boundary, F.col("zone_id")),
+            F.when(is_boundary, F.col(lon_col)),
+            F.when(is_boundary, F.col(lat_col)),
+        ),
+        F.lit(False),
     )
     out_cols = [c for c in points.columns] + ["zone_id"]
     return joined.filter(keep).select(*out_cols)

@@ -108,6 +108,33 @@ def test_pip_deterministic_across_partitionings(spark, zones_pdf):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_pip_thin_zone_budget_break(spark):
+    """Regression: a tile-thin zone whose adaptive cover hits the
+    boundary_budget break leaves boundary cells COARSER than `res`;
+    zone_covers must derive the resolution list from the actual cells
+    or interior points silently vanish (advisor repro: 60x0.001-degree
+    sliver -> boundary stops at res 12, old res_list=[14])."""
+    rings = {0: [np.array(
+        [(0.0, 10.0), (60.0, 10.0), (60.0, 10.001), (0.0, 10.001), (0.0, 10.0)]
+    )]}
+    covers, res_list = pip.zone_covers(spark, rings, res=14)
+    kinds = {r["kind"] for r in covers.select("kind").distinct().collect()}
+    # boundary cells exist and their resolution is in the encode list
+    assert "boundary" in kinds
+    from o2g_spark.kernels import cells as cellk
+    bres = {
+        int(cellk.cell_res(r["cell_id"]))
+        for r in covers.filter(F.col("kind") == "boundary").collect()
+    }
+    assert bres <= set(res_list)
+    # a point inside the sliver must match
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [0], "lat": [10.0005], "lon": [30.0]})
+    )
+    got = pip.pip_join(pts, rings, res=14).select("pid", "zone_id").collect()
+    assert [(r["pid"], r["zone_id"]) for r in got] == [(0, 0)]
+
+
 def test_pip_plan_is_broadcast(spark, zones_pdf):
     """The cover join must be a broadcast hash join, not a shuffle."""
     rings = synth.zone_rings(zones_pdf)
