@@ -384,12 +384,29 @@ def _q_lang_id(spark, sf_dir):
     return d.select("doc_id", X.lang_id("text").alias("lang_pred"))
 
 
+def _arr_hash(arr: F.Column) -> F.Column:
+    """Cross-engine scalar digest of an integer-array column: md5 of the
+    comma-joined decimal strings (DuckDB twin: md5(array_to_string(...))).
+    The driver's value-hash checker can't factorize list cells, so gate
+    queries project arrays through this instead of returning them raw."""
+    return F.md5(F.concat_ws(",", F.transform(arr, lambda v: v.cast("string"))))
+
+
+def _arr_hash_sql(arr_expr: str) -> str:
+    # coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+    return (
+        f"md5(coalesce(array_to_string(list_transform({arr_expr}, "
+        f"v -> CAST(v AS VARCHAR)), ','), ''))"
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         X.md5_hash60("text").alias("text_hash"),
-        X.fingerprint("text", 3, 16).alias("fp"),
+        F.size(X.fingerprint("text", 3, 16)).cast(T.LongType()).alias("fp_len"),
+        _arr_hash(X.fingerprint("text", 3, 16)).alias("fp_hash"),
     )
 
 
@@ -405,7 +422,12 @@ def _q_jaccard_pairs(spark, sf_dir):
 
 def _q_minhash_sig(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", dedup.minhash_signature("text", 16).alias("sig"))
+    sig = dedup.minhash_signature("text", 16)
+    return d.select(
+        "doc_id",
+        F.element_at(sig, 1).alias("sig_0"),
+        _arr_hash(sig).alias("sig_hash"),
+    )
 
 
 def _q_minhash_lsh(spark, sf_dir):
@@ -462,7 +484,14 @@ def _q_gtfs_resolve(spark, sf_dir):
 
 
 def _q_multimodal_decode(spark, sf_dir):
-    return multimodal.decode_images(multimodal.synth_media(spark, n=60))
+    out = multimodal.decode_images(multimodal.synth_media(spark, n=60))
+    # project the float feature array to a scalar digest — the driver's
+    # hash checker can't factorize list cells (rows-only entry, so only
+    # Spark-side determinism matters for the format)
+    return out.select(
+        "media_id", "width", "height", "n_bytes",
+        _arr_hash(F.col("feature")).alias("feature_hash"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -745,13 +774,17 @@ SELECT doc_id, {X.lang_id_sql('text')} AS lang_pred FROM documents
 """,
         "fingerprint": f"""
 SELECT doc_id, {X.md5_hash60_sql('text')} AS text_hash,
-       {X.fingerprint_sql('text', 3, 16)} AS fp
+       len({X.fingerprint_sql('text', 3, 16)}) AS fp_len,
+       {_arr_hash_sql(X.fingerprint_sql('text', 3, 16))} AS fp_hash
 FROM documents
 """,
         "dedup_exact": dedup.dedup_exact_sql("documents", "doc_id", "text"),
         "jaccard_pairs": dedup.jaccard_pairs_sql("documents", "doc_id", "text", 3, 0.4),
         "minhash_sig": f"""
-SELECT doc_id, {dedup.minhash_signature_sql('text', 16)} AS sig FROM documents
+SELECT doc_id,
+       ({dedup.minhash_signature_sql('text', 16)})[1] AS sig_0,
+       {_arr_hash_sql(dedup.minhash_signature_sql('text', 16))} AS sig_hash
+FROM documents
 """,
         "minhash_lsh": dedup.minhash_lsh_pairs_sql(
             "documents", "doc_id", "text", 32, 16, 0.4
