@@ -326,14 +326,42 @@ def _q_geotag_extract(spark, sf_dir):
     return out.select("c_custkey", "lat", "lon", "mention")
 
 
+# literal gazetteer for the place-mention oracle: names are pairwise
+# non-substrings (the oracle joins on contains()) and digit-free
+GAZ_PLACES = [
+    ("Springfield", 39.7983, -89.6544),
+    ("Rivertown", 41.5012, -72.1034),
+    ("Lakewood", 39.7047, -105.0814),
+    ("Eastmarch", 51.3021, 9.4912),
+    ("Port Solis", -33.4489, -70.6693),
+    ("Kirkhaven", 55.9533, -3.1883),
+    ("Monteverde", 10.3009, -84.8251),
+    ("Ashgrove", -27.4448, 152.9896),
+    ("Windmere", 54.3781, -2.9382),
+    ("Carroway", 35.2271, -80.8431),
+    ("Delmont", 40.4406, -79.5953),
+    ("Fairbanks Point", 64.8378, -147.7164),
+    ("Quarry Hollow", 43.0731, -89.4012),
+]
+
+
 def _q_geotag_places(spark, sf_dir):
-    """Gazetteer place-mention extraction over documents (rows-only:
-    the synth gazetteer isn't a driver view, so no SQL twin; the
-    operator's exactness is pinned by tests/test_geotag.py)."""
-    docs = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "url")
-    gaz = tables.gazetteer_df(spark, synth.gen_gazetteer())
+    """Gazetteer place-mention extraction (o2g stop-extraction analogue,
+    SURVEY.md §2.A A3) with a NON-trivial oracle: place-bearing text is
+    synthesized from customer rows (one known place per row), and the
+    gazetteer is a literal reproduced as a VALUES CTE in the SQL twin."""
+    cust = _t(spark, sf_dir, "customer")
+    names = F.array(*[F.lit(p) for p, _, _ in GAZ_PLACES])
+    docs = cust.select(
+        "c_custkey",
+        F.format_string(
+            "Conference venue in %s, agenda to follow.",
+            F.element_at(names, (F.pmod(F.col("c_custkey"), F.lit(len(GAZ_PLACES))) + 1).cast("int")),
+        ).alias("text"),
+    )
+    gaz = spark.createDataFrame(GAZ_PLACES, "place string, lat double, lon double")
     out = geotag.extract_places(docs, gaz, "text")
-    return out.select("url", "lat", "lon", "mention")
+    return out.select("c_custkey", "lat", "lon", "mention")
 
 
 def _q_haversine(spark, sf_dir):
@@ -743,6 +771,18 @@ SELECT url,
 FROM m
 WHERE abs(CAST(string_split_regex(mention, ',\s')[1] AS DOUBLE)) <= 90.0
   AND abs(CAST(string_split_regex(mention, ',\s')[2] AS DOUBLE)) <= 180.0
+""",
+        "geotag_places": f"""
+WITH gaz(place, lat, lon) AS (VALUES {", ".join(f"('{p}', CAST({la} AS DOUBLE), CAST({lo} AS DOUBLE))" for p, la, lo in GAZ_PLACES)}),
+txt AS (
+  SELECT c_custkey,
+         'Conference venue in ' ||
+         ({"[" + ", ".join(f"'{p}'" for p, _, _ in GAZ_PLACES) + "]"})[(c_custkey % {len(GAZ_PLACES)}) + 1]
+         || ', agenda to follow.' AS text
+  FROM customer
+)
+SELECT c_custkey, g.lat AS lat, g.lon AS lon, g.place AS mention
+FROM txt JOIN gaz g ON contains(txt.text, g.place)
 """,
         "haversine": f"""
 WITH pts AS ({pts_c})
