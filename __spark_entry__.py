@@ -497,8 +497,27 @@ def _q_ann_ivf(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
+    """Banded-LSH near-dup pairs with PLANTED duplicates: vec_id < 200
+    get a deterministically perturbed copy at vec_id + 1_000_000
+    (cosine ≈ 1), so the gate proves the operator finds real pairs at
+    every sf instead of vacuously returning 0 rows. Rows-only entry —
+    the seeded-hyperplane bucketing has no SQL twin; the recall bound
+    vs brute force is pinned by tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast(T.LongType()).alias("vec_id"), "embedding"
+    )
+    pert = emb.filter(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x.cast("double")
+                + F.lit(0.0003) * F.sin(i.cast("double") + F.lit(1.0))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
     return similarity.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), sim_threshold=0.9, n_planes=6
+        emb.unionByName(pert), sim_threshold=0.9
     )
 
 

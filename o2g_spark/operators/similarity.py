@@ -299,39 +299,117 @@ def ann_ivf_topk(
     )
 
 
+def lsh_band_keys_udf(dim: int, bands: int, bits_per_band: int, seed: int = 42):
+    """Arrow UDF: embedding → array of ``bands`` int64 band keys.
+
+    One numpy matmul against ``bands × bits_per_band`` hyperplanes per
+    Arrow batch; each band packs its own ``bits_per_band`` sign bits, so
+    the total signature width is NOT limited to one int64 (the single-
+    bucket :func:`lsh_bucket_udf` is)."""
+    planes = _hyperplanes(dim, bands * bits_per_band, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _keys(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        signs = (m @ planes) > 0  # (batch, bands*bits)
+        w = 1 << np.arange(bits_per_band, dtype=np.int64)
+        keys = signs.reshape(len(m), bands, bits_per_band) @ w  # (batch, bands)
+        return pd.Series([row.tolist() for row in keys])
+
+    return _keys
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     sim_threshold: float = 0.95,
-    n_planes: int = 8,
+    bands: int = 8,
+    bits_per_band: int = 12,
     dim: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (dedup family member):
-    bucket by LSH signs, verify cosine within buckets.
-    Output: (id_a, id_b, sim) with id_a < id_b, sim ≥ threshold."""
+    """Embedding-cosine near-duplicate pairs (dedup family member).
+    Output: (id_a, id_b, sim) with id_a < id_b, sim ≥ threshold.
+
+    Candidate generation BANDS the hyperplane sign signature (same
+    shape as minhash LSH banding): a pair is a candidate iff SOME band
+    of ``bits_per_band`` sign bits agrees exactly. Per-pair candidate
+    probability at cosine s is 1-(1-p^r)^b with p = 1 - acos(s)/π —
+    ~0.93 at s=0.95 for the (8, 12) default, →1 as s→1. The previous
+    full-signature-equality rule silently missed true near-dups that
+    differed in ONE marginal hyperplane; banding is the recall fix.
+    Precision stays exact: true cosine is re-verified per candidate.
+
+    Skew: a (band, key) bucket of size m fans out m² candidate rows in
+    the self-join — boilerplate/viral embeddings make single buckets
+    that straggle a 100-TB run. Buckets larger than ``max_bucket`` are
+    therefore EXCLUDED from candidate generation (not a silent
+    truncation at the API level: :func:`near_dup_hot_buckets` reports
+    exactly which buckets a cap drops; callers log the count, and such
+    buckets are exact-dup clusters better handled by hash dedup first).
+    """
+    n_planes = bands * bits_per_band
     if dim is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(first["d"])
-    bucket = lsh_bucket_udf(dim, n_planes, seed)
-    e = df.select(
+    keys_udf = lsh_band_keys_udf(dim, bands, bits_per_band, seed)
+    # persist: the banded self-join scans this twice and the vector
+    # fetch twice more; without it the UDF matmul re-runs per scan
+    sig = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        bucket(F.col(vec_col)).alias("__bkt"),
+        keys_udf(F.col(vec_col)).alias("__keys"),
+    ).persist()
+    banded = sig.select("__id", F.posexplode("__keys").alias("__band", "__key"))
+    if max_bucket is not None:
+        w = Window.partitionBy("__band", "__key")
+        banded = banded.withColumn("__bsz", F.count("*").over(w)).filter(
+            F.col("__bsz") <= max_bucket
+        ).drop("__bsz")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    a = e.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__bkt"
-    )
-    b = e.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__bkt"
-    )
+    va = sig.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = sig.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
     sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
     return (
-        a.join(b, "__bkt")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(va, "id_a").join(vb, "id_b")
         .withColumn("sim", sim)
         .filter(F.col("sim") >= sim_threshold)
         .select("id_a", "id_b", "sim")
-        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def near_dup_hot_buckets(
+    df: DataFrame,
+    bands: int = 8,
+    bits_per_band: int = 12,
+    dim: int | None = None,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """(band, key, size) of buckets that a ``max_bucket`` cap would drop
+    from :func:`embedding_near_dup_pairs` — the observable no-silent-cap
+    companion (pipelines count/log these rows next to the dedup stats)."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"])
+    keys_udf = lsh_band_keys_udf(dim, bands, bits_per_band, seed)
+    return (
+        df.select(keys_udf(F.col(vec_col)).alias("__keys"))
+        .select(F.posexplode("__keys").alias("band", "key"))
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("size"))
+        .filter(F.col("size") > max_bucket)
     )

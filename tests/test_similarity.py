@@ -100,6 +100,63 @@ def test_embedding_near_dup_pairs(emb):
     assert got == {(3, 10), (3, 11), (10, 11)}
 
 
+def test_embedding_near_dup_recall_bound(spark):
+    """Banded candidates vs numpy brute force: precision exact (true
+    cosine verified), recall ≥ 0.8 at threshold 0.95 on pairs whose
+    cosines straddle the threshold (the full-signature-equality bug
+    this replaces missed pairs differing in one marginal hyperplane)."""
+    rng = np.random.default_rng(5)
+    n, dim, planted = 260, 16, 40
+    m = rng.standard_normal((n, dim)).astype(np.float64)
+    copies = []
+    for j in range(planted):
+        base = m[j]
+        noise = rng.standard_normal(dim)
+        # noise/signal ratio 0.05..0.44 → cosines ~0.91..0.999
+        ratio = 0.05 + 0.01 * j
+        noise *= ratio * np.linalg.norm(base) / np.linalg.norm(noise)
+        copies.append(base + noise)
+    full = np.vstack([m, np.stack(copies)])
+    ids = np.arange(len(full))
+    norms = np.linalg.norm(full, axis=1)
+    sims = (full @ full.T) / np.outer(norms, norms)
+    iu = np.triu_indices(len(full), k=1)
+    expected = {
+        (int(a), int(b))
+        for a, b in zip(iu[0][sims[iu] >= 0.95], iu[1][sims[iu] >= 0.95])
+    }
+    assert len(expected) >= 10  # the graded noise must straddle 0.95
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": [v.tolist() for v in full]})
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in sim.embedding_near_dup_pairs(df, sim_threshold=0.95).collect()
+    }
+    assert got <= expected  # precision: every reported pair is real
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.8, recall
+
+
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    """max_bucket excludes viral buckets from candidate generation and
+    near_dup_hot_buckets reports exactly what a cap drops."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    # 30 near-identical vectors (one viral cluster) + 20 random
+    rows = [base + rng.standard_normal(16) * 1e-4 for _ in range(30)]
+    rows += [rng.standard_normal(16) for _ in range(20)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(50), "embedding": [v.tolist() for v in rows]})
+    )
+    uncapped = sim.embedding_near_dup_pairs(df, sim_threshold=0.99, max_bucket=None)
+    assert uncapped.count() == 30 * 29 // 2
+    capped = sim.embedding_near_dup_pairs(df, sim_threshold=0.99, max_bucket=10)
+    assert capped.count() == 0
+    hot = sim.near_dup_hot_buckets(df, max_bucket=10).collect()
+    assert len(hot) > 0 and all(r["size"] >= 30 for r in hot)
+
+
 def test_dot_and_norm_columns(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"a": [[1.0, 2.0, 3.0]], "b": [[4.0, 5.0, 6.0]]})
