@@ -443,8 +443,15 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_jaccard_pairs(spark, sf_dir):
+    """df-capped candidate path (the 100-TB default: boilerplate
+    shingles shared by millions of pages make the exact inverted-index
+    join Σ df² — dedup.jaccard_pairs docstring). The DuckDB twin stays
+    the EXACT path: at gate scale every true pair shares at least one
+    sub-cap shingle, so the row sets agree and the hash check still
+    pins the capped path's output end-to-end."""
     return dedup.jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.4
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.4, max_df=200,
     )
 
 
@@ -521,6 +528,27 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_ordered_collect(spark, sf_dir):
+    """A5/A9/A11 ordered-collect parity AT THE GATE (was pytest-only):
+    lineitem rows act as (route=orderkey, seq=linenumber, stop=partkey)
+    relation members; the REAL gtfs.route_stop_lists operator builds the
+    member-ordered stop array (sort_array over collect_list of structs),
+    digested to a comma-joined scalar for the value-hash checker."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("route_id"),
+        F.col("l_linenumber").alias("stop_sequence"),
+        F.col("l_partkey").alias("stop_id"),
+    )
+    out = gtfs.route_stop_lists(li)
+    return out.select(
+        "route_id",
+        F.size("stop_ids").cast(T.LongType()).alias("n_stops"),
+        F.concat_ws(
+            ",", F.transform("stop_ids", lambda s: s.cast("string"))
+        ).alias("stop_list"),
+    )
+
+
 # --------------------------------------------------- rows-only showcases
 
 def _q_gtfs_resolve(spark, sf_dir):
@@ -571,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotag_places": _q_geotag_places,
         "haversine": _q_haversine,
         "adaptive_split": _q_adaptive_split,
+        "ordered_collect": _q_ordered_collect,
         # text / dedup / similarity
         "token_counts": _q_token_counts,
         "quality": _q_quality,
@@ -836,6 +865,12 @@ SELECT doc_id, {X.md5_hash60_sql('text')} AS text_hash,
        len({X.fingerprint_sql('text', 3, 16)}) AS fp_len,
        {_arr_hash_sql(X.fingerprint_sql('text', 3, 16))} AS fp_hash
 FROM documents
+""",
+        "ordered_collect": """
+SELECT l_orderkey AS route_id, count(*) AS n_stops,
+       string_agg(CAST(l_partkey AS VARCHAR), ','
+                  ORDER BY l_linenumber, l_partkey) AS stop_list
+FROM lineitem GROUP BY l_orderkey
 """,
         "dedup_exact": dedup.dedup_exact_sql("documents", "doc_id", "text"),
         "jaccard_pairs": dedup.jaccard_pairs_sql("documents", "doc_id", "text", 3, 0.4),

@@ -147,6 +147,24 @@ def jaccard_pairs(
     )
 
 
+def jaccard_dropped_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_df: int = 200
+) -> int:
+    """Distinct shingles a ``max_df`` cap excludes from candidate
+    generation (the no-silent-cap companion: pipelines/benches log this
+    next to the capped :func:`jaccard_pairs` run)."""
+    # project-then-explode (generator expressions evaluate interpreted)
+    sh = df.withColumn("__shset", X.shingles(text_col, n)).select(
+        F.col(id_col).alias("__id"), F.explode("__shset").alias("__sh")
+    )
+    return (
+        sh.groupBy("__sh")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .count()
+    )
+
+
 def jaccard_pairs_sql(
     table: str, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> str:
@@ -384,8 +402,14 @@ def simhash_udf(num_bits: int = 64):
 
         # token → ±1 bit-row memo: real corpora reuse vocabulary heavily,
         # so md5 runs once per distinct token per worker, not per
-        # occurrence (worker processes are reused across batches)
-        memo: dict[str, np.ndarray] = _simhash_memo
+        # occurrence (worker processes are reused across batches).
+        # Keyed by num_bits — rows have length num_bits, so two UDF
+        # widths sharing one dict would reuse wrong-width rows — and
+        # size-capped: web-scale vocab (typos, ids, urls) is unbounded,
+        # and an uncapped per-worker dict is a slow OOM at 100 TB. Cache
+        # hits stay high because Zipf mass is in the head; past the cap
+        # tail tokens just recompute (correctness unaffected).
+        memo: dict[str, np.ndarray] = _simhash_memo.setdefault(num_bits, {})
         out = np.zeros(len(texts), dtype=np.int64)
         shifts = np.arange(num_bits, dtype=np.uint64)
         weights = (np.uint64(1) << shifts).astype(np.uint64)
@@ -400,7 +424,8 @@ def simhash_udf(num_bits: int = 64):
                     h = np.uint64(int(hashlib.md5(tok.encode()).hexdigest()[:16], 16))
                     bits = (h >> shifts) & np.uint64(1)
                     r = np.where(bits == 1, np.int64(1), np.int64(-1))
-                    memo[tok] = r
+                    if len(memo) < _SIMHASH_MEMO_CAP:
+                        memo[tok] = r
                 rows.append(r)
             acc = np.sum(rows, axis=0)
             sig = ((acc > 0).astype(np.uint64) * weights).sum(dtype=np.uint64)
@@ -410,7 +435,9 @@ def simhash_udf(num_bits: int = 64):
     return _simhash
 
 
-_simhash_memo: dict = {}
+# ~1M 64-slot int64 rows ≈ 0.5 GB worst case per worker — bounded
+_SIMHASH_MEMO_CAP = 1_000_000
+_simhash_memo: dict[int, dict] = {}
 
 
 def _norm_words(t: str) -> list[str]:
