@@ -80,7 +80,8 @@ def main(argv=None):
 
     zones_pdf = synth.gen_zones()
     rings = synth.zone_rings(zones_pdf)
-    gaz = tables.gazetteer_df(spark, synth.gen_gazetteer())
+    gaz_pdf = synth.gen_gazetteer()
+    gaz = tables.gazetteer_df(spark, gaz_pdf)
 
     want = STAGES if args.stage == "all" else (args.stage,)
 
@@ -117,6 +118,11 @@ def main(argv=None):
                 tagged.select(F.col("url").alias("qid"), "lat", "lon"),
                 targets,
                 k=args.knn_k,  # res auto-tuned from target density
+                # cardinality hints: geotag lineage row_count + the
+                # driver-known gazetteer size → the cost model runs
+                # ZERO counting scans here
+                n_queries=ckpt.manifest("geotag")["row_count"],
+                n_targets=len(gaz_pdf),
             ),
             key_col="qid",
         )

@@ -57,6 +57,22 @@ def _ring_offsets(r: int) -> list[tuple[int, int]]:
     ]
 
 
+def choose_strategy(k: int, n_queries: int, n_targets: int) -> tuple[bool, int]:
+    """Cost-based strategy from the two cardinalities: ``(use_brute,
+    res)``. Brute = ONE map-only job producing |Q|·|T| cheap JVM
+    distance rows; k-ring = ~3 rounds of |Q|·(ring cells) probes. Brute
+    wins only when the CROSS PRODUCT is small — bounding on |T| alone
+    chose a 2.8-billion row window for 14M queries × 200 targets
+    (observed at 20M pages). For the k-ring path, pick the grid so a
+    query expects its answers within ~1 ring: ~k targets per (2r+1)²
+    window at r≈1 ⇒ cells ≈ 9·n/k (too fine ⇒ empty rings ⇒ wasted
+    rounds, measured 3×). Pure function — unit-testable without Spark.
+    """
+    use_brute = n_targets <= 5000 and n_queries * n_targets <= 200_000_000
+    res = max(2, min(12, int(math.log2(max(4, 9 * n_targets / max(k, 1)) ** 0.5))))
+    return use_brute, res
+
+
 def knn_join(
     queries: DataFrame,
     targets: DataFrame,
@@ -68,6 +84,8 @@ def knn_join(
     lon_col: str = "lon",
     max_rings: int | None = None,
     broadcast_targets: bool = True,
+    n_queries: int | None = None,
+    n_targets: int | None = None,
 ) -> DataFrame:
     """For each query point: the k nearest targets by squared planar
     degree distance (bit-exact across engines — see kernels.geometry).
@@ -77,25 +95,23 @@ def knn_join(
     ``(dist2, target_id)`` — ties cannot flip between runs or
     partitionings. Queries with fewer than k reachable targets return
     the ones that exist.
+
+    ``n_queries`` / ``n_targets`` are CARDINALITY HINTS for the cost
+    model: when supplied (from table stats, checkpoint lineage
+    row_counts, or caller knowledge) the auto-strategy path runs ZERO
+    extra ``count()`` scans. Without hints each missing side costs one
+    counting scan before the join.
     """
     if res is None:
-        n_targets = targets.count()
-        # cost-based strategy: brute = ONE map-only job producing
-        # |Q|·|T| cheap JVM distance rows; k-ring = ~3 rounds of
-        # |Q|·(ring cells) probes. Brute wins only when the CROSS
-        # PRODUCT is small — bounding on |T| alone chose a 2.8-billion
-        # row window for 14M queries × 200 targets (observed at 20M
-        # pages). Counting the query side costs one scan; a real
-        # deployment reads both cardinalities from table stats.
-        n_queries = queries.count()
-        if n_targets <= 5000 and n_queries * n_targets <= 200_000_000:
+        if n_targets is None:
+            n_targets = targets.count()
+        if n_queries is None:
+            n_queries = queries.count()
+        use_brute, res = choose_strategy(k, n_queries, n_targets)
+        if use_brute:
             return knn_bruteforce(
                 queries, targets, k, query_id, target_id, lat_col, lon_col
             )
-        # pick the grid so a k-NN query expects its answers within ~1
-        # ring: ~k targets per (2r+1)² window at r≈1 ⇒ cells ≈ 9·n/k.
-        # Too fine a grid ⇒ empty rings ⇒ wasted rounds (measured 3×).
-        res = max(2, min(12, int(math.log2(max(4, 9 * n_targets / max(k, 1)) ** 0.5))))
     n = 1 << res
     dlat = 180.0 / n  # smaller cell axis in degrees → safe radius unit
     if max_rings is None:
@@ -186,12 +202,15 @@ def knn_join(
         width *= 2
 
         # A query is done when it has k hits and the k-th is provably
-        # nearer than anything an unexplored ring could hold.
+        # nearer than anything an unexplored ring could hold. STRICT <:
+        # an unexplored target at exactly dist2 == safe2 (cell-edge
+        # alignment) with a smaller tid would displace the current k-th
+        # under the (dist2, target_id) tie-break.
         safe2 = (explored * dlat) ** 2
         done_ids = (
             best.groupBy("__qid")
             .agg(F.count("*").alias("__cnt"), F.max("dist2").alias("__kth"))
-            .filter((F.col("__cnt") >= k) & (F.col("__kth") <= F.lit(safe2)))
+            .filter((F.col("__cnt") >= k) & (F.col("__kth") < F.lit(safe2)))
             .select("__qid")
         )
         # rank at emit time (qid sets of emitted batches are disjoint,

@@ -96,3 +96,46 @@ def test_knn_auto_strategy_matches_kring(qt):
     auto = _collect(knn.knn_join(q, t, k=4))  # 300 targets → brute path
     ring = _collect(knn.knn_join(q, t, k=4, res=6))
     assert auto == ring
+
+
+def test_knn_choose_strategy_bounds_total_work():
+    """The cost model bounds the CROSS PRODUCT, not one side (CLAUDE.md
+    perf rule 7): 14M queries x 200 targets must NOT go brute."""
+    assert knn.choose_strategy(3, 100, 200) == (True, knn.choose_strategy(3, 100, 200)[1])
+    use_brute, _ = knn.choose_strategy(3, 14_000_000, 200)
+    assert not use_brute
+    use_brute, _ = knn.choose_strategy(3, 100, 10_000)  # big target side
+    assert not use_brute
+    # res grows with target density, clamped to [2, 12]
+    assert knn.choose_strategy(3, 10, 10)[1] >= 2
+    assert knn.choose_strategy(1, 10, 10**12)[1] == 12
+
+
+def test_knn_cardinality_hints_same_result(qt):
+    """Hints skip the two count() scans but never change results; a
+    hint forcing the k-ring path on small data still agrees with brute."""
+    q, t = qt
+    exp = _collect(knn.knn_bruteforce(q, t, k=4))
+    hinted_brute = _collect(knn.knn_join(q, t, k=4, n_queries=60, n_targets=300))
+    assert hinted_brute == exp
+    # lie high on purpose: auto picks the k-ring path, results identical
+    hinted_ring = _collect(
+        knn.knn_join(q, t, k=4, n_queries=10_000_000, n_targets=300)
+    )
+    assert hinted_ring == exp
+
+
+def test_knn_grid_aligned_equal_distance_tie(spark):
+    """Strict done-bound regression: a target at EXACTLY the safe-radius
+    distance with a smaller tid must still displace the provisional
+    k-th (non-strict <= emitted early and missed it)."""
+    # res=2 → n=4, dlat=45. query at cell center-ish; two targets:
+    # tid=9 nearby in the same cell, tid=1 at exactly 45 degrees away
+    # in a farther cell. k=1: correct answer depends on exact compare.
+    q = spark.createDataFrame(pd.DataFrame({"qid": [0], "lat": [0.0], "lon": [0.0]}))
+    t = spark.createDataFrame(
+        pd.DataFrame({"tid": [9, 1], "lat": [45.0, -45.0], "lon": [0.0, 0.0]})
+    )
+    out = _collect(knn.knn_join(q, t, k=1, res=2))
+    exp = _collect(knn.knn_bruteforce(q, t, k=1))
+    assert out == exp  # tid=1 wins the (dist2, tid) tie
