@@ -11,9 +11,11 @@ oracles instead (tests/test_*.py).
 
 Derived spatial columns: the driver views carry no lat/lon, so points
 derive deterministically from table columns with IEEE-exact arithmetic
-reproduced verbatim in the oracles:
-    lon = c_acctbal % 60.0 + 0.005      (Spark `%` == DuckDB fmod)
-    lat = (c_acctbal * 7.0) % 55.0 + 0.005
+reproduced verbatim in the oracles (see _points/_points_sql):
+    lon = pmod(c_acctbal, 120.0) - 60.0 + 0.005
+    lat = pmod(c_acctbal * 7.0, 110.0) - 55.0 + 0.005
+(Spark F.pmod == DuckDB fmod for positive divisors; Spark `%` keeps the
+dividend sign and would diverge on negative acctbal.)
 The +0.005 shift gives every coordinate a terminal '5' in the third
 decimal, so no point can sit exactly on an integer zone edge — PIP
 half-open boundary semantics and SQL BETWEEN then agree everywhere.

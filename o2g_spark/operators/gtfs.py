@@ -184,12 +184,42 @@ def dummy_schedule(
     return trips.select("trip_id", "route_id", "service_id"), stop_times
 
 
+def build_frequencies(
+    trips: DataFrame,
+    trips_per_route: int = 2,
+    start_s: int = 6 * 3600,
+    headway_s: int = 1800,
+) -> DataFrame:
+    """GTFS ``frequencies.txt`` rows from the dummy schedule's headway
+    (SURVEY.md §1.1: the reference output is agency/stops/routes/trips/
+    stop_times/calendar "+ possibly frequencies" [o2g-PK]).
+
+    One row per route's representative trip (trip_idx 0) declaring the
+    service window the dummy trips span and the headway between them —
+    the frequency-based re-statement of A10's explicit trips. Pass the
+    SAME (trips_per_route, start_s, headway_s) given to
+    :func:`dummy_schedule`.
+    """
+    end_s = start_s + trips_per_route * headway_s
+
+    def hhmmss(secs: int) -> str:
+        return f"{secs // 3600:02d}:{secs % 3600 // 60:02d}:{secs % 60:02d}"
+
+    return trips.filter(F.col("trip_id").endswith("_0")).select(
+        "trip_id",
+        F.lit(hhmmss(start_s)).alias("start_time"),
+        F.lit(hhmmss(end_s)).alias("end_time"),
+        F.lit(headway_s).alias("headway_secs"),
+    )
+
+
 def write_gtfs_zip(
     out_path: str,
     stops: DataFrame,
     routes: DataFrame,
     trips: DataFrame,
     stop_times: DataFrame,
+    frequencies: DataFrame | None = None,
 ) -> str:
     """A12: the GTFS zip sink. Tables collect to the driver (GTFS feeds
     are dimension-sized — the fact tables of this engine checkpoint via
@@ -213,12 +243,15 @@ def write_gtfs_zip(
 
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for name, df in (
+        tables = [
             ("stops.txt", stops),
             ("routes.txt", routes),
             ("trips.txt", trips),
             ("stop_times.txt", stop_times),
-        ):
+        ]
+        if frequencies is not None:
+            tables.append(("frequencies.txt", frequencies))
+        for name, df in tables:
             cols, data = rows_of(df)
             buf = io.StringIO()
             wr = csv.writer(buf, lineterminator="\n")

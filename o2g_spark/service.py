@@ -43,6 +43,7 @@ def build_gtfs_zip_from_osm(spark: SparkSession, osm_path: str, out_zip: str) ->
         gtfs.build_routes(routes_in),
         trips,
         stop_times,
+        frequencies=gtfs.build_frequencies(trips),
     )
 
 

@@ -137,19 +137,25 @@ def test_gtfs_zip_roundtrip(parity, tmp_path):
     fs = gtfs.filter_stops(stops)
     resolved = gtfs.resolve_members(routes, fs)
     trips, st = gtfs.dummy_schedule(resolved)
+    freq = gtfs.build_frequencies(trips)
     p1 = gtfs.write_gtfs_zip(
         str(tmp_path / "a.zip"), gtfs.build_stops(resolved),
-        gtfs.build_routes(routes), trips, st,
+        gtfs.build_routes(routes), trips, st, frequencies=freq,
     )
     p2 = gtfs.write_gtfs_zip(
         str(tmp_path / "b.zip"), gtfs.build_stops(resolved.repartition(13)),
-        gtfs.build_routes(routes), trips, st,
+        gtfs.build_routes(routes), trips, st, frequencies=freq,
     )
     names = set(zipfile.ZipFile(p1).namelist())
     assert names == {
         "stops.txt", "routes.txt", "trips.txt", "stop_times.txt",
-        "agency.txt", "calendar.txt",
+        "agency.txt", "calendar.txt", "frequencies.txt",
     }
+    # one frequencies row per route, dummy-schedule window + headway
+    freq_txt = zipfile.ZipFile(p1).read("frequencies.txt").decode().splitlines()
+    assert freq_txt[0] == "trip_id,start_time,end_time,headway_secs"
+    assert len(freq_txt) == 1 + 3  # header + 3 routes
+    assert all(ln.endswith(",06:00:00,07:00:00,1800") for ln in freq_txt[1:])
     # byte-deterministic under any partitioning
     h1 = [hashlib.sha256(zipfile.ZipFile(p1).read(n)).hexdigest() for n in sorted(names)]
     h2 = [hashlib.sha256(zipfile.ZipFile(p2).read(n)).hexdigest() for n in sorted(names)]
