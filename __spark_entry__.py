@@ -509,9 +509,12 @@ def _q_embedding_near_dup(spark, sf_dir):
     """Banded-LSH near-dup pairs with PLANTED duplicates: vec_id < 200
     get a deterministically perturbed copy at vec_id + 1_000_000
     (cosine ≈ 1), so the gate proves the operator finds real pairs at
-    every sf instead of vacuously returning 0 rows. Rows-only entry —
-    the seeded-hyperplane bucketing has no SQL twin; the recall bound
-    vs brute force is pinned by tests/test_similarity.py."""
+    every sf instead of vacuously returning 0 rows. The perturbation is
+    exact-rational IEEE arithmetic (no libm sin — 1-ulp cross-engine
+    drift) so the DuckDB twin reproduces the input bit-for-bit; the
+    twin embeds the seeded hyperplane matrix as literals, making this a
+    full value-hash entry. Recall bound vs brute force additionally
+    pinned by tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast(T.LongType()).alias("vec_id"), "embedding"
     )
@@ -521,7 +524,9 @@ def _q_embedding_near_dup(spark, sf_dir):
             "embedding",
             lambda x, i: (
                 x.cast("double")
-                + F.lit(0.0003) * F.sin(i.cast("double") + F.lit(1.0))
+                + F.pmod(i * F.lit(37) + F.lit(11), F.lit(97)).cast("double")
+                / F.lit(97.0) * F.lit(0.0006)
+                - F.lit(0.0003)
             ).cast("float"),
         ).alias("embedding"),
     )
@@ -549,6 +554,68 @@ def _q_ordered_collect(spark, sf_dir):
             ",", F.transform("stop_ids", lambda s: s.cast("string"))
         ).alias("stop_list"),
     )
+
+
+def _near_dup_oracle_sql() -> str:
+    """DuckDB twin of _q_embedding_near_dup: reproduces the perturbed
+    union bit-for-bit (exact-rational eps), embeds the seeded
+    hyperplane matrix (8 bands × 12 bits, dim 64) as literal rows,
+    bands the sign bits identically to lsh_band_keys_udf, and verifies
+    cosine with the zipped-unnest sequential fold (same order as
+    Spark's F.aggregate, so the 6-dp round compares exactly). Sign
+    decisions tolerate the numpy-BLAS vs sequential-sum rounding split:
+    a flip needs |dot| ≲ 1e-13, unobserved on the frozen test data."""
+    from o2g_spark.operators.similarity import _hyperplanes
+
+    bands, bits, dim = 8, 12, 64
+    planes = _hyperplanes(dim, bands * bits, 42)
+    rows = ", ".join(
+        f"({p}, {p // bits}, {p % bits}, CAST(["
+        + ", ".join(repr(float(v)) for v in planes[:, p])
+        + "] AS DOUBLE[]))"
+        for p in range(bands * bits)
+    )
+    dot = similarity.dot_sql("va", "vb")
+    na = similarity.dot_sql("va", "va")
+    nb = similarity.dot_sql("vb", "vb")
+    return f"""
+WITH base AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT CAST(vec_id AS BIGINT) + 1000000,
+         list_transform(embedding, (x, i) ->
+           CAST(CAST(x AS DOUBLE)
+                + CAST(((i - 1) * 37 + 11) % 97 AS DOUBLE) / 97.0 * 0.0006
+                - 0.0003 AS FLOAT))
+  FROM embeddings WHERE vec_id < 200
+),
+planes(p, band, bit, w) AS (VALUES {rows}),
+keys AS (
+  SELECT b.vec_id, pl.band,
+         sum(CASE WHEN list_inner_product(
+                    list_transform(b.embedding, v -> CAST(v AS DOUBLE)),
+                    pl.w) > 0
+             THEN CAST(1 AS BIGINT) << pl.bit ELSE CAST(0 AS BIGINT) END)
+           AS key
+  FROM base b CROSS JOIN planes pl
+  GROUP BY b.vec_id, pl.band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+vv AS (
+  SELECT c.id_a, c.id_b, ea.embedding AS va, eb.embedding AS vb
+  FROM cand c
+  JOIN base ea ON ea.vec_id = c.id_a
+  JOIN base eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b,
+       round({dot} / greatest(sqrt({na}) * sqrt({nb}), 1e-300), 6) AS sim
+FROM vv
+WHERE round({dot} / greatest(sqrt({na}) * sqrt({nb}), 1e-300), 6) >= 0.9
+"""
 
 
 # --------------------------------------------------- rows-only showcases
@@ -885,6 +952,8 @@ FROM documents
         "minhash_lsh": dedup.minhash_lsh_pairs_sql(
             "documents", "doc_id", "text", 32, 16, 0.4
         ),
+        "simhash_pairs": dedup.simhash_pairs_sql("documents", "doc_id", "text", 3),
+        "embedding_near_dup": _near_dup_oracle_sql(),
         "cosine_topk": similarity.cosine_topk_sql(
             "embeddings",
             "SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10",

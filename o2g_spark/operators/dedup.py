@@ -447,6 +447,53 @@ def _norm_words(t: str) -> list[str]:
     return [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split() if w]
 
 
+def simhash_pairs_sql(
+    table: str, id_col: str, text_col: str, max_hamming: int = 3
+) -> str:
+    """Full-pair DuckDB twin of :func:`simhash_pairs` (oracle scale
+    only — O(n²) verify is fine on gate-sized tables).
+
+    Exact by construction: same md5 token hashes (16 hex chars →
+    UBIGINT), same ±1 per-occurrence accumulate, same sign pack with
+    two's-complement wrap into BIGINT. The Spark path's pigeonhole
+    chunk banding guarantees every pair with hamming ≤ chunks-1 shares
+    a chunk, so this brute twin filtered to ``max_hamming < chunks``
+    yields the identical pair set.
+    """
+    w = X.words_sql(text_col)
+    weights = ", ".join(f"({b}, CAST({1 << b} AS HUGEINT))" for b in range(64))
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS id, unnest({w}) AS tok FROM {table}
+),
+th AS (
+  SELECT id, CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+  FROM tok
+),
+bw(b, wt) AS (VALUES {weights}),
+acc AS (
+  SELECT id, b, wt,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS a
+  FROM th CROSS JOIN bw GROUP BY id, b, wt
+),
+sig0 AS (
+  SELECT id, sum(CASE WHEN a > 0 THEN wt ELSE CAST(0 AS HUGEINT) END) AS s0
+  FROM acc GROUP BY id
+),
+sig AS (
+  SELECT t.{id_col} AS id,
+         CAST(CASE WHEN coalesce(s0, 0) >= CAST(9223372036854775808 AS HUGEINT)
+              THEN coalesce(s0, 0) - CAST(18446744073709551616 AS HUGEINT)
+              ELSE coalesce(s0, 0) END AS BIGINT) AS s
+  FROM {table} t LEFT JOIN sig0 ON sig0.id = t.{id_col}
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+"""
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
