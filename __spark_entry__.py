@@ -556,6 +556,20 @@ def _q_ordered_collect(spark, sf_dir):
     )
 
 
+def _planes_values_sql(dim: int, n_planes: int, seed: int = 42) -> str:
+    """(p, w) literal rows of the seeded hyperplane matrix — lets the
+    DuckDB twins reproduce the numpy LSH bucketing exactly."""
+    from o2g_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    return ", ".join(
+        f"({p}, CAST(["
+        + ", ".join(repr(float(v)) for v in planes[:, p])
+        + "] AS DOUBLE[]))"
+        for p in range(n_planes)
+    )
+
+
 def _near_dup_oracle_sql() -> str:
     """DuckDB twin of _q_embedding_near_dup: reproduces the perturbed
     union bit-for-bit (exact-rational eps), embeds the seeded
@@ -565,16 +579,8 @@ def _near_dup_oracle_sql() -> str:
     Spark's F.aggregate, so the 6-dp round compares exactly). Sign
     decisions tolerate the numpy-BLAS vs sequential-sum rounding split:
     a flip needs |dot| ≲ 1e-13, unobserved on the frozen test data."""
-    from o2g_spark.operators.similarity import _hyperplanes
-
     bands, bits, dim = 8, 12, 64
-    planes = _hyperplanes(dim, bands * bits, 42)
-    rows = ", ".join(
-        f"({p}, {p // bits}, {p % bits}, CAST(["
-        + ", ".join(repr(float(v)) for v in planes[:, p])
-        + "] AS DOUBLE[]))"
-        for p in range(bands * bits)
-    )
+    rows = _planes_values_sql(dim, bands * bits)
     dot = similarity.dot_sql("va", "vb")
     na = similarity.dot_sql("va", "va")
     nb = similarity.dot_sql("vb", "vb")
@@ -589,16 +595,17 @@ WITH base AS (
                 - 0.0003 AS FLOAT))
   FROM embeddings WHERE vec_id < 200
 ),
-planes(p, band, bit, w) AS (VALUES {rows}),
+planes(p, w) AS (VALUES {rows}),
 keys AS (
-  SELECT b.vec_id, pl.band,
+  SELECT b.vec_id, pl.p // {bits} AS band,
          sum(CASE WHEN list_inner_product(
                     list_transform(b.embedding, v -> CAST(v AS DOUBLE)),
                     pl.w) > 0
-             THEN CAST(1 AS BIGINT) << pl.bit ELSE CAST(0 AS BIGINT) END)
+             THEN CAST(1 AS BIGINT) << (pl.p % {bits})
+             ELSE CAST(0 AS BIGINT) END)
            AS key
   FROM base b CROSS JOIN planes pl
-  GROUP BY b.vec_id, pl.band
+  GROUP BY b.vec_id, pl.p // {bits}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -618,6 +625,56 @@ WHERE round({dot} / greatest(sqrt({na}) * sqrt({nb}), 1e-300), 6) >= 0.9
 """
 
 
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB twin of _q_ann_lsh (n_planes=8, multiprobe): the 8-plane
+    sign bucket reproduces lsh_bucket_udf; each query probes its own
+    bucket plus the 8 Hamming-1 neighbors; true cosine (zipped-unnest
+    fold, 6-dp round) ranks candidates with the (sim DESC, vec_id ASC)
+    tie-break — identical to the Spark path's window."""
+    rows = _planes_values_sql(64, 8)
+    dot = similarity.dot_sql("va", "vb")
+    na = similarity.dot_sql("va", "va")
+    nb = similarity.dot_sql("vb", "vb")
+    return f"""
+WITH planes(p, w) AS (VALUES {rows}),
+keys AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_inner_product(
+                    list_transform(e.embedding, v -> CAST(v AS DOUBLE)),
+                    pl.w) > 0
+             THEN CAST(1 AS BIGINT) << pl.p ELSE CAST(0 AS BIGINT) END)
+           AS bkt
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id
+),
+q AS (
+  SELECT k.vec_id AS qid,
+         unnest([k.bkt] || list_transform(range(0, 8),
+                j -> xor(k.bkt, CAST(1 AS BIGINT) << j))) AS probe
+  FROM keys k WHERE k.vec_id < 10
+),
+cand AS (
+  SELECT DISTINCT q.qid, k.vec_id
+  FROM q JOIN keys k ON k.bkt = q.probe
+),
+vv AS (
+  SELECT c.qid, c.vec_id, eq.embedding AS va, ec.embedding AS vb
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.qid
+  JOIN embeddings ec ON ec.vec_id = c.vec_id
+),
+scored AS (
+  SELECT qid, vec_id,
+         round({dot} / greatest(sqrt({na}) * sqrt({nb}), 1e-300), 6) AS sim
+  FROM vv
+)
+SELECT qid, vec_id, sim,
+       CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS sim_rank
+FROM scored QUALIFY sim_rank <= 5
+"""
+
+
 # --------------------------------------------------- rows-only showcases
 
 def _q_gtfs_resolve(spark, sf_dir):
@@ -627,15 +684,101 @@ def _q_gtfs_resolve(spark, sf_dir):
     return gtfs.resolve_members(routes, gtfs.filter_stops(stops))
 
 
+def _gtfs_resolve_oracle_sql() -> str:
+    """DuckDB twin of _q_gtfs_resolve: the deterministic parity fixtures
+    are serialized RAW into VALUES CTEs (tag values as columns, ordered
+    members with their 0-based position), and the SQL re-implements the
+    A3 tag filter, A5 ordered unnest, and A6/A7 inner join that drops
+    dangling refs — so the o2g resolution semantics themselves are
+    value-hash checked, not just row-counted."""
+    stops_pdf, routes_pdf, _ = synth.gen_parity()
+
+    def q(v) -> str:
+        return f"'{v}'" if v is not None else "CAST(NULL AS VARCHAR)"
+
+    stop_vals = ", ".join(
+        f"({int(r.stop_id)}, {q(r.tags.get('public_transport'))}, "
+        f"{q(r.tags.get('highway'))}, {q(r.tags.get('railway'))}, "
+        f"{float(r.lat)!r}, {float(r.lon)!r})"
+        for r in stops_pdf.itertuples()
+    )
+    member_vals = ", ".join(
+        f"({int(r.route_id)}, '{r.route_type}', {pos}, {int(m['ref'])})"
+        for r in routes_pdf.itertuples()
+        for pos, m in enumerate(r.members)
+    )
+    return f"""
+WITH stops(stop_id, public_transport, highway, railway, lat, lon)
+  AS (VALUES {stop_vals}),
+members(route_id, route_type, stop_sequence, ref)
+  AS (VALUES {member_vals}),
+fs AS (
+  SELECT * FROM stops
+  WHERE public_transport IN ('stop_position', 'platform')
+     OR highway = 'bus_stop'
+     OR railway IN ('station', 'halt')
+)
+SELECT CAST(m.route_id AS BIGINT) AS route_id, m.route_type,
+       CAST(m.stop_sequence AS INTEGER) AS stop_sequence,
+       CAST(s.stop_id AS BIGINT) AS stop_id,
+       CAST(s.lat AS DOUBLE) AS lat, CAST(s.lon AS DOUBLE) AS lon
+FROM members m JOIN fs s ON m.ref = s.stop_id
+"""
+
+
 def _q_multimodal_decode(spark, sf_dir):
+    """Drives the real mapInPandas decode plumbing, then posexplodes the
+    float feature array into scalar rows (the checker can't factorize
+    list cells, and float→string formats differ across engines — round
+    a DOUBLE instead). Full value-hash oracle: the twin recomputes
+    width/height/features from the sha256 of the same payload hex
+    serialized into a VALUES CTE."""
     out = multimodal.decode_images(multimodal.synth_media(spark, n=60))
-    # project the float feature array to a scalar digest — the driver's
-    # hash checker can't factorize list cells (rows-only entry, so only
-    # Spark-side determinism matters for the format)
     return out.select(
         "media_id", "width", "height", "n_bytes",
-        _arr_hash(F.col("feature")).alias("feature_hash"),
+        F.posexplode("feature").alias("slot", "__f"),
+    ).select(
+        "media_id", "width", "height", "n_bytes", "slot",
+        F.round(F.col("__f").cast(T.DoubleType()), 6).alias("feature_val"),
     )
+
+
+def _multimodal_oracle_sql() -> str:
+    """DuckDB twin of _q_multimodal_decode: same payloads (hex VALUES),
+    same sha256-of-hex digest, same byte-slice width/height/feature
+    math (sum of 4 digest bytes / 255.0 → float32 → round 6dp)."""
+    img = [
+        (mid, payload)
+        for mid, _url, kind, payload, _meta in multimodal.synth_media_rows(60)
+        if kind == "image"
+    ]
+    vals = ", ".join(f"({mid}, '{p.hex()}')" for mid, p in img)
+
+    def byte(pos_expr: str) -> str:
+        # digest byte at 0-based position → int (2 hex chars, 1-based substr)
+        return f"CAST(concat('0x', substr(dh, 2 * ({pos_expr}) + 1, 2)) AS INTEGER)"
+
+    bsum = " + ".join(byte(f"4 * s.slot + {b}") for b in range(4))
+    return f"""
+WITH media(media_id, ph) AS (VALUES {vals}),
+base AS (
+  SELECT media_id,
+         CAST(length(ph) // 2 AS BIGINT) AS n_bytes,
+         sha256(ph) AS dh
+  FROM media
+),
+slotted AS (
+  SELECT b.media_id, b.n_bytes, b.dh, s.slot, {bsum} AS bsum
+  FROM base b CROSS JOIN (SELECT unnest(range(0, 8)) AS slot) s
+)
+SELECT media_id,
+       16 + {byte('0')} % 240 AS width,
+       16 + {byte('1')} % 240 AS height,
+       n_bytes,
+       CAST(slot AS INTEGER) AS slot,
+       round(CAST(CAST(bsum / 255.0 AS REAL) AS DOUBLE), 6) AS feature_val
+FROM slotted
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -935,6 +1078,27 @@ SELECT doc_id, {X.md5_hash60_sql('text')} AS text_hash,
        {_arr_hash_sql(X.fingerprint_sql('text', 3, 16))} AS fp_hash
 FROM documents
 """,
+        # adaptive split: the iterative hot-cell loop is equivalent to
+        # "first resolution whose GLOBAL cell count ≤ threshold" (cells
+        # split atomically, so a child's count equals its global count)
+        # — which windows express directly
+        "adaptive_split": f"""
+WITH pts AS ({pts_c}),
+enc AS (
+  SELECT {', '.join(f"{cellk.encode_sql('lat', 'lon', r)} AS c{r}" for r in range(3, 10))}
+  FROM pts
+),
+cnt AS (
+  SELECT *,
+         {', '.join(f"count(*) OVER (PARTITION BY c{r}) AS n{r}" for r in range(3, 9))}
+  FROM enc
+)
+SELECT cell_adaptive, count(*) AS n_rows FROM (
+  SELECT CASE {' '.join(f"WHEN n{r} <= 200 THEN c{r}" for r in range(3, 9))}
+              ELSE c9 END AS cell_adaptive
+  FROM cnt
+) GROUP BY cell_adaptive
+""",
         "ordered_collect": """
 SELECT l_orderkey AS route_id, count(*) AS n_stops,
        string_agg(CAST(l_partkey AS VARCHAR), ','
@@ -954,6 +1118,9 @@ FROM documents
         ),
         "simhash_pairs": dedup.simhash_pairs_sql("documents", "doc_id", "text", 3),
         "embedding_near_dup": _near_dup_oracle_sql(),
+        "ann_lsh": _ann_lsh_oracle_sql(),
+        "multimodal_decode": _multimodal_oracle_sql(),
+        "gtfs_resolve": _gtfs_resolve_oracle_sql(),
         "cosine_topk": similarity.cosine_topk_sql(
             "embeddings",
             "SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10",

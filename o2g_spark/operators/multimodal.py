@@ -99,8 +99,13 @@ def _fake_decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     Derives (width, height, 8-dim feature) purely from payload bytes via
     sha256 — stable across machines/partitions, so tests can assert
     exact values. Replaced by PIL decode when available.
+
+    The digest is over the LOWERCASE-HEX payload string (not the raw
+    bytes): semantically equivalent as a fake, and it lets the gate's
+    DuckDB twin reproduce every output value (DuckDB sha256 only
+    accepts VARCHAR, and raw payload bytes need not be valid UTF-8).
     """
-    d = hashlib.sha256(payload).digest()  # 32 bytes
+    d = hashlib.sha256(payload.hex().encode("ascii")).digest()  # 32 bytes
     width = 16 + d[0] % 240
     height = 16 + d[1] % 240
     feat = np.frombuffer(d, dtype=np.uint8).reshape(8, 4)
@@ -244,8 +249,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return vid.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
-def synth_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+def synth_media_rows(n: int = 50, seed: int = 42) -> list[tuple]:
+    """Deterministic fake media rows (driver-side python) — exposed so
+    the gate's DuckDB oracle can serialize the SAME payload bytes into
+    a VALUES CTE."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "video", "audio"]
     rows = []
@@ -254,4 +261,9 @@ def synth_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
         payload = rng.bytes(64 + int(rng.integers(0, 192)))
         meta = {"duration_ms": str(int(rng.integers(1000, 8000)))} if kind == "video" else {}
         rows.append((i, f"https://media.example/{kind}/{i}", kind, payload, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for plumbing tests."""
+    return spark.createDataFrame(synth_media_rows(n, seed), MEDIA_SCHEMA)
