@@ -364,10 +364,16 @@ def embedding_near_dup_pairs(
     ).persist()
     banded = sig.select("__id", F.posexplode("__keys").alias("__band", "__key"))
     if max_bucket is not None:
-        w = Window.partitionBy("__band", "__key")
-        banded = banded.withColumn("__bsz", F.count("*").over(w)).filter(
-            F.col("__bsz") <= max_bucket
-        ).drop("__bsz")
+        # hot-list anti-join, not a count window: the window would sort
+        # the whole banded set per partition, while the hot list is at
+        # most n/max_bucket buckets by definition — always broadcastable
+        hot = (
+            banded.groupBy("__band", "__key")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("__band", "__key")
+        )
+        banded = banded.join(F.broadcast(hot), ["__band", "__key"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
