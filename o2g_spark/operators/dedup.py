@@ -94,9 +94,19 @@ def jaccard_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, rounded 6dp,
     ≥ threshold.
     """
-    sh_full = df.select(
-        F.col(id_col).alias("__id"),
-        X.shingles(text_col, n).alias("__shset"),
+    # repartition BEFORE shingling: small corpora arrive as one parquet
+    # partition and the regex+sort shingle pass would run single-
+    # threaded (measured 6 s single-thread vs <1 s spread at sf0.1);
+    # persist because the candidate join + size/array lookups re-scan
+    # this 3-4× (same rule as minhash_lsh_pairs)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh_full = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col).alias("__id"),
+            X.shingles(text_col, n).alias("__shset"),
+        )
+        .persist()
     )
     sh = sh_full.select("__id", F.explode("__shset").alias("__sh"))
     if max_df is not None:
