@@ -84,10 +84,21 @@ def main():
     worker_src = WORKER % {"repo": REPO}
     results = {}
     for cpus in (8, 32):
-        print(f"running local[{cpus}] ...", flush=True)
+        print(f"running local[{cpus}] (pinned to {cpus} cores) ...", flush=True)
         t0 = time.time()
+        # taskset pins the WHOLE process tree (JVM threads + pyspark
+        # worker processes) to exactly `cpus` cores. Without it the
+        # "N"-level run cheats: its Arrow python workers execute on the
+        # machine's idle cores for free, which a real N-core executor
+        # never gets — unpinned local[8] measured ~28 s vs ~40 s pinned
+        # at 64M pages, inflating apparent 8→32 efficiency headroom on
+        # the 8-thread side and deflating the ratio. Pinning makes the
+        # N-vs-4N proxy honest: each level pays ALL its compute (JVM,
+        # Arrow serialization, python) inside its core budget, exactly
+        # like cluster executors with fixed cores.
         out = subprocess.run(
-            [sys.executable, "-c", worker_src, str(cpus), pages_path],
+            ["taskset", "-c", f"0-{cpus - 1}",
+             sys.executable, "-c", worker_src, str(cpus), pages_path],
             capture_output=True, text=True, timeout=3600,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]

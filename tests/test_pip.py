@@ -135,6 +135,37 @@ def test_pip_thin_zone_budget_break(spark):
     assert [(r["pid"], r["zone_id"]) for r in got] == [(0, 0)]
 
 
+def test_pip_jvm_and_udf_raycast_agree(spark, zones_pdf):
+    """The Arrow-UDF ray cast (default) and the pure-JVM literal-edges
+    variant must produce identical rows — same IEEE formula, two
+    execution paths."""
+    rings = synth.zone_rings(zones_pdf)
+    pts_pdf = _points(2500)
+    pts = spark.createDataFrame(pts_pdf)
+    arrow = (
+        pip.pip_join(pts, rings, res=8).select("pid", "zone_id").toPandas()
+        .sort_values(["pid", "zone_id"]).reset_index(drop=True)
+    )
+    jvm = (
+        pip.pip_join(pts, rings, res=8, raycast="jvm")
+        .select("pid", "zone_id").toPandas()
+        .sort_values(["pid", "zone_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(arrow, jvm)
+
+
+def test_pip_jvm_raycast_plan_has_no_python(spark, zones_pdf):
+    """raycast='jvm': NO Python in the plan at all (for executor
+    environments without Python workers)."""
+    rings = synth.zone_rings(zones_pdf)
+    pts = spark.createDataFrame(_points(100))
+    plan = (
+        pip.pip_join(pts, rings, res=8, raycast="jvm")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_pip_plan_is_broadcast(spark, zones_pdf):
     """The cover join must be a broadcast hash join, not a shuffle."""
     rings = synth.zone_rings(zones_pdf)
