@@ -242,6 +242,19 @@ def _q_events_window(spark, sf_dir):
     return W.tumbling_agg(_t(spark, sf_dir, "events"), "1 hour")
 
 
+def _q_cell_visits(spark, sf_dir):
+    """Geofence-dwell visits (B16 custom stateful op, batch twin of
+    streaming/stateful.cell_visits_stateful): maximal runs of
+    consecutive same-cell events per user. Cell derives from the event
+    hour so entities 'dwell' and 'move' deterministically."""
+    from o2g_spark.streaming import stateful as SF
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cell", F.floor(F.hour("ts") / F.lit(6)).cast(T.LongType())
+    )
+    return SF.cell_visits_batch(e)
+
+
 def _q_sessionize(spark, sf_dir):
     return W.sessionize(_t(spark, sf_dir, "events"), "30 minutes")
 
@@ -797,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": _q_json_extract,
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
+        "cell_visits": _q_cell_visits,
         # spatial kernel
         "cell_encode": _q_cell_encode,
         "cell_rollup": _q_cell_rollup,
@@ -943,6 +957,29 @@ SELECT user_id, min(ts) AS session_start,
        max(ts) + INTERVAL '30 minutes' AS session_end,
        count(*) AS n_events
 FROM numbered GROUP BY user_id, session_no
+""",
+        "cell_visits": """
+WITH ev AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(date_part('hour', ts) / 6) AS BIGINT) AS cell
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts, cell,
+         CASE WHEN lag(cell) OVER w IS NULL OR lag(cell) OVER w <> cell
+              THEN 1 ELSE 0 END AS chg
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, cell,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS vid
+  FROM marked
+)
+SELECT user_id, cell, min(ts) AS enter_ts, max(ts) AS exit_ts,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, vid, cell
 """,
         "cell_encode": f"""
 WITH pts AS ({pts_c})

@@ -1,7 +1,7 @@
 """Custom stateful streaming operators (driver brief:
 "applyInPandasWithState for custom stateful operators").
 
-Two canonical shapes for the crawl-stream case:
+Three canonical shapes for the crawl-stream case:
 
 - :func:`dedup_stream` — keep the FIRST occurrence of each url within
   the watermark horizon (streaming analogue of dedup_exact; Spark's
@@ -10,16 +10,29 @@ Two canonical shapes for the crawl-stream case:
   timestamp via ``applyInPandasWithState``: arbitrary per-key state in
   an Arrow-batched Python function, with processing-time timeout so
   idle keys are evicted (bounded state at an unbounded stream).
+- :func:`cell_visits_stateful` — geofence-dwell visits: a *visit* is a
+  maximal run of consecutive events (by time) in the same cell. The
+  run boundary is a VALUE change, not a time gap, so neither
+  ``F.window`` nor ``F.session_window`` expresses it; state carries
+  each entity's open visit. :func:`cell_visits_batch` is the pure-
+  Catalyst backfill twin with a DuckDB oracle in the driver gate.
+
+Scale notes (100 TB/day stream): state is one tiny tuple per active
+key, hash-partitioned by the group key — the layout RocksDB state
+stores shard; timeouts bound state for keys that disappear.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
+from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
 
 RUNNING_SCHEMA = T.StructType(
     [
@@ -86,4 +99,147 @@ def running_counts(
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+VISIT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("enter_ts", T.TimestampType()),
+        T.StructField("exit_ts", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_VISIT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cell", T.LongType()),
+        T.StructField("enter_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def cell_visits_batch(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    cell_col: str = "cell",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Batch twin: visits via lag() change detection + cumsum visit ids.
+
+    Deterministic: events are ordered by (ts, order_col) within each
+    entity, so duplicate timestamps cannot flip run boundaries.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_col))
+    prev = F.lag(F.col(cell_col)).over(w)
+    change = F.when(prev.isNull() | (prev != F.col(cell_col)), 1).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vid = F.sum(change).over(wrun)
+    return (
+        events.withColumn("__vid", vid)
+        .groupBy(F.col(user_col).alias("user_id"), F.col("__vid"))
+        .agg(
+            F.first(F.col(cell_col)).alias("cell"),
+            F.min(ts_col).alias("enter_ts"),
+            F.max(ts_col).alias("exit_ts"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("__vid")
+        .select("user_id", "cell", "enter_ts", "exit_ts", "n_events")
+    )
+
+
+def cell_visits_batch_sql(
+    table: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    cell_col: str = "cell",
+    order_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`cell_visits_batch` (lag/cumsum, same order)."""
+    return f"""
+WITH marked AS (
+  SELECT {user_col} AS user_id, {ts_col} AS ts, {cell_col} AS cell,
+         CASE WHEN lag({cell_col}) OVER w IS NULL
+                OR lag({cell_col}) OVER w <> {cell_col}
+              THEN 1 ELSE 0 END AS chg
+  FROM {table}
+  WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, {order_col})
+),
+numbered AS (
+  SELECT user_id, ts, cell,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS vid
+  FROM marked
+)
+SELECT user_id, cell, min(ts) AS enter_ts, max(ts) AS exit_ts,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, vid, cell
+"""
+
+
+def cell_visits_stateful(
+    stream: DataFrame,
+    timeout_ms: int = 600_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Structured Streaming cell visits via ``applyInPandasWithState``.
+
+    State per entity = its OPEN visit; a new cell closes the previous
+    visit (emitted), a processing-time timeout of ``timeout_ms`` closes
+    idle visits. Output rows are CLOSED visits only (append mode) —
+    exactly-once per visit under the normal micro-batch guarantees.
+
+    Within a micro-batch rows are sorted by event time; cross-batch
+    reordering is bounded by the upstream watermark the caller sets.
+    """
+    if not stream.isStreaming:
+        raise ValueError("cell_visits_stateful expects a streaming DataFrame; "
+                         "use cell_visits_batch for batch backfill")
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        cols = ["user_id", "cell", "enter_ts", "exit_ts", "n_events"]
+        if state.hasTimedOut:
+            cell, enter, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([(uid, cell, enter, last, n)], columns=cols)
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col]).reset_index(drop=True)
+        cur = list(state.get) if state.exists else None
+        closed: list[tuple] = []
+        for r in rows.itertuples():
+            cell = int(getattr(r, cell_col))
+            ts = getattr(r, ts_col)
+            if cur is None:
+                cur = [cell, ts, ts, 1]
+            elif cell == cur[0]:
+                cur[2], cur[3] = ts, cur[3] + 1
+            else:
+                closed.append((uid, cur[0], cur[1], cur[2], cur[3]))
+                cur = [cell, ts, ts, 1]
+        state.update(tuple(cur))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(closed, columns=cols)
+
+    return (
+        stream.groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=VISIT_SCHEMA,
+            stateStructType=_VISIT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
     )
