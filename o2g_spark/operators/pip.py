@@ -196,8 +196,11 @@ def pip_join(
     the (mixed-res) covers contain — a small literal array, exploded —
     then ONE broadcast hash equi-join on cell_id. Cell ids embed their
     resolution, so cross-res collisions are impossible and a point can
-    hit at most one cover cell per zone. Map-only over the point table;
-    the Arrow ray-cast sees only the boundary sliver.
+    hit at most one cover cell per zone. Map-only over the point table.
+    Catalyst hoists the refine UDF over every joined row, so its inputs
+    are null-masked for interior hits — only the boundary sliver pays
+    actual ray-cast work (Python-side in "arrow" mode, CASE-guarded
+    codegen in "jvm" mode).
     """
     spark = points.sparkSession
     covers, res_list = zone_covers(spark, rings_by_zone, res, base_res)
