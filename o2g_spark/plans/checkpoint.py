@@ -18,7 +18,11 @@ metadata** — on plain parquet:
   at any point leaves either the previous snapshot or a committed new
   one, never a partial-visible state;
 - lineage rows are computed from the data as re-read from the committed
-  files (digests attest the bytes on disk, not the pre-write plan).
+  files (digests attest the bytes on disk, not the pre-write plan);
+- snapshots are VERSIONED: a forced rebuild retires the current
+  snapshot into ``snapshots/<id>/`` where it remains readable
+  (``read_snapshot`` = Iceberg ``VERSION AS OF`` time travel;
+  ``snapshots`` = the snapshot log; ``expire_snapshots`` = retention).
 
 Lineage buckets are **deterministic in row content** (hash of a key
 column, or the cell range), never ``spark_partition_id()`` — the same
@@ -109,22 +113,100 @@ class CheckpointManager:
         m = self.manifest(stage)
         return bool(m and m.get("committed"))
 
+    # ---------------------------------------------- snapshot history
+
+    def snapshots(self, stage: str) -> list[dict]:
+        """All committed snapshots of a stage, oldest first, current
+        last — the Iceberg snapshot-log analogue. Each entry is the
+        manifest dict (with its ``snapshot_id``)."""
+        sdir = self._stage_dir(stage)
+        hist_dir = os.path.join(sdir, "snapshots")
+        out: list[dict] = []
+        if os.path.isdir(hist_dir):
+            for name in sorted(os.listdir(hist_dir)):
+                mp = os.path.join(hist_dir, name, "manifest.json")
+                if os.path.exists(mp):
+                    with open(mp) as f:
+                        out.append(json.load(f))
+        cur = self.manifest(stage)
+        if cur and cur.get("committed"):
+            out.append(cur)
+        return out
+
+    def read_snapshot(self, stage: str, snapshot_id: str | None = None) -> DataFrame:
+        """Time travel: read a stage AS OF a snapshot id (default: the
+        current snapshot). Retired snapshots stay readable until
+        :meth:`expire_snapshots` removes them — the Iceberg
+        ``VERSION AS OF`` analogue."""
+        sdir = self._stage_dir(stage)
+        cur = self.manifest(stage)
+        if snapshot_id is None or (cur and cur.get("snapshot_id") == snapshot_id):
+            if not (cur and cur.get("committed")):
+                raise FileNotFoundError(f"stage {stage!r} has no committed snapshot")
+            return self.spark.read.parquet(os.path.join(sdir, "data"))
+        hist = os.path.join(sdir, "snapshots", snapshot_id, "data")
+        if not os.path.isdir(hist):
+            raise FileNotFoundError(
+                f"stage {stage!r} has no snapshot {snapshot_id!r}; "
+                f"known: {[m['snapshot_id'] for m in self.snapshots(stage)]}"
+            )
+        return self.spark.read.parquet(hist)
+
+    def expire_snapshots(self, stage: str, keep: int = 1) -> int:
+        """Drop all but the newest ``keep`` RETIRED snapshots (the
+        current one is never touched). Returns the number removed."""
+        sdir = os.path.join(self._stage_dir(stage), "snapshots")
+        if not os.path.isdir(sdir):
+            return 0
+        names = sorted(os.listdir(sdir))
+        victims = names[: max(0, len(names) - keep)]
+        for name in victims:
+            shutil.rmtree(os.path.join(sdir, name))
+        return len(victims)
+
+    def _retire_current(self, stage: str) -> None:
+        """Move the current snapshot into snapshots/<id>/ before a new
+        commit. Two renames — a crash between them degrades to a
+        rebuild on resume (stage looks uncommitted), never to
+        partial-visible data; the retired snapshot is preserved."""
+        m = self.manifest(stage)
+        if not (m and m.get("committed")):
+            return
+        sdir = self._stage_dir(stage)
+        dst = os.path.join(sdir, "snapshots", str(m["snapshot_id"]))
+        os.makedirs(dst, exist_ok=True)
+        # manifest first: once it moves, is_committed() is False and a
+        # crashed run resumes by rebuilding instead of trusting `data`
+        os.rename(os.path.join(sdir, "manifest.json"), os.path.join(dst, "manifest.json"))
+        os.rename(os.path.join(sdir, "data"), os.path.join(dst, "data"))
+
     def run_stage(
         self,
         stage: str,
         build_fn: Callable[[], DataFrame],
         key_col: str,
         cell_col: str | None = None,
+        force: bool = False,
     ) -> DataFrame:
+        """Run (or resume) a stage. ``force=True`` rebuilds even when a
+        committed snapshot exists: the old snapshot is RETIRED into the
+        history (still readable via :meth:`read_snapshot`) and the new
+        one becomes current — Iceberg's createOrReplace semantics."""
         sdir = self._stage_dir(stage)
         data_dir = os.path.join(sdir, "data")
         if self.is_committed(stage):
-            return self.spark.read.parquet(data_dir)
+            if not force:
+                return self.spark.read.parquet(data_dir)
+            self._retire_current(stage)
 
-        # discard any uncommitted leftovers from a killed run
+        # discard any uncommitted leftovers from a killed run,
+        # preserving retired snapshot history
         if os.path.exists(sdir):
-            shutil.rmtree(sdir)
-        os.makedirs(sdir)
+            for name in os.listdir(sdir):
+                if name != "snapshots":
+                    p = os.path.join(sdir, name)
+                    shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        os.makedirs(sdir, exist_ok=True)
 
         token = uuid.uuid4().hex[:12]
         tmp_data = os.path.join(sdir, f"data.tmp-{token}")

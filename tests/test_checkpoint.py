@@ -70,6 +70,43 @@ def test_uncommitted_stage_recomputes(spark, tmp_path):
     assert ckpt.is_committed("sX")
 
 
+def test_snapshot_time_travel(spark, tmp_path):
+    """force=True retires the current snapshot into history; the old
+    version stays readable AS OF its snapshot id (Iceberg time travel),
+    the snapshot log lists both, and expiry drops retired versions."""
+    base = str(tmp_path / "wh_tt")
+    ckpt = CheckpointManager(spark, base, n_buckets=4)
+    ckpt.run_stage("s", lambda: _mk_df(spark, 100), key_col="url")
+    v1 = ckpt.manifest("s")["snapshot_id"]
+
+    out2 = ckpt.run_stage("s", lambda: _mk_df(spark, 150), key_col="url", force=True)
+    v2 = ckpt.manifest("s")["snapshot_id"]
+    assert v1 != v2 and out2.count() == 150
+
+    # snapshot log: retired v1 first, current v2 last
+    log = [m["snapshot_id"] for m in ckpt.snapshots("s")]
+    assert log == [v1, v2]
+    # time travel: AS OF v1 reads the 100-row version; default = current
+    assert ckpt.read_snapshot("s", v1).count() == 100
+    assert ckpt.read_snapshot("s").count() == 150
+    # plain (non-force) rerun still resumes from current, not rebuild
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return _mk_df(spark, 1)
+
+    assert ckpt.run_stage("s", build, key_col="url").count() == 150
+    assert calls["n"] == 0
+    # retention: expiring keeps the current version untouched
+    assert ckpt.expire_snapshots("s", keep=0) == 1
+    assert ckpt.read_snapshot("s").count() == 150
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        ckpt.read_snapshot("s", v1)
+
+
 def test_manifest_atomic_marker(spark, tmp_path):
     base = str(tmp_path / "wh3")
     ckpt = CheckpointManager(spark, base)
