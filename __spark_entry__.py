@@ -320,8 +320,24 @@ def _q_knn(spark, sf_dir):
 
 
 def _q_geotag_coords(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "url")
-    out = geotag.extract_coords(docs, "text")
+    """Coordinate extraction over the documents stream. The synthetic
+    corpus contains no coordinate literals (a trivially-0-row pass), so
+    every 10th document gains a PLANTED copy whose text appends a
+    derived coordinate — the gate then proves real extraction at every
+    sf. Planted ids offset by 10^7; derivation/format is IEEE-exact in
+    both engines (pmod + %.4f)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("url"), "text"
+    )
+    lat = F.pmod(F.col("url") * F.lit(7.0), F.lit(110.0)) - F.lit(55.0) + F.lit(0.005)
+    lon = F.pmod(F.col("url").cast(T.DoubleType()), F.lit(120.0)) - F.lit(60.0) + F.lit(0.005)
+    planted = docs.filter(F.pmod(F.col("url"), F.lit(10)) == 0).select(
+        (F.col("url") + F.lit(10_000_000)).alias("url"),
+        F.concat(
+            F.col("text"), F.format_string(" Located at %.4f, %.4f.", lat, lon)
+        ).alias("text"),
+    )
+    out = geotag.extract_coords(docs.unionByName(planted), "text")
     return out.select("url", "lat", "lon", "mention")
 
 
@@ -1055,11 +1071,20 @@ WHERE abs(CAST(string_split_regex(mention, ',\\s')[1] AS DOUBLE)) <= 90.0
   AND abs(CAST(string_split_regex(mention, ',\\s')[2] AS DOUBLE)) <= 180.0
 """,
         "geotag_coords": r"""
-WITH m AS (
-  SELECT doc_id AS url, text,
+WITH docs AS (
+  SELECT doc_id AS url, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000,
+         text || printf(' Located at %.4f, %.4f.',
+                        fmod(doc_id * 7.0, 110.0) - 55.0 + 0.005,
+                        fmod(CAST(doc_id AS DOUBLE), 120.0) - 60.0 + 0.005)
+  FROM documents WHERE doc_id % 10 = 0
+),
+m AS (
+  SELECT url, text,
          unnest(regexp_extract_all(text,
            '(-?\d{1,2}\.\d{1,6}),\s(-?\d{1,3}\.\d{1,6})', 0)) AS mention
-  FROM documents
+  FROM docs
 )
 SELECT url,
        CAST(string_split_regex(mention, ',\s')[1] AS DOUBLE) AS lat,
