@@ -1,9 +1,13 @@
 """Production pipeline CLI (BASELINE.json north_rule: "runs via
 spark-submit --py-files ... at N and 4N executors").
 
-    spark-submit --master local[8] \
+    spark-submit --master local[8] --driver-memory 32g \
         --py-files "$(python -c 'from o2g_spark.session import build_pyfiles_zip; print(build_pyfiles_zip())')" \
         jobs/run_pipeline.py --pages synth:1000000 --out /tmp/wh --stage all
+
+(--driver-memory is mandatory past ~5M pages: under spark-submit the
+JVM exists before get_spark runs, so the session default cannot apply —
+the stock 1g heap dies in the first wide write.)
 
 Stages (each checkpoints atomically with per-partition lineage rows and
 resumes from the last committed snapshot — kill this job at any point
