@@ -93,6 +93,8 @@ def main():
             spark.read.parquet(f"{SF_DIR}/documents.parquet"),
             "doc_id", "text", n=3, threshold=0.4, max_df=JACCARD_MAX_DF,
         ),
+        # banded-LSH embedding near-dup incl. planted pairs (rows > 0)
+        "embedding_near_dup": lambda: E.queries()["embedding_near_dup"](spark, SF_DIR),
         "events_window": lambda: E.queries()["events_window"](spark, SF_DIR),
     }
 
