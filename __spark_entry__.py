@@ -981,7 +981,7 @@ WITH ev AS (
   FROM events
 ),
 marked AS (
-  SELECT user_id, ts, cell,
+  SELECT user_id, ts, cell, event_id,
          CASE WHEN lag(cell) OVER w IS NULL OR lag(cell) OVER w <> cell
               THEN 1 ELSE 0 END AS chg
   FROM ev
@@ -989,7 +989,7 @@ marked AS (
 ),
 numbered AS (
   SELECT user_id, ts, cell,
-         sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS vid
   FROM marked
 )

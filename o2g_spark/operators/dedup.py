@@ -96,9 +96,12 @@ def jaccard_pairs(
     """
     # repartition BEFORE shingling: small corpora arrive as one parquet
     # partition and the regex+sort shingle pass would run single-
-    # threaded (measured 6 s single-thread vs <1 s spread at sf0.1);
-    # persist because the candidate join + size/array lookups re-scan
-    # this 3-4× (same rule as minhash_lsh_pairs)
+    # threaded (measured 6 s single-thread vs <1 s spread at sf0.1).
+    # localCheckpoint, not persist(): the candidate join + size/array
+    # lookups re-scan this 3-4×, and CacheManager entries from
+    # persist() are never released when the caller drops the result —
+    # a storage leak in long-lived sessions — while localCheckpoint
+    # blocks are GC-tracked by the ContextCleaner.
     par = df.sparkSession.sparkContext.defaultParallelism
     sh_full = (
         df.repartition(par, id_col)
@@ -106,13 +109,18 @@ def jaccard_pairs(
             F.col(id_col).alias("__id"),
             X.shingles(text_col, n).alias("__shset"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sh = sh_full.select("__id", F.explode("__shset").alias("__sh"))
     if max_df is not None:
+        # drop HOT shingles via a broadcast anti-join: the hot list is
+        # at most n/max_df shingles by definition (always broadcastable)
+        # whereas the rare list is nearly the whole vocabulary —
+        # broadcasting it would OOM at exactly the corpus scale the cap
+        # exists for (same shape as the near-dup hot-bucket cap)
         dfreq = sh.groupBy("__sh").agg(F.count("*").alias("__df"))
-        rare = dfreq.filter(F.col("__df") <= max_df).select("__sh")
-        cand_src = sh.join(F.broadcast(rare), "__sh")
+        hot = dfreq.filter(F.col("__df") > max_df).select("__sh")
+        cand_src = sh.join(F.broadcast(hot), "__sh", "left_anti")
         pairs = (
             cand_src.alias("a")
             .join(
@@ -298,13 +306,15 @@ def minhash_lsh_pairs(
     rpb = num_hashes // bands
     # three separate projections so the optimizer keeps each expensive
     # pass (regex shingling, md5 hashing) evaluated exactly once;
-    # persist because the self-join + verify re-scan this 3×
+    # localCheckpoint because the self-join + verify re-scan this 3×
+    # (and unlike persist(), its blocks are ContextCleaner-GC'd when
+    # the caller drops the result — no CacheManager leak per call)
     sig = (
         df.select(F.col(id_col).alias("__id"), X.shingles(text_col, 3).alias("__sh"))
         .withColumn("__h", F.transform(F.col("__sh"), X.md5_hash60))
         .withColumn("__sig", minhash_from_hashes("__h", num_hashes))
         .drop("__h")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # bands shuffle only (id, band, 16-byte key) — shingle arrays are
     # joined back per candidate pair afterwards, never multiplied ×bands

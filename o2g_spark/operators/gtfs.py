@@ -199,6 +199,12 @@ def build_frequencies(
     the frequency-based re-statement of A10's explicit trips. Pass the
     SAME (trips_per_route, start_s, headway_s) given to
     :func:`dummy_schedule`.
+
+    A GTFS service must be declared EITHER via scheduled trips OR via
+    frequencies, never both (a consumer would expand the frequencies
+    window AND run the explicit sibling trips — every departure
+    double-counted). Use :func:`frequencies_feed` to get the coherent
+    (template trips, template stop_times, frequencies) triple.
     """
     end_s = start_s + trips_per_route * headway_s
 
@@ -211,6 +217,25 @@ def build_frequencies(
         F.lit(hhmmss(end_s)).alias("end_time"),
         F.lit(headway_s).alias("headway_secs"),
     )
+
+
+def frequencies_feed(
+    trips: DataFrame,
+    stop_times: DataFrame,
+    trips_per_route: int = 2,
+    start_s: int = 6 * 3600,
+    headway_s: int = 1800,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(template trips, template stop_times, frequencies) — the
+    frequency-based representation of the dummy schedule: ONE template
+    trip per route whose stop_times define relative travel offsets,
+    plus a frequencies row expanding it across the service window.
+    Replaces the explicit sibling trips so no departure is declared
+    twice."""
+    freq = build_frequencies(trips, trips_per_route, start_s, headway_s)
+    t0 = trips.filter(F.col("trip_id").endswith("_0"))
+    st0 = stop_times.join(t0.select("trip_id"), "trip_id", "left_semi")
+    return t0, st0, freq
 
 
 def write_gtfs_zip(

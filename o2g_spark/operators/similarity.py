@@ -355,13 +355,16 @@ def embedding_near_dup_pairs(
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(first["d"])
     keys_udf = lsh_band_keys_udf(dim, bands, bits_per_band, seed)
-    # persist: the banded self-join scans this twice and the vector
-    # fetch twice more; without it the UDF matmul re-runs per scan
+    # localCheckpoint: the banded self-join scans this twice and the
+    # vector fetch twice more; without materialization the UDF matmul
+    # re-runs per scan (persist() would too, but its CacheManager entry
+    # leaks when the caller drops the result — checkpoint blocks are
+    # ContextCleaner-GC'd)
     sig = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         keys_udf(F.col(vec_col)).alias("__keys"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     banded = sig.select("__id", F.posexplode("__keys").alias("__band", "__key"))
     if max_bucket is not None:
         # hot-list anti-join, not a count window: the window would sort

@@ -115,23 +115,37 @@ class CheckpointManager:
 
     # ---------------------------------------------- snapshot history
 
+    def _history_entries(self, stage: str) -> list[str]:
+        """Retired-snapshot dir names, oldest first. Names carry a
+        monotonic zero-padded ordinal prefix (``00001-<id>``) — uuid
+        snapshot ids are random, so the ordinal, not the id, defines
+        the log order (and survives expiry of older entries)."""
+        hist_dir = os.path.join(self._stage_dir(stage), "snapshots")
+        if not os.path.isdir(hist_dir):
+            return []
+        return sorted(os.listdir(hist_dir))
+
     def snapshots(self, stage: str) -> list[dict]:
         """All committed snapshots of a stage, oldest first, current
         last — the Iceberg snapshot-log analogue. Each entry is the
         manifest dict (with its ``snapshot_id``)."""
-        sdir = self._stage_dir(stage)
-        hist_dir = os.path.join(sdir, "snapshots")
+        hist_dir = os.path.join(self._stage_dir(stage), "snapshots")
         out: list[dict] = []
-        if os.path.isdir(hist_dir):
-            for name in sorted(os.listdir(hist_dir)):
-                mp = os.path.join(hist_dir, name, "manifest.json")
-                if os.path.exists(mp):
-                    with open(mp) as f:
-                        out.append(json.load(f))
+        for name in self._history_entries(stage):
+            mp = os.path.join(hist_dir, name, "manifest.json")
+            if os.path.exists(mp):
+                with open(mp) as f:
+                    out.append(json.load(f))
         cur = self.manifest(stage)
         if cur and cur.get("committed"):
             out.append(cur)
         return out
+
+    def _history_dir_for(self, stage: str, snapshot_id: str) -> str | None:
+        for name in self._history_entries(stage):
+            if name.endswith(f"-{snapshot_id}"):
+                return os.path.join(self._stage_dir(stage), "snapshots", name)
+        return None
 
     def read_snapshot(self, stage: str, snapshot_id: str | None = None) -> DataFrame:
         """Time travel: read a stage AS OF a snapshot id (default: the
@@ -144,39 +158,43 @@ class CheckpointManager:
             if not (cur and cur.get("committed")):
                 raise FileNotFoundError(f"stage {stage!r} has no committed snapshot")
             return self.spark.read.parquet(os.path.join(sdir, "data"))
-        hist = os.path.join(sdir, "snapshots", snapshot_id, "data")
-        if not os.path.isdir(hist):
+        hist = self._history_dir_for(stage, snapshot_id)
+        if hist is None or not os.path.isdir(os.path.join(hist, "data")):
             raise FileNotFoundError(
                 f"stage {stage!r} has no snapshot {snapshot_id!r}; "
                 f"known: {[m['snapshot_id'] for m in self.snapshots(stage)]}"
             )
-        return self.spark.read.parquet(hist)
+        return self.spark.read.parquet(os.path.join(hist, "data"))
 
     def expire_snapshots(self, stage: str, keep: int = 1) -> int:
         """Drop all but the newest ``keep`` RETIRED snapshots (the
-        current one is never touched). Returns the number removed."""
-        sdir = os.path.join(self._stage_dir(stage), "snapshots")
-        if not os.path.isdir(sdir):
-            return 0
-        names = sorted(os.listdir(sdir))
+        current one is never touched). Ordinal prefixes define age —
+        uuid ids sort randomly. Returns the number removed."""
+        names = self._history_entries(stage)
+        hist_dir = os.path.join(self._stage_dir(stage), "snapshots")
         victims = names[: max(0, len(names) - keep)]
         for name in victims:
-            shutil.rmtree(os.path.join(sdir, name))
+            shutil.rmtree(os.path.join(hist_dir, name))
         return len(victims)
 
     def _retire_current(self, stage: str) -> None:
-        """Move the current snapshot into snapshots/<id>/ before a new
-        commit. Two renames — a crash between them degrades to a
-        rebuild on resume (stage looks uncommitted), never to
-        partial-visible data; the retired snapshot is preserved."""
+        """Move the current snapshot into snapshots/<ord>-<id>/ before
+        a new commit. Two renames, manifest first: after the manifest
+        moves, is_committed() is False, so a crash between the renames
+        resumes by rebuilding — and run_stage's rescue step completes
+        the interrupted data move so the retired snapshot is preserved,
+        never left as a manifest-only phantom."""
         m = self.manifest(stage)
         if not (m and m.get("committed")):
             return
         sdir = self._stage_dir(stage)
-        dst = os.path.join(sdir, "snapshots", str(m["snapshot_id"]))
+        names = self._history_entries(stage)
+        next_ord = 1 + max(
+            (int(n.split("-", 1)[0]) for n in names if n.split("-", 1)[0].isdigit()),
+            default=0,
+        )
+        dst = os.path.join(sdir, "snapshots", f"{next_ord:05d}-{m['snapshot_id']}")
         os.makedirs(dst, exist_ok=True)
-        # manifest first: once it moves, is_committed() is False and a
-        # crashed run resumes by rebuilding instead of trusting `data`
         os.rename(os.path.join(sdir, "manifest.json"), os.path.join(dst, "manifest.json"))
         os.rename(os.path.join(sdir, "data"), os.path.join(dst, "data"))
 
@@ -198,6 +216,20 @@ class CheckpointManager:
             if not force:
                 return self.spark.read.parquet(data_dir)
             self._retire_current(stage)
+
+        # rescue an interrupted retire: a history entry holding a
+        # manifest but no data means the crash hit between
+        # _retire_current's two renames — the stage-level `data` dir is
+        # still that retired snapshot's data (the replacement write had
+        # not started), so complete the move before cleanup deletes it
+        for name in self._history_entries(stage):
+            hdir = os.path.join(sdir, "snapshots", name)
+            if (
+                os.path.exists(os.path.join(hdir, "manifest.json"))
+                and not os.path.exists(os.path.join(hdir, "data"))
+                and os.path.exists(data_dir)
+            ):
+                os.rename(data_dir, os.path.join(hdir, "data"))
 
         # discard any uncommitted leftovers from a killed run,
         # preserving retired snapshot history

@@ -37,13 +37,16 @@ def build_gtfs_zip_from_osm(spark: SparkSession, osm_path: str, out_zip: str) ->
     stops = gtfs.filter_stops(stops_in)
     resolved = gtfs.resolve_members(routes_in, stops)
     trips, stop_times = gtfs.dummy_schedule(resolved)
+    # frequency-based feed: template trips + frequencies rows (a GTFS
+    # service is declared via trips OR frequencies, never both)
+    t0, st0, freq = gtfs.frequencies_feed(trips, stop_times)
     return gtfs.write_gtfs_zip(
         out_zip,
         gtfs.build_stops(resolved),
         gtfs.build_routes(routes_in),
-        trips,
-        stop_times,
-        frequencies=gtfs.build_frequencies(trips),
+        t0,
+        st0,
+        frequencies=freq,
     )
 
 

@@ -160,10 +160,14 @@ def cell_visits_batch_sql(
     cell_col: str = "cell",
     order_col: str = "event_id",
 ) -> str:
-    """DuckDB twin of :func:`cell_visits_batch` (lag/cumsum, same order)."""
+    """DuckDB twin of :func:`cell_visits_batch` (lag/cumsum, same order —
+    the cumsum MUST carry the order_col tie-break too, or duplicate
+    timestamps assign visit ids in arbitrary order and diverge from the
+    Spark side)."""
     return f"""
 WITH marked AS (
   SELECT {user_col} AS user_id, {ts_col} AS ts, {cell_col} AS cell,
+         {order_col} AS ord,
          CASE WHEN lag({cell_col}) OVER w IS NULL
                 OR lag({cell_col}) OVER w <> {cell_col}
               THEN 1 ELSE 0 END AS chg
@@ -172,7 +176,7 @@ WITH marked AS (
 ),
 numbered AS (
   SELECT user_id, ts, cell,
-         sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, ord
                         ROWS UNBOUNDED PRECEDING) AS vid
   FROM marked
 )
@@ -188,6 +192,7 @@ def cell_visits_stateful(
     user_col: str = "user_id",
     ts_col: str = "ts",
     cell_col: str = "cell",
+    order_col: str = "event_id",
 ) -> DataFrame:
     """Structured Streaming cell visits via ``applyInPandasWithState``.
 
@@ -216,7 +221,10 @@ def cell_visits_stateful(
             yield pd.DataFrame([(uid, cell, enter, last, n)], columns=cols)
             return
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values([ts_col]).reset_index(drop=True)
+        # same (ts, order_col) total order as cell_visits_batch —
+        # pandas' default quicksort is unstable, so ts alone would make
+        # visit boundaries nondeterministic on duplicate timestamps
+        rows = rows.sort_values([ts_col, order_col]).reset_index(drop=True)
         cur = list(state.get) if state.exists else None
         closed: list[tuple] = []
         for r in rows.itertuples():

@@ -107,6 +107,51 @@ def test_snapshot_time_travel(spark, tmp_path):
         ckpt.read_snapshot("s", v1)
 
 
+def test_snapshot_expiry_is_age_ordered(spark, tmp_path):
+    """uuid snapshot ids sort randomly — expiry must honor retire ORDER
+    (ordinal prefixes), keeping the newest retired versions."""
+    base = str(tmp_path / "wh_ord")
+    ckpt = CheckpointManager(spark, base, n_buckets=4)
+    sizes = [100, 150, 200, 250]
+    for i, n in enumerate(sizes):
+        ckpt.run_stage("s", lambda n=n: _mk_df(spark, n), key_col="url",
+                       force=i > 0)
+    log = ckpt.snapshots("s")
+    assert [m["row_count"] for m in log] == sizes  # oldest → current
+    retired = [m["snapshot_id"] for m in log[:-1]]
+    assert ckpt.expire_snapshots("s", keep=1) == 2
+    # the NEWEST retired version (200 rows) survived, older two gone
+    assert ckpt.read_snapshot("s", retired[2]).count() == 200
+    import pytest
+
+    for sid in retired[:2]:
+        with pytest.raises(FileNotFoundError):
+            ckpt.read_snapshot("s", sid)
+
+
+def test_retire_crash_window_rescued(spark, tmp_path):
+    """A crash between _retire_current's two renames leaves a
+    manifest-only history entry and the old data still at the stage
+    level; the next run_stage must complete the move (no phantom, no
+    data loss) before rebuilding."""
+    base = str(tmp_path / "wh_crash")
+    ckpt = CheckpointManager(spark, base, n_buckets=4)
+    ckpt.run_stage("s", lambda: _mk_df(spark, 100), key_col="url")
+    v1 = ckpt.manifest("s")["snapshot_id"]
+    # simulate the crash: manifest moved into history, data NOT yet
+    sdir = os.path.join(base, "s")
+    dst = os.path.join(sdir, "snapshots", f"00001-{v1}")
+    os.makedirs(dst)
+    os.rename(os.path.join(sdir, "manifest.json"),
+              os.path.join(dst, "manifest.json"))
+    assert not ckpt.is_committed("s")
+    out = ckpt.run_stage("s", lambda: _mk_df(spark, 120), key_col="url")
+    assert out.count() == 120
+    # the retired snapshot's data was rescued, not deleted
+    assert ckpt.read_snapshot("s", v1).count() == 100
+    assert [m["row_count"] for m in ckpt.snapshots("s")] == [100, 120]
+
+
 def test_manifest_atomic_marker(spark, tmp_path):
     base = str(tmp_path / "wh3")
     ckpt = CheckpointManager(spark, base)

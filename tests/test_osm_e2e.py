@@ -95,8 +95,14 @@ def test_osm_to_gtfs_zip(spark, osm_path, tmp_path):
     routes = zf.read("routes.txt").decode().strip().splitlines()
     assert len(routes) - 1 == 2
     st = zf.read("stop_times.txt").decode().strip().splitlines()
-    # route 200: 3 resolvable × 2 trips, route 201: 2 × 2 trips
-    assert len(st) - 1 == (3 + 2) * 2
+    # frequency-based feed: ONE template trip per route (route 200: 3
+    # resolvable stops, route 201: 2) + a frequencies row expanding it
+    # — not explicit sibling trips (that would double-declare service)
+    assert len(st) - 1 == 3 + 2
+    freq = zf.read("frequencies.txt").decode().strip().splitlines()
+    assert len(freq) - 1 == 2  # one row per route's template trip
+    trips = zf.read("trips.txt").decode().strip().splitlines()
+    assert len(trips) - 1 == 2
 
 
 def test_http_service_roundtrip(spark, osm_path):

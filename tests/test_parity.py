@@ -137,14 +137,17 @@ def test_gtfs_zip_roundtrip(parity, tmp_path):
     fs = gtfs.filter_stops(stops)
     resolved = gtfs.resolve_members(routes, fs)
     trips, st = gtfs.dummy_schedule(resolved)
-    freq = gtfs.build_frequencies(trips)
+    # frequency-based feed: template trips only + frequencies rows —
+    # declaring BOTH all explicit trips and frequencies would
+    # double-count every departure for a GTFS consumer
+    t0, st0, freq = gtfs.frequencies_feed(trips, st)
     p1 = gtfs.write_gtfs_zip(
         str(tmp_path / "a.zip"), gtfs.build_stops(resolved),
-        gtfs.build_routes(routes), trips, st, frequencies=freq,
+        gtfs.build_routes(routes), t0, st0, frequencies=freq,
     )
     p2 = gtfs.write_gtfs_zip(
         str(tmp_path / "b.zip"), gtfs.build_stops(resolved.repartition(13)),
-        gtfs.build_routes(routes), trips, st, frequencies=freq,
+        gtfs.build_routes(routes), t0, st0, frequencies=freq,
     )
     names = set(zipfile.ZipFile(p1).namelist())
     assert names == {
