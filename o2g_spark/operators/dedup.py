@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..functions import text as X
+from ..session import cache_latest
 
 
 # ------------------------------------------------------------------ exact
@@ -97,19 +98,16 @@ def jaccard_pairs(
     # repartition BEFORE shingling: small corpora arrive as one parquet
     # partition and the regex+sort shingle pass would run single-
     # threaded (measured 6 s single-thread vs <1 s spread at sf0.1).
-    # localCheckpoint, not persist(): the candidate join + size/array
-    # lookups re-scan this 3-4×, and CacheManager entries from
-    # persist() are never released when the caller drops the result —
-    # a storage leak in long-lived sessions — while localCheckpoint
-    # blocks are GC-tracked by the ContextCleaner.
+    # cache_latest: the candidate join + size/array lookups re-scan
+    # this 3-4×; the columnar cache beats RDD-checkpoint blocks 2-3×
+    # here, and the registry bounds CacheManager growth per session.
     par = df.sparkSession.sparkContext.defaultParallelism
-    sh_full = (
-        df.repartition(par, id_col)
-        .select(
+    sh_full = cache_latest(
+        "dedup.jaccard.sh_full",
+        df.repartition(par, id_col).select(
             F.col(id_col).alias("__id"),
             X.shingles(text_col, n).alias("__shset"),
-        )
-        .localCheckpoint(eager=True)
+        ),
     )
     sh = sh_full.select("__id", F.explode("__shset").alias("__sh"))
     if max_df is not None:
@@ -306,15 +304,18 @@ def minhash_lsh_pairs(
     rpb = num_hashes // bands
     # three separate projections so the optimizer keeps each expensive
     # pass (regex shingling, md5 hashing) evaluated exactly once;
-    # localCheckpoint because the self-join + verify re-scan this 3×
-    # (and unlike persist(), its blocks are ContextCleaner-GC'd when
-    # the caller drops the result — no CacheManager leak per call)
-    sig = (
-        df.select(F.col(id_col).alias("__id"), X.shingles(text_col, 3).alias("__sh"))
+    # cache_latest because the self-join + verify re-scan this 3×
+    # (bounded: each call releases the previous call's cache)
+    # repartition first: the shingle+md5+minhash pass is the expensive
+    # part and small corpora arrive as one parquet partition
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = cache_latest(
+        "dedup.minhash_lsh.sig",
+        df.repartition(par, id_col)
+        .select(F.col(id_col).alias("__id"), X.shingles(text_col, 3).alias("__sh"))
         .withColumn("__h", F.transform(F.col("__sh"), X.md5_hash60))
         .withColumn("__sig", minhash_from_hashes("__h", num_hashes))
-        .drop("__h")
-        .localCheckpoint(eager=True)
+        .drop("__h"),
     )
     # bands shuffle only (id, band, 16-byte key) — shingle arrays are
     # joined back per candidate pair afterwards, never multiplied ×bands

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from ..session import cache_latest
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double — F.aggregate left fold, order-deterministic."""
@@ -355,16 +357,18 @@ def embedding_near_dup_pairs(
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(first["d"])
     keys_udf = lsh_band_keys_udf(dim, bands, bits_per_band, seed)
-    # localCheckpoint: the banded self-join scans this twice and the
-    # vector fetch twice more; without materialization the UDF matmul
-    # re-runs per scan (persist() would too, but its CacheManager entry
-    # leaks when the caller drops the result — checkpoint blocks are
-    # ContextCleaner-GC'd)
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        keys_udf(F.col(vec_col)).alias("__keys"),
-    ).localCheckpoint(eager=True)
+    # cache_latest: the banded self-join scans this twice and the
+    # vector fetch twice more; without caching the UDF matmul re-runs
+    # per scan (bounded: each call releases the previous call's cache)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = cache_latest(
+        "similarity.near_dup.sig",
+        df.repartition(par, id_col).select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            keys_udf(F.col(vec_col)).alias("__keys"),
+        ),
+    )
     banded = sig.select("__id", F.posexplode("__keys").alias("__band", "__key"))
     if max_bucket is not None:
         # hot-list anti-join, not a count window: the window would sort

@@ -97,3 +97,32 @@ def get_spark(
     # repo root — on a real cluster this is mandatory, not optional.
     spark.sparkContext.addPyFile(build_pyfiles_zip())
     return spark
+
+
+# ------------------------------------------------- bounded operator caches
+
+_live_caches: dict = {}
+
+
+def cache_latest(key: str, df):
+    """persist() with a bounded lifetime: each call under the same key
+    unpersists the PREVIOUS call's cache before caching the new frame.
+
+    Why: Spark's CacheManager never releases a persisted plan when the
+    caller drops the DataFrame (unlike localCheckpoint blocks, which
+    the ContextCleaner GCs — but checkpoint stores row-format blocks
+    and measured 2-3× slower than the compressed columnar cache for
+    the shingle/signature tables this serves). Keeping exactly the
+    most recent cache per operator bounds storage in long-lived
+    sessions; a caller still holding an older result just recomputes
+    lazily on its next action.
+    """
+    prev = _live_caches.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session of the old frame may already be stopped
+    df = df.persist()
+    _live_caches[key] = df
+    return df
