@@ -3,11 +3,12 @@
 `entry(spark)` — flagship spatial pipeline on sf0.001.
 `queries()` — one entry per implemented operator (SURVEY.md §2.B + the
 training-data ops); each callable takes (spark, sf_dir) → DataFrame.
-`oracle_sql()` — DuckDB ANSI-SQL twin for every SQL-expressible query
-(same column names/aliases, bit-identical arithmetic). Iterative /
-UDF-kernel ops (adaptive split, simhash, ANN, multimodal, GTFS parity)
-are rows-only by design — their exactness is pinned by the pytest
-oracles instead (tests/test_*.py).
+`oracle_sql()` — DuckDB ANSI-SQL twin for EVERY query (same column
+names/aliases, bit-identical arithmetic). Iterative / UDF-kernel ops
+(adaptive split, simhash, ANN, multimodal, GTFS parity) get twins via
+literal deterministic constants — seeded hyperplane matrices, trained
+k-means centroids (ivf_train_centroids_local), raw fixture VALUES —
+plus pytest oracles (tests/test_*.py).
 
 Derived spatial columns: the driver views carry no lat/lon, so points
 derive deterministically from table columns with IEEE-exact arithmetic
@@ -704,6 +705,77 @@ FROM scored QUALIFY sim_rank <= 5
 """
 
 
+def _oracle_sf_dir() -> str:
+    """sf dir the data-dependent oracles train against — resolved at
+    oracle_sql() CALL time (not import) so check_oracles.py can repoint
+    it per run. Default = the driver's gate sf."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _ann_ivf_oracle_sql() -> str:
+    """DuckDB twin of _q_ann_ivf — the k-means quantizer is deterministic
+    end-to-end (md5-ranked sample prefix + seeded numpy k-means), so the
+    trained centroids are a reproducible CONSTANT of the gate data:
+    ivf_train_centroids_local replicates the training Spark-free (duckdb
+    read + same hash + same numpy), and the centroids + their numpy
+    squared norms are embedded as literal VALUES (the _planes_values_sql
+    pattern). Assignment replicates the UDF's d = ||c||² - 2 v·c argmin;
+    nearest-centroid ties would break differently (numpy argsort is
+    unstable) but need exact float equality — unobserved on frozen data,
+    same tolerance class as the LSH sign-flip note. Trains at
+    ORACLE_SF_DIR (the driver gates at sf0.01; scripts/check_oracles.py
+    re-points it via $SPARK_GRAFT_ORACLE_SF_DIR for other sfs)."""
+    cent = similarity.ivf_train_centroids_local(
+        os.path.join(_oracle_sf_dir(), "embeddings.parquet"), n_centroids=16
+    )
+    cn = (cent * cent).sum(axis=1)  # same numpy expression as ivf_assign_udf
+    rows = ", ".join(
+        f"({j}, CAST(["
+        + ", ".join(repr(float(v)) for v in cent[j])
+        + f"] AS DOUBLE[]), {float(cn[j])!r})"
+        for j in range(len(cent))
+    )
+    dot = similarity.dot_sql("va", "vb")
+    na = similarity.dot_sql("va", "va")
+    nb = similarity.dot_sql("vb", "vb")
+    return f"""
+WITH cent(cid, w, cn) AS (VALUES {rows}),
+dist AS (
+  SELECT e.vec_id, ct.cid,
+         ct.cn - 2.0 * list_inner_product(
+           list_transform(e.embedding, v -> CAST(v AS DOUBLE)), ct.w) AS d
+  FROM embeddings e CROSS JOIN cent ct
+),
+cbkt AS (
+  SELECT vec_id, cid AS bkt FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+qprobe AS (
+  SELECT vec_id AS qid, cid AS bkt FROM dist WHERE vec_id < 10
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) <= 3
+),
+cand AS (
+  SELECT DISTINCT q.qid, c.vec_id
+  FROM qprobe q JOIN cbkt c ON c.bkt = q.bkt
+),
+vv AS (
+  SELECT c.qid, c.vec_id, eq.embedding AS va, ec.embedding AS vb
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.qid
+  JOIN embeddings ec ON ec.vec_id = c.vec_id
+),
+scored AS (
+  SELECT qid, vec_id,
+         round({dot} / greatest(sqrt({na}) * sqrt({nb}), 1e-300), 6) AS sim
+  FROM vv
+)
+SELECT qid, vec_id, sim,
+       CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS sim_rank
+FROM scored QUALIFY sim_rank <= 5
+"""
+
+
 # --------------------------------------------------- rows-only showcases
 
 def _q_gtfs_resolve(spark, sf_dir):
@@ -1181,6 +1253,7 @@ FROM documents
         "simhash_pairs": dedup.simhash_pairs_sql("documents", "doc_id", "text", 3),
         "embedding_near_dup": _near_dup_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
+        "ann_ivf": _ann_ivf_oracle_sql(),
         "multimodal_decode": _multimodal_oracle_sql(),
         "gtfs_resolve": _gtfs_resolve_oracle_sql(),
         "cosine_topk": similarity.cosine_topk_sql(
@@ -1188,7 +1261,7 @@ FROM documents
             "SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10",
             k=5,
         ),
-        # simhash_pairs / ann_lsh / embedding_near_dup / adaptive_split /
-        # gtfs_resolve / multimodal_decode: rows-only (iterative or
-        # Arrow-kernel ops; pinned by pytest oracles instead)
+        # every queries() entry has a value-hash oracle: iterative /
+        # Arrow-kernel ops use literal-constant twins (hyperplanes,
+        # k-means centroids, raw fixtures) rather than rows-only checks
     }

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from ..functions import text as X
 from ..session import cache_latest
 
 
@@ -237,6 +238,70 @@ def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
     return _assign
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse-quantizer training from a Spark corpus.
+
+    Sample selection is a hash-ORDERED prefix — ``(md5_hash60(id) mod
+    2¹⁶, id)`` is a total order, so the selected row SET is independent
+    of partitioning/parallelism. The md5-based rank (not ``xxhash64``)
+    makes the selection replicable OUTSIDE Spark: the gate's DuckDB twin
+    embeds the resulting centroids as literals via
+    :func:`ivf_train_centroids_local`, which reproduces this function
+    bit-for-bit from the parquet file alone.
+    """
+    sample_rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .withColumn(
+            "__r", F.pmod(X.md5_hash60(F.col("i").cast("string")), F.lit(1 << 16))
+        )
+        .orderBy("__r", "i")
+        .limit(train_sample)
+        .collect()
+    )
+    sample_rows.sort(key=lambda r: (r["__r"], r["i"]))
+    sample = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample_rows])
+    return _kmeans_numpy(sample, n_centroids, seed=seed)
+
+
+def ivf_train_centroids_local(
+    parquet_path: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spark-free replica of :func:`ivf_train_centroids` (duckdb read +
+    the same hash rank + the same numpy k-means) — used at oracle-build
+    time to embed the trained centroids as literal VALUES so ``ann_ivf``
+    gets a full value-hash gate entry despite being an iterative op.
+    Bit-identical to the Spark path by construction (pinned by test)."""
+    import hashlib
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT {id_col} AS i, {vec_col} AS v FROM read_parquet('{parquet_path}')"
+    ).fetchall()
+
+    def rank(i) -> int:
+        # Spark: pmod(conv(substr(md5(cast(i as string)),1,15),16,10), 2^16)
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % (1 << 16)
+
+    ranked = sorted(((rank(i), i, v) for i, v in rows), key=lambda t: (t[0], t[1]))
+    sample = np.stack(
+        [np.asarray(v, dtype=np.float64) for _, _, v in ranked[:train_sample]]
+    )
+    return _kmeans_numpy(sample, n_centroids, seed=seed)
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -255,18 +320,10 @@ def ann_ivf_topk(
     query probes its ``nprobe`` nearest buckets; exact cosine ranks the
     candidates. Same output schema as :func:`cosine_topk`.
     """
-    # deterministic training sample: hash-filtered row SET (partition-
-    # independent), sorted by id so centroid init is order-stable
-    sample_rows = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .withColumn("__r", F.pmod(F.xxhash64("i"), F.lit(1 << 16)))
-        .orderBy("__r", "i")
-        .limit(train_sample)
-        .collect()
+    cent = ivf_train_centroids(
+        corpus, n_centroids, seed=seed, train_sample=train_sample,
+        id_col=id_col, vec_col=vec_col,
     )
-    sample_rows.sort(key=lambda r: (r["__r"], r["i"]))
-    sample = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample_rows])
-    cent = _kmeans_numpy(sample, n_centroids, seed=seed)
 
     c_assign = ivf_assign_udf(cent, nprobe=1)
     q_assign = ivf_assign_udf(cent, nprobe=nprobe)

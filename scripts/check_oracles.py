@@ -63,6 +63,9 @@ def compare(name: str, s: pd.DataFrame, d: pd.DataFrame) -> list[str]:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # data-dependent oracles (ann_ivf centroid literals) train on the
+    # SAME sf as the queries under check
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark("oracle_check", master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TPCH_TABLES:

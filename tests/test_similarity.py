@@ -188,3 +188,21 @@ def test_ann_ivf_recall_and_determinism(emb, spark):
     assert sorted((r.qid, r.vec_id, r.sim_rank) for r in got) == sorted(
         (r.qid, r.vec_id, r.sim_rank) for r in got2
     )
+
+
+def test_ivf_centroids_local_replica_bit_identical(spark, tmp_path):
+    """The Spark-free training replica (used to embed literal centroids
+    in the ann_ivf gate oracle) must reproduce the Spark path's trained
+    centroids BIT-FOR-BIT — same md5-ranked sample prefix, same numpy
+    k-means. A drift here silently invalidates the gate twin."""
+    pdf = _emb()
+    path = str(tmp_path / "emb.parquet")
+    df = spark.createDataFrame(pdf)
+    df.write.parquet(path)
+    c_spark = sim.ivf_train_centroids(
+        spark.read.parquet(path), n_centroids=8, train_sample=100
+    )
+    c_local = sim.ivf_train_centroids_local(
+        path + "/*.parquet", n_centroids=8, train_sample=100
+    )
+    assert np.array_equal(c_spark, c_local)
