@@ -844,6 +844,89 @@ def _q_multimodal_decode(spark, sf_dir):
     )
 
 
+def _q_lineage_digest(spark, sf_dir):
+    """B15 under the gate: the checkpoint manifest's per-bucket lineage
+    (bucket id, row count, order-insensitive digest) computed by the
+    REAL plans.checkpoint.lineage_df machinery in its portable flavor —
+    the invariant BASELINE.json names (per-partition lineage rows that
+    are identical at any parallelism) becomes driver-checkable instead
+    of self-reported. Int/string columns only: portable-digest contract
+    (float stringification differs across engines)."""
+    from o2g_spark.plans import checkpoint
+
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    return checkpoint.lineage_df(src, key_col="o_orderkey", n_buckets=32,
+                                 portable=True)
+
+
+def _lineage_oracle_sql() -> str:
+    """DuckDB twin of _q_lineage_digest: recomputes the md5-60 row hash
+    over the chr(31)-joined stringified columns, the md5-bucketing of
+    the key, and the commutative bit_xor rollup."""
+    row_h = X.md5_hash60_sql(
+        "concat_ws(chr(31), CAST(o_orderkey AS VARCHAR), "
+        "CAST(o_custkey AS VARCHAR), o_orderstatus, o_orderpriority)"
+    )
+    key_h = X.md5_hash60_sql("CAST(o_orderkey AS VARCHAR)")
+    return f"""
+WITH h AS (
+  SELECT {key_h} % 32 AS partition_id, {row_h} AS hh
+  FROM orders
+)
+SELECT partition_id, count(*) AS row_count, bit_xor(hh) AS digest
+FROM h GROUP BY partition_id
+"""
+
+
+def _q_html_to_text(spark, sf_dir):
+    """B3 under the gate: the byte-identical-text invariant BASELINE.json
+    names explicitly (was pytest-golden-only). Drives the REAL
+    extract_text operator (bytes-level Arrow UDF) over the deterministic
+    html fixtures and digests the extracted text with sha2 — any drift
+    in the canonical extraction function flips the value hash."""
+    rows = multimodal.synth_html_rows(80)
+    df = spark.createDataFrame(
+        [(u, h.encode("ascii")) for u, h in rows],
+        T.StructType([
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]),
+    )
+    out = multimodal.extract_text(df)
+    return out.select(
+        "url",
+        F.length("text_extracted").cast(T.LongType()).alias("text_len"),
+        F.sha2(F.col("text_extracted"), 256).alias("text_sha"),
+    )
+
+
+def _html_to_text_oracle_sql() -> str:
+    """DuckDB twin of _q_html_to_text: same (url, html) literals, but the
+    extraction re-implemented in SQL (strip tags, collapse ASCII
+    whitespace runs to one space, trim) — independent of the Python
+    bytes-regex implementation, so the sha256 comparison genuinely pins
+    the byte-identity invariant. ASCII-only fixtures make the
+    bytes-vs-VARCHAR split immaterial; after the collapse the only edge
+    whitespace left is ' ', which plain trim() strips in both engines."""
+    vals = ", ".join(
+        "('" + u + "', '" + h.replace("'", "''") + "')"
+        for u, h in multimodal.synth_html_rows(80)
+    )
+    return f"""
+WITH pages(url, html) AS (VALUES {vals}),
+extracted AS (
+  SELECT url,
+         trim(regexp_replace(regexp_replace(html, '<[^>]*>', '', 'g'),
+                             '[ \\t\\r\\n]+', ' ', 'g')) AS t
+  FROM pages
+)
+SELECT url, CAST(length(t) AS BIGINT) AS text_len, sha256(t) AS text_sha
+FROM extracted
+"""
+
+
 def _multimodal_oracle_sql() -> str:
     """DuckDB twin of _q_multimodal_decode: same payloads (hex VALUES),
     same sha256-of-hex digest, same byte-slice width/height/feature
@@ -931,6 +1014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only showcases
         "gtfs_resolve": _q_gtfs_resolve,
         "multimodal_decode": _q_multimodal_decode,
+        "html_to_text": _q_html_to_text,
+        "lineage_digest": _q_lineage_digest,
     }
 
 
@@ -1255,6 +1340,8 @@ FROM documents
         "ann_lsh": _ann_lsh_oracle_sql(),
         "ann_ivf": _ann_ivf_oracle_sql(),
         "multimodal_decode": _multimodal_oracle_sql(),
+        "html_to_text": _html_to_text_oracle_sql(),
+        "lineage_digest": _lineage_oracle_sql(),
         "gtfs_resolve": _gtfs_resolve_oracle_sql(),
         "cosine_topk": similarity.cosine_topk_sql(
             "embeddings",

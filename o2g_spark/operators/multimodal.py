@@ -249,6 +249,38 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return vid.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+_HTML_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+).split()
+
+
+def synth_html_rows(n: int = 80, seed: int = 7) -> list[tuple[str, str]]:
+    """Deterministic (url, html) fixture rows — ASCII-only, no quotes —
+    exposed so the gate's DuckDB oracle can serialize the SAME html
+    strings into a VALUES CTE while re-implementing the extraction in
+    SQL independently of :func:`html_to_text_bytes` (the pattern
+    :func:`synth_media_rows` set). Covers the extraction edges: nested
+    tags, attribute-bearing tags, tab/newline/CRLF whitespace runs,
+    leading/trailing whitespace, and one tags-only page that extracts
+    to the empty string."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w = [_HTML_WORDS[int(x)] for x in rng.integers(0, len(_HTML_WORDS), 6)]
+        if i % 17 == 0:
+            html = f"<html>\n<body>\t<br/><div class=x{i}></div> </body></html>"
+        else:
+            html = (
+                f"<html>\n <head><title>{w[0]} {w[1]}</title></head>\n"
+                f"<body>\t<p id={i}>{w[2]}  {w[3]}</p>\r\n"
+                f"<div class=c{i % 5}>{w[4]}\n\n{w[5]} page{i}</div> \n"
+                f"</body>\n</html>\n"
+            )
+        rows.append((f"https://example.org/p/{i}", html))
+    return rows
+
+
 def synth_media_rows(n: int = 50, seed: int = 42) -> list[tuple]:
     """Deterministic fake media rows (driver-side python) — exposed so
     the gate's DuckDB oracle can serialize the SAME payload bytes into

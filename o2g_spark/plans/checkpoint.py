@@ -47,21 +47,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def lineage_rows(
+def lineage_df(
     df: DataFrame,
     key_col: str,
     n_buckets: int = 32,
     cell_col: str | None = None,
-) -> list[dict]:
-    """Per-bucket lineage: bucket id, row count, order-insensitive digest,
-    and the covered cell range (if a cell column exists).
+    portable: bool = False,
+) -> DataFrame:
+    """Per-bucket lineage as a DataFrame: bucket id, row count,
+    order-insensitive digest, and the covered cell range (if a cell
+    column exists).
 
-    digest = bit_xor of xxhash64 over the canonical JSON row encoding —
-    commutative, so identical data in any partition order or task
-    placement digests identically.
+    digest = bit_xor over a per-row hash — commutative, so identical
+    data in any partition order or task placement digests identically.
+    Two row-hash flavors:
+
+    - default (``portable=False``): xxhash64 over the canonical JSON row
+      encoding — the cheap JVM hash, right for the production hot path
+      (Spark↔Spark resume/audit comparisons);
+    - ``portable=True``: the shared 60-bit md5 hash over a unit-separator
+      join of the stringified columns, with md5-bucketing of the key —
+      every term recomputable OUTSIDE Spark (DuckDB/Python), which is
+      what puts B15's lineage invariant under the driver's value-hash
+      gate and enables cross-engine warehouse audits. Caller must ensure
+      the columns stringify identically across engines (ints/strings do;
+      float formatting differs).
     """
-    canon = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
-    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).alias("partition_id")
+    cols = [F.col(c) for c in df.columns]
+    if portable:
+        canon = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", *[c.cast("string") for c in cols])), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        bucket = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+            F.lit(n_buckets),
+        ).alias("partition_id")
+    else:
+        canon = F.xxhash64(F.to_json(F.struct(*cols)))
+        bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).alias(
+            "partition_id"
+        )
     aggs = [
         F.count("*").alias("row_count"),
         F.expr("bit_xor(__h)").alias("digest"),
@@ -71,14 +102,23 @@ def lineage_rows(
             F.min(cell_col).alias("cell_range_start"),
             F.max(cell_col).alias("cell_range_end"),
         ]
-    rows = (
+    return (
         df.withColumn("__h", canon)
         .groupBy(bucket)
         .agg(*aggs)
         .orderBy("partition_id")
-        .collect()
     )
-    return [r.asDict() for r in rows]
+
+
+def lineage_rows(
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int = 32,
+    cell_col: str | None = None,
+) -> list[dict]:
+    """Driver-side lineage rows (the manifest payload): collect of
+    :func:`lineage_df` — bounded at ``n_buckets`` rows by construction."""
+    return [r.asDict() for r in lineage_df(df, key_col, n_buckets, cell_col).collect()]
 
 
 class CheckpointManager:
@@ -217,13 +257,18 @@ class CheckpointManager:
                 return self.spark.read.parquet(data_dir)
             self._retire_current(stage)
 
-        # rescue an interrupted retire: a history entry holding a
-        # manifest but no data means the crash hit between
-        # _retire_current's two renames — the stage-level `data` dir is
-        # still that retired snapshot's data (the replacement write had
-        # not started), so complete the move before cleanup deletes it
-        for name in self._history_entries(stage):
-            hdir = os.path.join(sdir, "snapshots", name)
+        # rescue an interrupted retire: a manifest-only history entry
+        # means the crash hit between _retire_current's two renames —
+        # the stage-level `data` dir is still that retired snapshot's
+        # data (the replacement write had not started), so complete the
+        # move before cleanup deletes it. Only the HIGHEST-ordinal entry
+        # can be such a victim (retires are strictly ordered); an older
+        # manifest-only entry is corrupt/expired for some other reason
+        # (e.g. a crash mid expire_snapshots rmtree) and attaching
+        # current data to it would resurrect the wrong snapshot.
+        names = self._history_entries(stage)
+        if names:
+            hdir = os.path.join(sdir, "snapshots", names[-1])
             if (
                 os.path.exists(os.path.join(hdir, "manifest.json"))
                 and not os.path.exists(os.path.join(hdir, "data"))

@@ -2,6 +2,7 @@
 
 import json
 import os
+import shutil
 
 from pyspark.sql import functions as F
 
@@ -150,6 +151,51 @@ def test_retire_crash_window_rescued(spark, tmp_path):
     # the retired snapshot's data was rescued, not deleted
     assert ckpt.read_snapshot("s", v1).count() == 100
     assert [m["row_count"] for m in ckpt.snapshots("s")] == [100, 120]
+
+
+def test_retire_rescue_skips_stale_manifest_only_entry(spark, tmp_path):
+    """Only the HIGHEST-ordinal history entry can be a retire-crash
+    victim (retires are strictly ordered). An OLDER manifest-only entry
+    (e.g. a crash mid expire_snapshots rmtree) must NOT have current
+    data attached to it — that would resurrect the wrong snapshot."""
+    base = str(tmp_path / "wh_stale")
+    ckpt = CheckpointManager(spark, base, n_buckets=4)
+    for i, n in enumerate([100, 150, 200]):
+        ckpt.run_stage("s", lambda n=n: _mk_df(spark, n), key_col="url",
+                       force=i > 0)
+    sdir = os.path.join(base, "s")
+    hist = os.path.join(sdir, "snapshots")
+    names = sorted(os.listdir(hist))
+    assert len(names) == 2
+    # corrupt the OLDEST entry: data gone, manifest left (expiry crash)
+    shutil.rmtree(os.path.join(hist, names[0], "data"))
+    # a normal rebuild must not move current data into the stale entry
+    out = ckpt.run_stage("s", lambda: _mk_df(spark, 250), key_col="url",
+                         force=True)
+    assert out.count() == 250
+    assert not os.path.exists(os.path.join(hist, names[0], "data"))
+    # newest retired snapshot (200 rows) was retired normally and reads
+    log = ckpt.snapshots("s")
+    assert [m["row_count"] for m in log][-2:] == [200, 250]
+
+
+def test_lineage_df_portable_matches_manifest_shape(spark, tmp_path):
+    """lineage_df(portable=True) returns the same (partition_id,
+    row_count) layout as the manifest's xxhash64 flavor, is stable
+    under repartitioning (order-insensitive digest), and every digest
+    is recomputable outside Spark (the gate's DuckDB twin does so)."""
+    from o2g_spark.plans.checkpoint import lineage_df
+
+    df = _mk_df(spark, 200).select("url", "grp")
+    a = lineage_df(df, key_col="url", n_buckets=8, portable=True)
+    b = lineage_df(df.repartition(13), key_col="url", n_buckets=8,
+                   portable=True)
+    ra, rb = a.collect(), b.collect()
+    assert [r["partition_id"] for r in ra] == sorted(
+        {r["partition_id"] for r in ra}
+    )
+    assert sum(r["row_count"] for r in ra) == 200
+    assert [tuple(r) for r in ra] == [tuple(r) for r in rb]
 
 
 def test_manifest_atomic_marker(spark, tmp_path):
