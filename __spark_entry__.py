@@ -965,6 +965,184 @@ FROM slotted
 """
 
 
+def _q_bmp_decode(spark, sf_dir):
+    """REAL image decode under the gate: decode_images over 24-bit BMP
+    fixtures — width/height come from an actual header parse and the
+    8-dim feature from actual pixel stats (multimodal.try_decode_bmp /
+    _bmp_feature), not a digest stand-in. The DuckDB twin re-decodes
+    the SAME payload hex with byte arithmetic (LE header ints, stride
+    padding, BGR channel split), so a hash match proves the decode is
+    physically true."""
+    media = spark.createDataFrame(
+        multimodal.synth_decodable_media_rows(), multimodal.MEDIA_SCHEMA
+    )
+    out = multimodal.decode_images(media)
+    return out.select(
+        "media_id", "width", "height", "n_bytes",
+        F.posexplode("feature").alias("slot", "__f"),
+    ).select(
+        "media_id", "width", "height", "n_bytes", "slot",
+        F.round(F.col("__f").cast(T.DoubleType()), 6).alias("feature_val"),
+    )
+
+
+def _q_wav_decode(spark, sf_dir):
+    """REAL audio decode under the gate: audio_features over PCM16 WAV
+    fixtures — sample-rate-true duration, exact-int-sum RMS, 13
+    channel-0 segment energies. Twin re-decodes the interleaved LE
+    int16 stream from the payload hex."""
+    media = spark.createDataFrame(
+        multimodal.synth_decodable_media_rows(), multimodal.MEDIA_SCHEMA
+    )
+    out = multimodal.audio_features(media)
+    return out.select(
+        "media_id", "duration_ms",
+        F.round(F.col("rms"), 6).alias("rms"),
+        F.posexplode("mfcc").alias("slot", "__m"),
+    ).select(
+        "media_id", "duration_ms", "rms", "slot",
+        F.round(F.col("__m").cast(T.DoubleType()), 6).alias("mfcc_val"),
+    )
+
+
+def _decodable_media_values(kind: str) -> str:
+    return ", ".join(
+        f"({mid}, '{p.hex()}')"
+        for mid, _url, k, p, _m in multimodal.synth_decodable_media_rows()
+        if k == kind
+    )
+
+
+def _hexbyte(pos_expr: str) -> str:
+    """DuckDB: payload byte at 0-based position → BIGINT (hex col ph)."""
+    return (
+        f"CAST(CAST(concat('0x', substr(ph, 2 * ({pos_expr}) + 1, 2)) "
+        "AS INTEGER) AS BIGINT)"
+    )
+
+
+def _le_sql(off: int, nbytes: int, signed: bool = False) -> str:
+    """DuckDB: little-endian integer at fixed byte offset ``off``."""
+    v = " + ".join(
+        f"{256 ** k} * {_hexbyte(str(off + k))}" for k in range(nbytes)
+    )
+    if not signed:
+        return f"({v})"
+    wrap = 256 ** nbytes
+    return f"(CASE WHEN ({v}) >= {wrap // 2} THEN ({v}) - {wrap} ELSE ({v}) END)"
+
+
+def _bmp_decode_oracle_sql() -> str:
+    """DuckDB twin of _q_bmp_decode: full BMP re-decode in SQL — header
+    ints little-endian, abs/sign of biHeight, 4-byte stride, pixel byte
+    at off + y*stride + r with channel c = i%3 in file BGR order (w*3
+    is a multiple of 3, so i%(w*3) ≡ i mod 3). Channel sums/maxes are
+    exact BIGINTs; each feature divides exactly as the Python decoder
+    does (sum/n/255.0), casts through REAL (the float32 schema), and
+    rounds once at 6dp."""
+    feat = """
+           CASE s.slot
+             WHEN 0 THEN sumr / n / 255.0
+             WHEN 1 THEN sumg / n / 255.0
+             WHEN 2 THEN sumb / n / 255.0
+             WHEN 3 THEN maxr / 255.0
+             WHEN 4 THEN maxg / 255.0
+             WHEN 5 THEN maxb / 255.0
+             WHEN 6 THEN minall / 255.0
+             ELSE (sumr + sumg + sumb) / (n * 3) / 255.0
+           END"""
+    return f"""
+WITH media(media_id, ph) AS (VALUES {_decodable_media_values("image")}),
+hdr AS (
+  SELECT media_id, ph,
+         {_le_sql(10, 4)} AS noff,
+         {_le_sql(18, 4, signed=True)} AS w,
+         {_le_sql(22, 4, signed=True)} AS h_raw,
+         CAST(length(ph) // 2 AS BIGINT) AS n_bytes
+  FROM media
+),
+dims AS (
+  SELECT media_id, ph, noff, w, abs(h_raw) AS h, n_bytes,
+         ((w * 3 + 3) // 4) * 4 AS stride
+  FROM hdr
+),
+px AS (
+  SELECT media_id, ph, noff, w, h, n_bytes, stride,
+         unnest(range(0, h * w * 3)) AS i
+  FROM dims
+),
+pixv AS (
+  SELECT media_id, w, h, n_bytes, (i % 3) AS c,
+         {_hexbyte("noff + (i // (w * 3)) * stride + (i % (w * 3))")} AS v
+  FROM px
+),
+stats AS (
+  SELECT media_id, w, h, n_bytes, w * h AS n,
+         sum(v) FILTER (c = 2) AS sumr,
+         sum(v) FILTER (c = 1) AS sumg,
+         sum(v) FILTER (c = 0) AS sumb,
+         max(v) FILTER (c = 2) AS maxr,
+         max(v) FILTER (c = 1) AS maxg,
+         max(v) FILTER (c = 0) AS maxb,
+         min(v) AS minall
+  FROM pixv
+  GROUP BY media_id, w, h, n_bytes
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       n_bytes,
+       CAST(s.slot AS INTEGER) AS slot,
+       round(CAST(CAST({feat} AS REAL) AS DOUBLE), 6) AS feature_val
+FROM stats CROSS JOIN (SELECT unnest(range(0, 8)) AS slot) s
+"""
+
+
+def _wav_decode_oracle_sql() -> str:
+    """DuckDB twin of _q_wav_decode: canonical-header PCM16 WAV
+    re-decode — channels at 22, rate at 24, data length at 40, samples
+    as signed LE int16 from byte 44. RMS over ALL channels from an
+    exact sum of squares; 13 channel-0 segment energies with band(j) =
+    j*13//n, exactly the Python decoder's integer math."""
+    raw = f"({_hexbyte('44 + 2 * k')} + 256 * {_hexbyte('45 + 2 * k')})"
+    return f"""
+WITH media(media_id, ph) AS (VALUES {_decodable_media_values("audio")}),
+hdr AS (
+  SELECT media_id, ph,
+         {_le_sql(22, 2)} AS ch,
+         {_le_sql(24, 4)} AS rate,
+         {_le_sql(40, 4)} AS dlen
+  FROM media
+),
+dims AS (
+  SELECT media_id, ph, ch, rate, dlen // (2 * ch) AS n FROM hdr
+),
+vals AS (
+  SELECT media_id, ch, rate, n, s.k,
+         (CASE WHEN {raw} >= 32768 THEN {raw} - 65536 ELSE {raw} END) AS sv
+  FROM dims, LATERAL (SELECT unnest(range(0, n * ch)) AS k) s
+),
+agg AS (
+  SELECT media_id, any_value(ch) AS ch, any_value(rate) AS rate,
+         any_value(n) AS n, sum(sv * sv) AS sumsq
+  FROM vals GROUP BY media_id
+),
+seg AS (
+  SELECT media_id, ((k // ch) * 13) // n AS band,
+         sum(sv * sv) AS segsq, count(*) AS segn
+  FROM vals WHERE k % ch = 0
+  GROUP BY media_id, band
+)
+SELECT a.media_id,
+       CAST((a.n * 1000) // a.rate AS BIGINT) AS duration_ms,
+       round(sqrt(a.sumsq / (a.n * a.ch)) / 32768.0, 6) AS rms,
+       CAST(g.band AS INTEGER) AS slot,
+       round(CAST(CAST(sqrt(g.segsq / g.segn) / 32768.0 AS REAL)
+                  AS DOUBLE), 6) AS mfcc_val
+FROM agg a JOIN seg g ON a.media_id = g.media_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core
@@ -1016,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "html_to_text": _q_html_to_text,
         "lineage_digest": _q_lineage_digest,
+        "bmp_decode": _q_bmp_decode,
+        "wav_decode": _q_wav_decode,
     }
 
 
@@ -1342,6 +1522,8 @@ FROM documents
         "multimodal_decode": _multimodal_oracle_sql(),
         "html_to_text": _html_to_text_oracle_sql(),
         "lineage_digest": _lineage_oracle_sql(),
+        "bmp_decode": _bmp_decode_oracle_sql(),
+        "wav_decode": _wav_decode_oracle_sql(),
         "gtfs_resolve": _gtfs_resolve_oracle_sql(),
         "cosine_topk": similarity.cosine_topk_sql(
             "embeddings",

@@ -102,3 +102,96 @@ def test_audio_features_shape(spark):
         assert 500 <= r.duration_ms < 10_500
         assert 0.0 <= r.rms <= 255.0
         assert len(r.mfcc) == 13 and all(0.0 <= v <= 1.0 for v in r.mfcc)
+
+
+# ------------------------------------------------ real BMP / WAV decode
+
+import numpy as np  # noqa: E402
+
+
+def test_bmp_roundtrip_padded_and_topdown():
+    """make_bmp → try_decode_bmp is pixel-exact for padded strides
+    (w=5 → 16-byte rows) and both row orders."""
+    rgb = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    for td in (False, True):
+        w, h, out = mm.try_decode_bmp(mm.make_bmp(rgb, top_down=td))
+        assert (w, h) == (5, 4)
+        assert np.array_equal(out, rgb)
+
+
+def test_bmp_rejects_non_bmp():
+    assert mm.try_decode_bmp(b"JFIF" * 30) is None
+    assert mm.try_decode_bmp(b"BM" + b"\x00" * 20) is None  # truncated
+    # 8bpp header → None (only 24-bit BI_RGB supported)
+    b = bytearray(mm.make_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    b[28] = 8
+    assert mm.try_decode_bmp(bytes(b)) is None
+
+
+def test_wav_roundtrip_mono_stereo():
+    s = np.arange(-200, 200, 3, dtype=np.int16)
+    rate, ch, out = mm.try_decode_wav(mm.make_wav(s, 8000))
+    assert (rate, ch) == (8000, 1) and np.array_equal(out[:, 0], s)
+    s2 = np.stack([s, s[::-1]], axis=1).astype(np.int16)
+    rate, ch, out = mm.try_decode_wav(mm.make_wav(s2, 44100))
+    assert (rate, ch) == (44100, 2) and np.array_equal(out, s2)
+
+
+def test_decode_images_bmp_physical_truth(spark):
+    """A solid-color BMP must decode to its REAL dimensions and exact
+    channel means — physically true values, not digest stand-ins."""
+    rgb = np.zeros((6, 5, 3), dtype=np.uint8)
+    rgb[..., 0] = 200  # R
+    rgb[..., 1] = 100  # G
+    rgb[..., 2] = 50   # B
+    media = spark.createDataFrame(
+        [(1, "u", "image", mm.make_bmp(rgb), {})], mm.MEDIA_SCHEMA
+    )
+    r = mm.decode_images(media).collect()[0]
+    assert (r.width, r.height) == (5, 6)
+    f = r.feature
+    assert abs(f[0] - 200 / 255) < 1e-6  # meanR
+    assert abs(f[1] - 100 / 255) < 1e-6
+    assert abs(f[2] - 50 / 255) < 1e-6
+    assert abs(f[3] - 200 / 255) < 1e-6  # maxR
+    assert abs(f[6] - 50 / 255) < 1e-6   # min over all
+    assert abs(f[7] - (350 / 3) / 255) < 1e-6  # overall mean
+
+
+def test_resize_images_bmp_nearest_neighbor(spark):
+    """4×4 → 2×2 NN must pick source pixels (0,0),(0,2),(2,0),(2,2)."""
+    rgb = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    media = spark.createDataFrame(
+        [(1, "u", "image", mm.make_bmp(rgb), {})], mm.MEDIA_SCHEMA
+    )
+    r = mm.resize_images(media, width=2, height=2).collect()[0]
+    got = np.frombuffer(bytes(r.pixels), dtype=np.uint8).reshape(2, 2, 3)
+    assert np.array_equal(got, rgb[[0, 2]][:, [0, 2]])
+
+
+def test_audio_features_wav_physical_truth(spark):
+    """A constant-amplitude WAV has an exactly known duration and RMS."""
+    n, rate, amp = 2600, 13000, 1000
+    s = np.full(n, amp, dtype=np.int16)
+    media = spark.createDataFrame(
+        [(1, "u", "audio", mm.make_wav(s, rate), {})], mm.MEDIA_SCHEMA
+    )
+    r = mm.audio_features(media).collect()[0]
+    assert r.duration_ms == n * 1000 // rate == 200
+    assert abs(r.rms - amp / 32768.0) < 1e-9
+    assert all(abs(v - amp / 32768.0) < 1e-6 for v in r.mfcc)
+
+
+def test_mixed_media_real_and_stub_paths(spark):
+    """BMP rows take the real path while non-BMP 'image' rows keep the
+    sha256 stand-in, in the same Arrow batch."""
+    rgb = np.full((3, 3, 3), 128, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "u1", "image", mm.make_bmp(rgb), {}),
+         (2, "u2", "image", b"\x89PNG-not-really" * 8, {})],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in mm.decode_images(media).collect()}
+    assert (rows[1].width, rows[1].height) == (3, 3)
+    w, h, _ = mm._fake_decode_image(b"\x89PNG-not-really" * 8)
+    assert (rows[2].width, rows[2].height) == (w, h)
