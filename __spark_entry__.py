@@ -480,10 +480,20 @@ def _q_jaccard_pairs(spark, sf_dir):
     join Σ df² — dedup.jaccard_pairs docstring). The DuckDB twin stays
     the EXACT path: at gate scale every true pair shares at least one
     sub-cap shingle, so the row sets agree and the hash check still
-    pins the capped path's output end-to-end."""
+    pins the capped path's output end-to-end. That equivalence is a
+    DATA property — assert it (0 dropped shingles) so regenerated or
+    larger testdata surfaces as a clear precondition failure, not a
+    mystery hash mismatch."""
+    docs = _t(spark, sf_dir, "documents")
+    dropped = dedup.jaccard_dropped_shingles(docs, "doc_id", "text",
+                                             n=3, max_df=200)
+    assert dropped == 0, (
+        f"jaccard gate precondition broken: {dropped} shingles exceed "
+        "max_df=200 at gate scale, so the capped Spark path no longer "
+        "matches the exact DuckDB twin — regenerate oracle or raise cap"
+    )
     return dedup.jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
-        n=3, threshold=0.4, max_df=200,
+        docs, "doc_id", "text", n=3, threshold=0.4, max_df=200,
     )
 
 

@@ -79,9 +79,9 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 200,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shared-shingle buckets.
+    """n-gram Jaccard near-dup pairs via shared-shingle buckets.
 
     Only pairs sharing ≥1 shingle are ever materialized (the classic
     inverted-index join), so cost is Σ_shingle df(shingle)². At corpus
@@ -90,7 +90,13 @@ def jaccard_pairs(
     frequency exceeds it from CANDIDATE GENERATION only (jaccard is
     still computed over full shingle sets), trading recall for a df²
     bound — pairs whose only common shingles are boilerplate stop
-    surfacing, which is usually the desired semantics. ``None`` = exact.
+    surfacing, which is usually the desired semantics.
+
+    The default IS a finite cap (df²-safe out of the box; a bare call
+    can never go quadratic on a hot shingle). ``max_df=None`` is the
+    explicit opt-in to the exact all-shingles path — correct at any df
+    distribution but Σdf²-priced; pair it with
+    :func:`jaccard_dropped_shingles` == 0 evidence or small corpora.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, rounded 6dp,
     ≥ threshold.

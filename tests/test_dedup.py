@@ -88,7 +88,8 @@ def test_dedup_keep_latest(spark):
 def test_jaccard_pairs_matches_bruteforce(corpus):
     got = {
         (r.id_a, r.id_b, round(r.jaccard, 6))
-        for r in dedup.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.4).collect()
+        for r in dedup.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.4,
+                                     max_df=None).collect()
     }
     assert got == _brute_jaccard(_corpus(), 3, 0.4)
 
@@ -96,7 +97,8 @@ def test_jaccard_pairs_matches_bruteforce(corpus):
 def test_jaccard_pairs_sql_twin(corpus):
     got = sorted(
         (r.id_a, r.id_b, round(r.jaccard, 6))
-        for r in dedup.jaccard_pairs(corpus, "doc_id", "text", 3, 0.4).collect()
+        for r in dedup.jaccard_pairs(corpus, "doc_id", "text", 3, 0.4,
+                                 max_df=None).collect()
     )
     con = duckdb.connect()
     con.register("docs", _corpus())
@@ -212,7 +214,8 @@ def test_jaccard_pairs_max_df_keeps_true_dups(corpus):
     near-dups (which share many rare shingles)."""
     exact = {
         (r.id_a, r.id_b)
-        for r in dedup.jaccard_pairs(corpus, "doc_id", "text", 3, 0.4).collect()
+        for r in dedup.jaccard_pairs(corpus, "doc_id", "text", 3, 0.4,
+                                 max_df=None).collect()
     }
     capped = {
         (r.id_a, r.id_b)
