@@ -106,13 +106,14 @@ def main():
 
     # per query: ONE discarded warm-up run (each query type still pays
     # its own codegen/UDF-worker spin-up the first time), then the
-    # median of the timed runs — round-to-round deltas are signal, not
-    # first-run noise
+    # median of THREE timed runs — an odd count makes the median a true
+    # middle value, immune to a single GC/compaction outlier (two runs
+    # would average it in)
     timings = {}
     for name, fn in queries.items():
         fn().count()  # discarded warmup
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn().count()
             runs.append(time.time() - t0)

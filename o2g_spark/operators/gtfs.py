@@ -186,19 +186,20 @@ def dummy_schedule(
 
 def build_frequencies(
     trips: DataFrame,
-    trips_per_route: int = 2,
-    start_s: int = 6 * 3600,
-    headway_s: int = 1800,
+    stop_times: DataFrame,
+    default_headway_s: int = 1800,
 ) -> DataFrame:
-    """GTFS ``frequencies.txt`` rows from the dummy schedule's headway
+    """GTFS ``frequencies.txt`` rows DERIVED from the schedule itself
     (SURVEY.md §1.1: the reference output is agency/stops/routes/trips/
     stop_times/calendar "+ possibly frequencies" [o2g-PK]).
 
-    One row per route's representative trip (trip_idx 0) declaring the
-    service window the dummy trips span and the headway between them —
-    the frequency-based re-statement of A10's explicit trips. Pass the
-    SAME (trips_per_route, start_s, headway_s) given to
-    :func:`dummy_schedule`.
+    One row per route: the template trip is the route's earliest-
+    departing trip, the headway is the gap between its first departure
+    and the next sibling's, and the window closes one headway after the
+    last trip starts — all read from (trips, stop_times), so there are
+    no scalar parameters to mismatch against :func:`dummy_schedule` and
+    no dependence on trip-id string patterns. ``default_headway_s``
+    only applies to single-trip routes (no sibling gap to measure).
 
     A GTFS service must be declared EITHER via scheduled trips OR via
     frequencies, never both (a consumer would expand the frequencies
@@ -206,35 +207,66 @@ def build_frequencies(
     double-counted). Use :func:`frequencies_feed` to get the coherent
     (template trips, template stop_times, frequencies) triple.
     """
-    end_s = start_s + trips_per_route * headway_s
+    dep_s = (
+        F.substring("departure_time", 1, 2).cast("int") * 3600
+        + F.substring("departure_time", 4, 2).cast("int") * 60
+        + F.substring("departure_time", 7, 2).cast("int")
+    )
+    first_dep = stop_times.groupBy("trip_id").agg(F.min(dep_s).alias("__dep"))
+    w = Window.partitionBy("route_id").orderBy("__dep", "trip_id")
+    ranked = (
+        trips.join(first_dep, "trip_id")
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    per_route = (
+        ranked.groupBy("route_id")
+        .agg(
+            F.min(F.when(F.col("__rn") == 1, F.col("trip_id"))).alias("trip_id"),
+            F.min("__dep").alias("__start"),
+            F.max("__dep").alias("__last"),
+            F.min(F.when(F.col("__rn") == 2, F.col("__dep"))).alias("__second"),
+        )
+        .withColumn(
+            "__headway",
+            F.coalesce(
+                F.col("__second") - F.col("__start"), F.lit(default_headway_s)
+            ),
+        )
+        .withColumn("__end", F.col("__last") + F.col("__headway"))
+    )
 
-    def hhmmss(secs: int) -> str:
-        return f"{secs // 3600:02d}:{secs % 3600 // 60:02d}:{secs % 60:02d}"
+    def hhmmss(col):
+        return F.format_string(
+            "%02d:%02d:%02d",
+            (col / 3600).cast("int"),
+            (col % 3600 / 60).cast("int"),
+            (col % 60).cast("int"),
+        )
 
-    return trips.filter(F.col("trip_id").endswith("_0")).select(
+    return per_route.select(
         "trip_id",
-        F.lit(hhmmss(start_s)).alias("start_time"),
-        F.lit(hhmmss(end_s)).alias("end_time"),
-        F.lit(headway_s).alias("headway_secs"),
+        hhmmss(F.col("__start")).alias("start_time"),
+        hhmmss(F.col("__end")).alias("end_time"),
+        F.col("__headway").cast("int").alias("headway_secs"),
     )
 
 
 def frequencies_feed(
     trips: DataFrame,
     stop_times: DataFrame,
-    trips_per_route: int = 2,
-    start_s: int = 6 * 3600,
-    headway_s: int = 1800,
+    default_headway_s: int = 1800,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(template trips, template stop_times, frequencies) — the
     frequency-based representation of the dummy schedule: ONE template
     trip per route whose stop_times define relative travel offsets,
     plus a frequencies row expanding it across the service window.
     Replaces the explicit sibling trips so no departure is declared
-    twice."""
-    freq = build_frequencies(trips, trips_per_route, start_s, headway_s)
-    t0 = trips.filter(F.col("trip_id").endswith("_0"))
-    st0 = stop_times.join(t0.select("trip_id"), "trip_id", "left_semi")
+    twice. Template selection rides on :func:`build_frequencies`'
+    derived earliest-departure trip, not an id pattern."""
+    freq = build_frequencies(trips, stop_times, default_headway_s)
+    tmpl = freq.select("trip_id")
+    t0 = trips.join(tmpl, "trip_id", "left_semi")
+    st0 = stop_times.join(tmpl, "trip_id", "left_semi")
     return t0, st0, freq
 
 

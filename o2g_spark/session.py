@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 import zipfile
 
 from pyspark.sql import SparkSession
@@ -102,11 +103,24 @@ def get_spark(
 # ------------------------------------------------- bounded operator caches
 
 _live_caches: dict = {}
+_caches_lock = threading.Lock()
+
+
+def _session_key(df, key: str) -> tuple:
+    # key per (session, operator): two sessions sharing an operator name
+    # must not unpersist each other's caches, and a stopped session's
+    # entries must not pin frames forever under a live session's key
+    try:
+        sid = df.sparkSession.sparkContext.applicationId
+    except Exception:
+        sid = None
+    return (sid, key)
 
 
 def cache_latest(key: str, df):
-    """persist() with a bounded lifetime: each call under the same key
-    unpersists the PREVIOUS call's cache before caching the new frame.
+    """persist() with a bounded lifetime: each call under the same
+    (session, key) unpersists the PREVIOUS call's cache before caching
+    the new frame.
 
     Why: Spark's CacheManager never releases a persisted plan when the
     caller drops the DataFrame (unlike localCheckpoint blocks, which
@@ -116,13 +130,41 @@ def cache_latest(key: str, df):
     most recent cache per operator bounds storage in long-lived
     sessions; a caller still holding an older result just recomputes
     lazily on its next action.
+
+    The registry is keyed by (application id, operator name) and the
+    pop/persist pair runs under a lock, so concurrent pipelines in one
+    process (or two sessions sharing operator names) never unpersist
+    each other's caches. Call :func:`clear_caches` at job teardown to
+    release everything the session still pins.
     """
-    prev = _live_caches.pop(key, None)
-    if prev is not None:
+    df = df.persist()
+    with _caches_lock:
+        prev = _live_caches.pop(_session_key(df, key), None)
+        _live_caches[_session_key(df, key)] = df
+    if prev is not None and prev is not df:
         try:
             prev.unpersist()
         except Exception:
             pass  # session of the old frame may already be stopped
-    df = df.persist()
-    _live_caches[key] = df
     return df
+
+
+def clear_caches(spark: SparkSession | None = None) -> int:
+    """Unpersist every registry entry (or only the given session's) —
+    the explicit teardown hook for long-lived processes. Returns the
+    number of caches released."""
+    try:
+        sid = spark.sparkContext.applicationId if spark is not None else None
+    except Exception:
+        sid = None
+    with _caches_lock:
+        victims = [
+            k for k in _live_caches if sid is None or k[0] == sid
+        ]
+        frames = [_live_caches.pop(k) for k in victims]
+    for f in frames:
+        try:
+            f.unpersist()
+        except Exception:
+            pass
+    return len(frames)

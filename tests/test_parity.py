@@ -165,6 +165,30 @@ def test_gtfs_zip_roundtrip(parity, tmp_path):
     assert h1 == h2
 
 
+def test_frequencies_window_derived_from_data(parity):
+    """build_frequencies reads the service window FROM the schedule —
+    a non-default dummy_schedule needs no matching parameters, and a
+    mismatch is impossible by construction (the r2 ADVICE failure
+    mode: silently wrong window on mismatched args)."""
+    stops, routes, _, _, _ = parity
+    resolved = gtfs.resolve_members(routes, gtfs.filter_stops(stops))
+    trips, st = gtfs.dummy_schedule(
+        resolved, trips_per_route=4, start_s=5 * 3600 + 900, headway_s=600
+    )
+    freq = gtfs.build_frequencies(trips, st).collect()
+    assert len(freq) == 3  # one row per route
+    for r in freq:
+        assert r.start_time == "05:15:00"
+        assert r.headway_secs == 600
+        # window closes one headway after the LAST trip starts:
+        # 05:15 + 4 × 10 min
+        assert r.end_time == "05:55:00"
+    # template = the earliest-departing trip of each route
+    tmpl, st0, freq_df = gtfs.frequencies_feed(trips, st)
+    assert tmpl.count() == 3
+    assert st0.join(tmpl, "trip_id", "left_anti").count() == 0
+
+
 def test_route_type_enum(parity, spark):
     _, routes, _, _, _ = parity
     got = {r.route_id: r.route_type for r in gtfs.build_routes(routes).collect()}
