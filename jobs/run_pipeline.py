@@ -17,9 +17,14 @@ and rerun the same command):
     pip     cell-cover + ray-cast point-in-polygon join (B5)
     knn     k-ring kNN against the gazetteer (B6)
     tiles   Web-Mercator tile assignment + density (B8)
+    dedup   df-capped n-gram jaccard near-dup pairs over page text;
+            with --embeddings also banded-LSH embedding near-dups
     report  per-zone/lang + per-tile rollups (B9-B11)
 
-Prints one JSON metrics line per stage: rows, seconds, pages/sec.
+Prints one JSON metrics line per stage: rows, seconds, pages/sec. The
+dedup line carries the no-silent-cap counters
+(jaccard_dropped_shingles, near_dup_hot_buckets) so a production run
+shows exactly what its recall caps excluded — not only the bench.
 """
 
 from __future__ import annotations
@@ -35,12 +40,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from o2g_spark.functions import cellfns, geotag  # noqa: E402
-from o2g_spark.operators import knn, pip, skew, tiles  # noqa: E402
+from o2g_spark.operators import dedup, knn, pip, similarity, skew, tiles  # noqa: E402
 from o2g_spark.plans.checkpoint import CheckpointManager  # noqa: E402
 from o2g_spark.session import get_spark  # noqa: E402
 from o2g_spark.sources import synth, synth_dist, tables  # noqa: E402
 
-STAGES = ("geotag", "pip", "knn", "tiles", "report")
+STAGES = ("geotag", "pip", "knn", "tiles", "dedup", "report")
 
 
 def main(argv=None):
@@ -52,6 +57,13 @@ def main(argv=None):
     ap.add_argument("--res", type=int, default=9, help="cell resolution")
     ap.add_argument("--zoom", type=int, default=11, help="tile zoom")
     ap.add_argument("--knn-k", type=int, default=3)
+    ap.add_argument("--jaccard-max-df", type=int, default=200,
+                    help="df cap for the dedup stage's candidate shingles")
+    ap.add_argument("--embeddings", default=None,
+                    help="parquet with (vec_id, embedding) — enables the "
+                         "embedding near-dup half of the dedup stage")
+    ap.add_argument("--max-bucket", type=int, default=100_000,
+                    help="LSH bucket-size cap for embedding near-dup")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -59,7 +71,7 @@ def main(argv=None):
     ckpt = CheckpointManager(spark, args.out)
     metrics = []
 
-    def run(stage, build, key_col, cell_col=None):
+    def run(stage, build, key_col, cell_col=None, extra=None):
         t0 = time.time()
         resumed = ckpt.is_committed(stage)
         df = ckpt.run_stage(stage, build, key_col=key_col, cell_col=cell_col)
@@ -72,6 +84,10 @@ def main(argv=None):
             "rows_per_sec": round(n / dt, 1) if dt > 0 else None,
             "resumed": resumed,
         }
+        if extra:
+            # no-silent-cap counters etc. — computed AFTER the stage so
+            # a resumed run still reports them
+            m.update({k: v() if callable(v) else v for k, v in extra.items()})
         metrics.append(m)
         print(json.dumps(m), flush=True)
         return df
@@ -137,6 +153,40 @@ def main(argv=None):
             key_col="url",
             cell_col="tile_id",
         )
+    if "dedup" in want:
+        # df-capped jaccard near-dups over page text; the cap counter
+        # rides on the SAME stage metrics line (no silent recall loss)
+        run(
+            "jaccard_dedup",
+            lambda: dedup.jaccard_pairs(
+                pages.select("url", "text"), "url", "text",
+                n=3, threshold=0.7, max_df=args.jaccard_max_df,
+            ),
+            key_col="id_a",
+            extra={
+                "jaccard_max_df": args.jaccard_max_df,
+                "jaccard_dropped_shingles": lambda: dedup.jaccard_dropped_shingles(
+                    pages.select("url", "text"), "url", "text",
+                    n=3, max_df=args.jaccard_max_df,
+                ),
+            },
+        )
+        if args.embeddings:
+            emb = spark.read.parquet(args.embeddings)
+            run(
+                "embedding_dedup",
+                lambda: similarity.embedding_near_dup_pairs(
+                    emb, max_bucket=args.max_bucket,
+                ),
+                key_col="id_a",
+                extra={
+                    "max_bucket": args.max_bucket,
+                    "near_dup_hot_buckets": lambda: similarity.near_dup_hot_buckets(
+                        emb, max_bucket=args.max_bucket,
+                    ).count(),
+                },
+            )
+
     if "report" in want:
         def build_report():
             t = tiles.assign_tiles(tagged, args.zoom)
