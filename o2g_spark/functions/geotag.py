@@ -97,26 +97,196 @@ def extract_coords_pandas_udf():
     return _extract
 
 
+def _trie_regex(names: list[str]) -> str:
+    """Compile names into a prefix-sharing trie regex.
+
+    A flat alternation costs the engine O(|names|) branch attempts per
+    text position; the trie form walks shared prefixes, bounding the
+    per-position cost by the trie depth regardless of gazetteer size
+    (A/B numbers: scripts/bench_gazetteer.py) while staying a plain JVM
+    regex (whole-stage codegen, no Python).
+
+    Longest-match semantics are preserved: at every node the
+    continuation group is tried BEFORE accepting end-of-word (greedy
+    ``(?:...)?``), exactly like the longest-first alternation.
+    """
+    trie: dict = {}
+    for name in names:
+        node = trie
+        for ch in name:
+            node = node.setdefault(ch, {})
+        node[""] = {}  # end-of-word marker
+
+    def serialize(node: dict) -> str:
+        end = "" in node
+        branches = sorted(k for k in node if k != "")
+        alts = [re.escape(ch) + serialize(node[ch]) for ch in branches]
+        if not alts:
+            return ""
+        body = alts[0] if len(alts) == 1 else "(?:" + "|".join(alts) + ")"
+        # end-of-word with continuations: the WHOLE suffix is optional
+        # (group it — a bare `?` would bind to the last char only) and
+        # greedy, so longer names are preferred before accepting here
+        return "(?:" + body + ")?" if end else body
+
+    return serialize(trie)
+
+
+class _AhoCorasick:
+    """Minimal Aho-Corasick automaton (dict-trie + BFS failure links)
+    with regex-equivalent reporting: leftmost, longest-at-position,
+    non-overlapping matches bounded by ``\\b`` word edges."""
+
+    _WORD = set(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+    )
+
+    def __init__(self, names: list[str]):
+        self.goto: list[dict] = [{}]
+        self.out: list[int] = [0]  # longest name length ending here
+        for name in names:
+            s = 0
+            for ch in name:
+                nxt = self.goto[s].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append(0)
+                    nxt = len(self.goto) - 1
+                    self.goto[s][ch] = nxt
+                s = nxt
+            self.out[s] = max(self.out[s], len(name))
+        from collections import deque
+
+        self.fail = [0] * len(self.goto)
+        dq = deque(self.goto[0].values())
+        while dq:
+            s = dq.popleft()
+            for ch, t in self.goto[s].items():
+                dq.append(t)
+                f = self.fail[s]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                cand = self.goto[f].get(ch, 0)
+                self.fail[t] = cand if cand != t else 0
+                # propagate: longest name that is a suffix at t
+                self.out[t] = max(self.out[t], self.out[self.fail[t]])
+
+    def find_all(self, text: str) -> list[str]:
+        """Matches in regex order: scan left→right, at each word-bounded
+        start position keep the LONGEST name, drop overlaps."""
+        word = self._WORD
+        n = len(text)
+        cands: dict[int, int] = {}  # start -> max length
+        s = 0
+        for i, ch in enumerate(text):
+            while s and ch not in self.goto[s]:
+                s = self.fail[s]
+            s = self.goto[s].get(ch, 0)
+            if self.out[s] and (i + 1 == n or text[i + 1] not in word):
+                # walk the failure chain: every name ending at i
+                t = s
+                while t:
+                    ln = self.out[t]
+                    if ln:
+                        start = i - ln + 1
+                        if start == 0 or text[start - 1] not in word:
+                            cands[start] = max(cands.get(start, 0), ln)
+                    t = self.fail[t]
+        out = []
+        pos = 0
+        for start in sorted(cands):
+            if start < pos:
+                continue
+            ln = cands[start]
+            out.append(text[start : start + ln])
+            pos = start + ln
+        return out
+
+
+_AHO_MEMO: dict = {}
+
+
+def _aho_matches_udf(places: tuple[str, ...]):
+    """Arrow pandas UDF: text → array of gazetteer mentions via a
+    per-worker-memoized Aho-Corasick automaton — the scale path for
+    gazetteers beyond what a compiled regex can hold (10⁵–10⁶ names).
+    Build cost is paid once per Python worker; match cost is O(chars),
+    independent of gazetteer size."""
+    import hashlib
+
+    key = hashlib.sha256("\x1f".join(places).encode()).hexdigest()
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _match(text: pd.Series) -> pd.Series:
+        ac = _AHO_MEMO.get(key)
+        if ac is None:
+            ac = _AhoCorasick(list(places))
+            _AHO_MEMO.clear()  # bound worker memory: keep newest only
+            _AHO_MEMO[key] = ac
+        return text.map(lambda t: ac.find_all(t or ""))
+
+    return _match
+
+
+# alternation regexes degrade linearly in |names| past this point; the
+# trie regex produces identical output and is flat in |names|
+_TRIE_THRESHOLD = 512
+# beyond this the compiled trie pattern itself gets unwieldy (multi-MB
+# Java Pattern) — hand whole batches to the Aho-Corasick pandas UDF
+_AHO_THRESHOLD = 200_000
+
+
 def extract_places(
-    pages: DataFrame, gazetteer: DataFrame, text_col: str = "text"
+    pages: DataFrame,
+    gazetteer: DataFrame,
+    text_col: str = "text",
+    matcher: str = "auto",
 ) -> DataFrame:
     """pages × gazetteer → one row per place mention with its coords.
 
-    The alternation regex over all place names is built driver-side
-    (gazetteer is a dimension: ~10³–10⁴ entries) and evaluated on the
-    JVM; matches broadcast-join back to the gazetteer. Longest-name
-    alternation order makes matching deterministic under overlap.
+    The matcher over place names is built driver-side (the gazetteer is
+    a dimension table) and every variant produces IDENTICAL matches
+    (leftmost, longest-at-position, non-overlapping, word-bounded —
+    pinned by tests/test_geotag.py):
+
+    - ``alternation``: longest-first ``\\b(a|b|...)\\b`` regex — fine to
+      a few hundred names, O(|names|) per text position beyond;
+    - ``trie``: prefix-sharing trie regex (:func:`_trie_regex`) — still
+      pure JVM codegen, per-position cost flat in |names|;
+    - ``aho``: Aho-Corasick pandas UDF — for gazetteers too large for
+      any compiled regex;
+    - ``auto`` (default): pick by gazetteer size.
+
+    Matches broadcast-join back to the gazetteer for coordinates.
     """
     places = [r.place for r in gazetteer.select("place").collect()]
     if not places:
         raise ValueError("empty gazetteer")
-    alternation = "|".join(
-        re.escape(p) for p in sorted(places, key=len, reverse=True)
-    )
-    pat = f"\\b({alternation})\\b"
-    m = pages.withColumn(
-        "__matches", F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)
-    ).withColumn("mention", F.explode("__matches")).drop("__matches")
+    if matcher == "auto":
+        if len(places) > _AHO_THRESHOLD:
+            matcher = "aho"
+        elif len(places) > _TRIE_THRESHOLD:
+            matcher = "trie"
+        else:
+            matcher = "alternation"
+    if matcher == "alternation":
+        alternation = "|".join(
+            re.escape(p) for p in sorted(places, key=len, reverse=True)
+        )
+        matches = F.regexp_extract_all(
+            F.col(text_col), F.lit(f"\\b({alternation})\\b"), 1
+        )
+    elif matcher == "trie":
+        matches = F.regexp_extract_all(
+            F.col(text_col), F.lit(f"\\b({_trie_regex(places)})\\b"), 1
+        )
+    elif matcher == "aho":
+        matches = _aho_matches_udf(tuple(sorted(places)))(F.col(text_col))
+    else:
+        raise ValueError(f"unknown matcher {matcher!r}")
+    m = pages.withColumn("__matches", matches).withColumn(
+        "mention", F.explode("__matches")
+    ).drop("__matches")
     return (
         m.join(F.broadcast(gazetteer), m.mention == gazetteer.place, "inner")
         .drop("place")

@@ -92,3 +92,79 @@ def test_no_geo_pages_yield_nothing(spark, pages_truth, gazetteer_pdf):
         r.url for r in geotag.geotag(df, gaz).select("url").distinct().collect()
     }
     assert tagged_urls == set(truth["url"])
+
+
+def test_place_matchers_identical(spark, pages_truth, gazetteer_pdf):
+    """All three matchers (alternation regex, trie regex, Aho-Corasick
+    pandas UDF) return IDENTICAL rows on the gate corpus."""
+    pages_pdf, _ = pages_truth
+    pages = tables.pages_df(spark, pages_pdf.head(200))
+    gaz = tables.gazetteer_df(spark, gazetteer_pdf)
+
+    def rows(matcher):
+        return sorted(
+            (r.url, r.mention, r.lat, r.lon)
+            for r in geotag.extract_places(pages, gaz, matcher=matcher).collect()
+        )
+
+    alt = rows("alternation")
+    assert len(alt) > 0
+    assert rows("trie") == alt
+    assert rows("aho") == alt
+
+
+def test_trie_regex_longest_match_overlaps(spark):
+    """Prefix-nested and overlapping names: longest-at-position wins in
+    every matcher, word boundaries respected."""
+    import pandas as pd
+
+    gaz_pdf = pd.DataFrame({
+        "place": ["York", "New York", "New York City", "Yorkshire"],
+        "lat": [53.96, 40.71, 40.70, 53.9],
+        "lon": [-1.08, -74.0, -74.01, -1.5],
+        "country": ["gb", "us", "us", "gb"],
+    })
+    gaz = tables.gazetteer_df(spark, gaz_pdf)
+    pages_pdf = pd.DataFrame({
+        "url": ["u1", "u2", "u3", "u4"],
+        "warc_ts": [pd.Timestamp("2024-01-01")] * 4,
+        "html": ["<p>x</p>"] * 4,
+        "text": [
+            "visit New York City soon",   # longest of the nest
+            "York and Yorkshire differ",  # two separate matches
+            "NewYork has no boundary",    # no \b-valid match
+            "in New York, really",        # punctuation boundary
+        ],
+        "lang": ["en"] * 4,
+    })
+    pages = tables.pages_df(spark, pages_pdf)
+    want = sorted([
+        ("u1", "New York City"), ("u2", "York"), ("u2", "Yorkshire"),
+        ("u4", "New York"),
+    ])
+    for matcher in ("alternation", "trie", "aho"):
+        got = sorted(
+            (r.url, r.mention)
+            for r in geotag.extract_places(pages, gaz, matcher=matcher).collect()
+        )
+        assert got == want, matcher
+
+
+def test_aho_automaton_unit():
+    """Driver-side unit check of the AC matcher against re.findall with
+    the longest-first alternation on random-ish texts."""
+    import re as _re
+
+    names = ["ab", "abc", "bc", "c", "abcd", "xy", "x"]
+    ac = geotag._AhoCorasick(names)
+    pat = _re.compile(
+        r"\b(" + "|".join(
+            _re.escape(p) for p in sorted(names, key=len, reverse=True)
+        ) + r")\b"
+    )
+    texts = [
+        "ab abc abcd bc c", "xabc abc.", "x xy xyz", "", "abcde",
+        "c ab c", "ab,abc;abcd", "zzz", "abc abc abc", "x.y",
+    ]
+    for t in texts:
+        assert ac.find_all(t) == pat.findall(t), t
