@@ -39,6 +39,19 @@ def test_cache_latest_concurrent_keys_dont_clobber(spark):
     S.clear_caches(spark)
 
 
+def test_cache_latest_same_plan_recache_stays_cached(spark):
+    """Re-running an IDENTICAL query through cache_latest (the bench
+    shape) must leave the new frame cached: Spark's CacheManager keys
+    entries by logical plan, so unpersisting the previous frame AFTER
+    persisting an identical-plan one evicts both (the r3 regression:
+    minhash_lsh recomputed its signature every scan, 1.9s → 21s)."""
+    for _ in range(3):
+        f = S.cache_latest("op.same", spark.range(40))
+        f.count()
+        assert _is_cached(f)
+    S.clear_caches(spark)
+
+
 def test_clear_caches_releases_everything(spark):
     f1 = S.cache_latest("op.c1", spark.range(5))
     f2 = S.cache_latest("op.c2", spark.range(6))
