@@ -221,7 +221,12 @@ def _aho_matches_udf(places: tuple[str, ...]):
         ac = _AHO_MEMO.get(key)
         if ac is None:
             ac = _AhoCorasick(list(places))
-            _AHO_MEMO.clear()  # bound worker memory: keep newest only
+            # bound worker memory with room for a FEW live gazetteers:
+            # a query joining two extract_places calls interleaves both
+            # UDFs' batches in one worker — a keep-one memo would
+            # rebuild the 10⁵-node automaton on every batch
+            while len(_AHO_MEMO) >= 4:
+                _AHO_MEMO.pop(next(iter(_AHO_MEMO)))  # oldest-inserted
             _AHO_MEMO[key] = ac
         return text.map(lambda t: ac.find_all(t or ""))
 

@@ -101,19 +101,11 @@ def jaccard_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, rounded 6dp,
     ≥ threshold.
     """
-    # repartition BEFORE shingling: small corpora arrive as one parquet
-    # partition and the regex+sort shingle pass would run single-
-    # threaded (measured 6 s single-thread vs <1 s spread at sf0.1).
     # cache_latest: the candidate join + size/array lookups re-scan
     # this 3-4×; the columnar cache beats RDD-checkpoint blocks 2-3×
     # here, and the registry bounds CacheManager growth per session.
-    par = df.sparkSession.sparkContext.defaultParallelism
     sh_full = cache_latest(
-        "dedup.jaccard.sh_full",
-        df.repartition(par, id_col).select(
-            F.col(id_col).alias("__id"),
-            X.shingles(text_col, n).alias("__shset"),
-        ),
+        "dedup.jaccard.sh_full", _shingle_sets(df, id_col, text_col, n)
     )
     sh = sh_full.select("__id", F.explode("__shset").alias("__sh"))
     if max_df is not None:
@@ -169,15 +161,32 @@ def jaccard_pairs(
     )
 
 
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(__id, __shset) projection shared by :func:`jaccard_pairs` and
+    :func:`jaccard_dropped_shingles` — ONE plan shape, so Spark's
+    plan-keyed CacheManager lets the counter read the frame
+    jaccard_pairs cached instead of re-shingling the corpus (measured:
+    the counter doubled the pipeline dedup stage before this).
+    Repartition first: small corpora arrive as one parquet partition
+    and the regex+sort shingle pass would run single-threaded."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, id_col).select(
+        F.col(id_col).alias("__id"),
+        X.shingles(text_col, n).alias("__shset"),
+    )
+
+
 def jaccard_dropped_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, max_df: int = 200
 ) -> int:
     """Distinct shingles a ``max_df`` cap excludes from candidate
     generation (the no-silent-cap companion: pipelines/benches log this
-    next to the capped :func:`jaccard_pairs` run)."""
+    next to the capped :func:`jaccard_pairs` run). Built on the SAME
+    plan jaccard_pairs caches — calling it right after a capped
+    jaccard_pairs run reuses that cache rather than re-shingling."""
     # project-then-explode (generator expressions evaluate interpreted)
-    sh = df.withColumn("__shset", X.shingles(text_col, n)).select(
-        F.col(id_col).alias("__id"), F.explode("__shset").alias("__sh")
+    sh = _shingle_sets(df, id_col, text_col, n).select(
+        "__id", F.explode("__shset").alias("__sh")
     )
     return (
         sh.groupBy("__sh")

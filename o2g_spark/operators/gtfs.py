@@ -228,9 +228,13 @@ def build_frequencies(
         )
         .withColumn(
             "__headway",
-            F.coalesce(
-                F.col("__second") - F.col("__start"), F.lit(default_headway_s)
-            ),
+            # default covers BOTH single-trip routes (no sibling gap)
+            # and tied departures (gap 0 — a literal headway_secs=0 row
+            # would make a frequencies-expanding consumer loop forever)
+            F.when(
+                F.col("__second") - F.col("__start") > 0,
+                F.col("__second") - F.col("__start"),
+            ).otherwise(F.lit(default_headway_s)),
         )
         .withColumn("__end", F.col("__last") + F.col("__headway"))
     )

@@ -101,7 +101,9 @@ def knn_join(
     model: when supplied (from table stats, checkpoint lineage
     row_counts, or caller knowledge) the auto-strategy path runs ZERO
     extra ``count()`` scans. Without hints each missing side costs one
-    counting scan before the join.
+    counting scan before the join. Hints only steer STRATEGY (brute vs
+    ring, seed width, tail-brute trigger) — loop termination always
+    uses exact counts, so a wrong hint can cost time, never rows.
     """
     if res is None:
         if n_targets is None:
@@ -141,7 +143,12 @@ def knn_join(
     )
 
     active = q.localCheckpoint(eager=True)
-    n_active = n_queries if n_queries is not None else active.count()
+    # EXACT count over the just-materialized checkpoint (cheap: counts
+    # cached blocks). Deliberately NOT the n_queries hint: n_active
+    # drives loop TERMINATION, and an underestimated hint would end the
+    # loop with still-active queries unemitted — hints may only affect
+    # strategy, never correctness.
+    n_active = active.count()
     best: DataFrame | None = None  # running top-k for STILL-ACTIVE queries
     finished: list[DataFrame] = []  # emitted results of done queries
     w = Window.partitionBy("__qid").orderBy(F.col("dist2").asc(), F.col("__tid").asc())
@@ -276,13 +283,20 @@ def knn_join(
         # are precisely the queries whose done-proof radius grows
         # slowest). TOTAL work is capped, per CLAUDE.md rule 7.
         if n_targets and n_active * n_targets <= tail_brute_cap:
+            t_side = targets.select(
+                F.col(target_id).alias("__tid"),
+                F.col(lat_col).alias("__tlat"),
+                F.col(lon_col).alias("__tlon"),
+            )
+            # honor broadcast_targets=False (huge target sets): the cap
+            # bounds the cross-product ROWS, not the broadcast SIZE —
+            # 2 active queries × 25M targets fits the cap but not the
+            # driver; let Spark pick the join strategy in that case
+            if broadcast_targets:
+                t_side = F.broadcast(t_side)
             tail = (
                 next_active.select("__qid", "__qlat", "__qlon")
-                .crossJoin(F.broadcast(targets.select(
-                    F.col(target_id).alias("__tid"),
-                    F.col(lat_col).alias("__tlat"),
-                    F.col(lon_col).alias("__tlon"),
-                )))
+                .crossJoin(t_side)
                 .withColumn("__dlat", F.col("__qlat") - F.col("__tlat"))
                 .withColumn("__dlon", F.col("__qlon") - F.col("__tlon"))
                 .withColumn(

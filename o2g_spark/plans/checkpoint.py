@@ -73,20 +73,15 @@ def lineage_df(
       the columns stringify identically across engines (ints/strings do;
       float formatting differs).
     """
+    from ..functions.text import md5_hash60  # THE shared 60-bit hash
+
     cols = [F.col(c) for c in df.columns]
     if portable:
-        canon = F.conv(
-            F.substring(
-                F.md5(F.concat_ws("\x1f", *[c.cast("string") for c in cols])), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
+        canon = md5_hash60(
+            F.concat_ws("\x1f", *[c.cast("string") for c in cols])
+        )
         bucket = F.pmod(
-            F.conv(
-                F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
-            ).cast("long"),
-            F.lit(n_buckets),
+            md5_hash60(F.col(key_col).cast("string")), F.lit(n_buckets)
         ).alias("partition_id")
     else:
         canon = F.xxhash64(F.to_json(F.struct(*cols)))

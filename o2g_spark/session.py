@@ -104,6 +104,7 @@ def get_spark(
 
 _live_caches: dict = {}
 _caches_lock = threading.Lock()
+_ALL = object()  # clear_caches sentinel: every session's entries
 
 
 def _session_key(df, key: str) -> tuple:
@@ -146,15 +147,19 @@ def cache_latest(key: str, df):
     21 s and climbing across bench iterations).
     """
     skey = _session_key(df, key)
+    # one critical section for pop→unpersist→persist→insert: splitting
+    # it lets two same-key racers both pop-empty and both persist, and
+    # the loser's frame leaks outside the registry forever. unpersist/
+    # persist are driver-side metadata calls (non-blocking), so holding
+    # the lock across them is cheap.
     with _caches_lock:
         prev = _live_caches.pop(skey, None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # session of the old frame may already be stopped
-    df = df.persist()
-    with _caches_lock:
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # session of the old frame may already be stopped
+        df = df.persist()
         _live_caches[skey] = df
     return df
 
@@ -162,14 +167,19 @@ def cache_latest(key: str, df):
 def clear_caches(spark: SparkSession | None = None) -> int:
     """Unpersist every registry entry (or only the given session's) —
     the explicit teardown hook for long-lived processes. Returns the
-    number of caches released."""
-    try:
-        sid = spark.sparkContext.applicationId if spark is not None else None
-    except Exception:
-        sid = None
+    number of caches released. A session whose id can no longer be read
+    (already stopped) clears nothing — NOT everything: other live
+    sessions' caches must survive its teardown."""
+    if spark is None:
+        sid = _ALL
+    else:
+        try:
+            sid = spark.sparkContext.applicationId
+        except Exception:
+            return 0  # stopped/broken session: nothing identifiable
     with _caches_lock:
         victims = [
-            k for k in _live_caches if sid is None or k[0] == sid
+            k for k in _live_caches if sid is _ALL or k[0] == sid
         ]
         frames = [_live_caches.pop(k) for k in victims]
     for f in frames:

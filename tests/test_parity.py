@@ -187,6 +187,12 @@ def test_frequencies_window_derived_from_data(parity):
     tmpl, st0, freq_df = gtfs.frequencies_feed(trips, st)
     assert tmpl.count() == 3
     assert st0.join(tmpl, "trip_id", "left_anti").count() == 0
+    # tied departures (headway_s=0 dummy schedule) must NOT emit a
+    # headway_secs=0 row — a frequencies-expanding consumer would loop
+    trips0, st_tied = gtfs.dummy_schedule(resolved, trips_per_route=2,
+                                          headway_s=0)
+    for r in gtfs.build_frequencies(trips0, st_tied).collect():
+        assert r.headway_secs == 1800  # default, not 0
 
 
 def test_route_type_enum(parity, spark):
