@@ -101,13 +101,22 @@ def jaccard_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, rounded 6dp,
     ≥ threshold.
     """
-    # cache_latest: the candidate join + size/array lookups re-scan
-    # this 3-4×; the columnar cache beats RDD-checkpoint blocks 2-3×
-    # here, and the registry bounds CacheManager growth per session.
+    # cache_latest: the candidate join + array lookups re-scan this
+    # 3-4×; the columnar cache beats RDD-checkpoint blocks 2-3× here,
+    # and the registry bounds CacheManager growth per session.
     sh_full = cache_latest(
         "dedup.jaccard.sh_full", _shingle_sets(df, id_col, text_col, n)
     )
-    sh = sh_full.select("__id", F.explode("__shset").alias("__sh"))
+    # CANDIDATE GENERATION on 60-bit HASHED shingles: the inverted-
+    # index self-join and the df aggregate shuffle 8-byte longs instead
+    # of n-gram strings (~30-40 bytes each) — 3-5× less shuffle volume
+    # at corpus scale, the hash-once rule applied to the join key. A
+    # hash collision can only ADD a candidate pair (and, with max_df,
+    # merge two shingles' df counts — P ≈ 2⁻⁶⁰ per pair, and the SQL
+    # twin hashes identically so cross-engine results stay equal);
+    # correctness is unaffected because every candidate is re-verified
+    # below against the full STRING shingle sets.
+    sh = sh_full.select("__id", F.explode("__hset").alias("__sh"))
     if max_df is not None:
         # drop HOT shingles via a broadcast anti-join: the hot list is
         # at most n/max_df shingles by definition (always broadcastable)
@@ -116,64 +125,48 @@ def jaccard_pairs(
         # exists for (same shape as the near-dup hot-bucket cap)
         dfreq = sh.groupBy("__sh").agg(F.count("*").alias("__df"))
         hot = dfreq.filter(F.col("__df") > max_df).select("__sh")
-        cand_src = sh.join(F.broadcast(hot), "__sh", "left_anti")
-        pairs = (
-            cand_src.alias("a")
-            .join(
-                cand_src.alias("b"),
-                (F.col("a.__sh") == F.col("b.__sh"))
-                & (F.col("a.__id") < F.col("b.__id")),
-            )
-            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+        sh = sh.join(F.broadcast(hot), "__sh", "left_anti")
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.__sh") == F.col("b.__sh"))
+            & (F.col("a.__id") < F.col("b.__id")),
         )
-        sa = sh_full.select(F.col("__id").alias("id_a"), F.col("__shset").alias("__sha"))
-        sb = sh_full.select(F.col("__id").alias("id_b"), F.col("__shset").alias("__shb"))
-        inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
-        union = F.size(F.col("__sha")) + F.size(F.col("__shb")) - inter
-        return (
-            pairs.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
-    sizes = sh.groupBy("__id").agg(F.count("*").alias("__sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count("*").alias("__common"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    sz_a = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"))
-    sz_b = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"))
+    # exact verification over the full string shingle sets (both the
+    # capped and exact paths share it — precision never depends on the
+    # candidate hashing or the cap)
+    sa = sh_full.select(F.col("__id").alias("id_a"), F.col("__shset").alias("__sha"))
+    sb = sh_full.select(F.col("__id").alias("id_b"), F.col("__shset").alias("__shb"))
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.col("__sha")) + F.size(F.col("__shb")) - inter
     return (
-        common.join(sz_a, "id_a").join(sz_b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("__common")
-                / (F.col("__sza") + F.col("__szb") - F.col("__common")),
-                6,
-            ),
-        )
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(__id, __shset) projection shared by :func:`jaccard_pairs` and
-    :func:`jaccard_dropped_shingles` — ONE plan shape, so Spark's
-    plan-keyed CacheManager lets the counter read the frame
-    jaccard_pairs cached instead of re-shingling the corpus (measured:
-    the counter doubled the pipeline dedup stage before this).
+    """(__id, __shset, __hset) projection shared by
+    :func:`jaccard_pairs` and :func:`jaccard_dropped_shingles` — ONE
+    plan shape, so Spark's plan-keyed CacheManager lets the counter
+    read the frame jaccard_pairs cached instead of re-shingling the
+    corpus (measured: the counter doubled the pipeline dedup stage
+    before this). ``__hset`` is the 60-bit md5 of each shingle —
+    computed once here (cached alongside the strings) so candidate
+    generation shuffles longs while verification keeps exact strings.
     Repartition first: small corpora arrive as one parquet partition
     and the regex+sort shingle pass would run single-threaded."""
     par = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(par, id_col).select(
         F.col(id_col).alias("__id"),
         X.shingles(text_col, n).alias("__shset"),
-    )
+    ).withColumn("__hset", F.transform("__shset", X.md5_hash60))
 
 
 def jaccard_dropped_shingles(
@@ -183,10 +176,12 @@ def jaccard_dropped_shingles(
     generation (the no-silent-cap companion: pipelines/benches log this
     next to the capped :func:`jaccard_pairs` run). Built on the SAME
     plan jaccard_pairs caches — calling it right after a capped
-    jaccard_pairs run reuses that cache rather than re-shingling."""
+    jaccard_pairs run reuses that cache rather than re-shingling —
+    and counts over the HASHED shingles, exactly the values the cap
+    is applied to in candidate generation."""
     # project-then-explode (generator expressions evaluate interpreted)
     sh = _shingle_sets(df, id_col, text_col, n).select(
-        "__id", F.explode("__shset").alias("__sh")
+        "__id", F.explode("__hset").alias("__sh")
     )
     return (
         sh.groupBy("__sh")
