@@ -264,7 +264,10 @@ def extract_places(
 
     Matches broadcast-join back to the gazetteer for coordinates.
     """
-    places = [r.place for r in gazetteer.select("place").collect()]
+    places = [
+        r.place for r in gazetteer.select("place").collect()
+        if r.place and r.place.strip()
+    ]
     if not places:
         raise ValueError("empty gazetteer")
     if matcher == "auto":

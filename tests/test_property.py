@@ -106,3 +106,74 @@ def test_adaptive_cover_classification_sound(res):
     if len(interior):
         clat, clon = cells.cell_center(interior)
         assert geometry.points_in_polygon(clon, clat, [ring]).all()
+
+
+# --------------------------------------------- real decoders (r3)
+
+from o2g_spark.operators import multimodal as mm  # noqa: E402
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    top_down=st.booleans(),
+    seed=st.integers(0, 10**6),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(w, h, top_down, seed):
+    """make_bmp → try_decode_bmp is pixel-exact for EVERY size (odd
+    widths exercise stride padding) and both row orders."""
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got = mm.try_decode_bmp(mm.make_bmp(rgb, top_down=top_down))
+    assert got is not None
+    gw, gh, out = got
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(out, rgb)
+
+
+@given(
+    n=st.integers(1, 500),
+    ch=st.integers(1, 2),
+    rate=st.sampled_from([8000, 11025, 22050, 44100]),
+    seed=st.integers(0, 10**6),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+    got = mm.try_decode_wav(mm.make_wav(s, rate))
+    assert got is not None
+    grate, gch, out = got
+    assert (grate, gch) == (rate, ch)
+    assert np.array_equal(out, s)
+
+
+# ------------------------------------- gazetteer matcher equivalence
+
+import re as _re  # noqa: E402
+
+from o2g_spark.functions import geotag as gt  # noqa: E402
+
+_name_st = st.text(alphabet="abcxy ", min_size=1, max_size=8).map(
+    str.strip
+).filter(bool)
+
+
+@given(
+    names=st.sets(_name_st, min_size=1, max_size=12),
+    text=st.text(alphabet="abcxy ,.", max_size=60),
+)
+@settings(max_examples=150, deadline=None)
+def test_matchers_equivalent_property(names, text):
+    """Aho-Corasick and the trie regex agree with the longest-first
+    alternation on arbitrary overlapping/nested name sets — the
+    equivalence extract_places promises for every matcher."""
+    ordered = sorted(names, key=len, reverse=True)
+    alt = _re.compile(
+        r"\b(" + "|".join(_re.escape(p) for p in ordered) + r")\b"
+    )
+    trie = _re.compile(r"\b(" + gt._trie_regex(list(names)) + r")\b")
+    want = alt.findall(text)
+    assert trie.findall(text) == want
+    assert gt._AhoCorasick(list(names)).find_all(text) == want
