@@ -173,7 +173,14 @@ class _AhoCorasick:
 
     def find_all(self, text: str) -> list[str]:
         """Matches in regex order: scan left→right, at each word-bounded
-        start position keep the LONGEST name, drop overlaps."""
+        start position keep the LONGEST name, drop overlaps.
+
+        ``\\b`` semantics exactly: a boundary exists where word-ness
+        CHANGES between neighbors (virtual out-of-string chars are
+        non-word). The edge chars of the match are text[start] and
+        text[i], so names with non-word edges (``St.``, ``C (D)``)
+        bound the same way the compiled regex bounds them.
+        """
         word = self._WORD
         n = len(text)
         cands: dict[int, int] = {}  # start -> max length
@@ -182,14 +189,18 @@ class _AhoCorasick:
             while s and ch not in self.goto[s]:
                 s = self.fail[s]
             s = self.goto[s].get(ch, 0)
-            if self.out[s] and (i + 1 == n or text[i + 1] not in word):
+            if self.out[s] and (
+                (ch in word) != (i + 1 < n and text[i + 1] in word)
+            ):
                 # walk the failure chain: every name ending at i
                 t = s
                 while t:
                     ln = self.out[t]
                     if ln:
                         start = i - ln + 1
-                        if start == 0 or text[start - 1] not in word:
+                        if (text[start] in word) != (
+                            start > 0 and text[start - 1] in word
+                        ):
                             cands[start] = max(cands.get(start, 0), ln)
                     t = self.fail[t]
         out = []

@@ -168,3 +168,24 @@ def test_aho_automaton_unit():
     ]
     for t in texts:
         assert ac.find_all(t) == pat.findall(t), t
+
+
+def test_aho_nonword_edge_names():
+    """Names with non-word edge chars (regression: the AC boundary
+    emulation assumed word-char edges and over-matched 'C (D)' where
+    \\b does not): boundary = word-ness CHANGE, exactly like re."""
+    import re as _re
+
+    names = ["St. John's", "St. John", "A+B", "C (D)", "x|y", "a.b."]
+    ac = geotag._AhoCorasick(names)
+    alt = _re.compile(
+        r"\b(" + "|".join(
+            _re.escape(p) for p in sorted(names, key=len, reverse=True)
+        ) + r")\b"
+    )
+    trie = _re.compile(r"\b(" + geotag._trie_regex(names) + r")\b")
+    for t in ["go to St. John's place", "A+B and C (D) here",
+              "x|y or St. John", "C (D)x", "zC (D) q", "a.b. c", "xa.b.c"]:
+        want = alt.findall(t)
+        assert ac.find_all(t) == want, t
+        assert trie.findall(t) == want, t

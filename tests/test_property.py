@@ -155,14 +155,14 @@ import re as _re  # noqa: E402
 
 from o2g_spark.functions import geotag as gt  # noqa: E402
 
-_name_st = st.text(alphabet="abcxy ", min_size=1, max_size=8).map(
+_name_st = st.text(alphabet="abcxy .+()", min_size=1, max_size=8).map(
     str.strip
 ).filter(bool)
 
 
 @given(
     names=st.sets(_name_st, min_size=1, max_size=12),
-    text=st.text(alphabet="abcxy ,.", max_size=60),
+    text=st.text(alphabet="abcxy ,.+()", max_size=60),
 )
 @settings(max_examples=150, deadline=None)
 def test_matchers_equivalent_property(names, text):
