@@ -110,12 +110,16 @@ def jaccard_pairs(
     # CANDIDATE GENERATION on 60-bit HASHED shingles: the inverted-
     # index self-join and the df aggregate shuffle 8-byte longs instead
     # of n-gram strings (~30-40 bytes each) — 3-5× less shuffle volume
-    # at corpus scale, the hash-once rule applied to the join key. A
-    # hash collision can only ADD a candidate pair (and, with max_df,
-    # merge two shingles' df counts — P ≈ 2⁻⁶⁰ per pair, and the SQL
-    # twin hashes identically so cross-engine results stay equal);
-    # correctness is unaffected because every candidate is re-verified
-    # below against the full STRING shingle sets.
+    # at corpus scale, the hash-once rule applied to the join key.
+    # Collision safety: a hash collision can only ADD a candidate pair,
+    # which the STRING-set verification below scores honestly (shared
+    # strings ⇒ shared hashes, so no true candidate is ever lost) —
+    # output equality with the exact string-path SQL twin therefore
+    # rests on that verification plus threshold > 0, NOT on the twin
+    # hashing (it doesn't; it unnests raw shingles). With max_df a
+    # collision could also merge two shingles' df counts past the cap
+    # (P ≈ 2⁻⁶⁰ per shingle pair); the gate's dropped == 0 assertion
+    # keeps the capped-vs-exact-twin comparison sound at gate scale.
     sh = sh_full.select("__id", F.explode("__hset").alias("__sh"))
     if max_df is not None:
         # drop HOT shingles via a broadcast anti-join: the hot list is
