@@ -975,6 +975,56 @@ FROM slotted
 """
 
 
+def _q_near_dup_stream(spark, sf_dir):
+    """Batch twin of streaming.stateful.near_dup_candidates_stream (the
+    same pattern cell_visits uses for its stateful op): minhash-LSH
+    bucket canonicals + (canonical, member, band) candidate pairs over
+    the documents table. The streaming path is pinned against this twin
+    by tests/test_streaming_stateful.py."""
+    from o2g_spark.streaming import stateful
+
+    return stateful.near_dup_candidates_batch(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        ts_col=None, num_hashes=32, bands=16,
+    )
+
+
+def _near_dup_stream_oracle_sql() -> str:
+    """DuckDB twin: same shingle→minhash→band-key pipeline as the
+    minhash_lsh oracle, then min-id-per-bucket canonicals."""
+    num_hashes, bands = 32, 16
+    rpb = num_hashes // bands
+    return f"""
+WITH hs AS (
+  -- VARCHAR ids: the Spark twin casts ids to string, so the canonical
+  -- (min id per bucket) must be chosen by the SAME lexicographic order
+  SELECT CAST(doc_id AS VARCHAR) AS id, {X.shingles_sql('text', 3)} AS sh
+  FROM documents
+),
+sig AS (
+  SELECT id,
+         {dedup.minhash_from_hashes_sql(
+             f"list_transform(sh, s -> {X.md5_hash60_sql('s')})", num_hashes)} AS sig
+  FROM hs
+),
+banded AS (
+  SELECT id, unnest(range(0, {bands})) AS band,
+         unnest(list_transform(range(0, {bands}),
+                b -> md5(array_to_string(
+                       list_transform(sig[b*{rpb}+1 : b*{rpb}+{rpb}],
+                                      v -> CAST(v AS VARCHAR)), ','))))
+           AS key
+  FROM sig
+),
+canon AS (
+  SELECT id, CAST(band AS INTEGER) AS band,
+         min(id) OVER (PARTITION BY band, key) AS id_a
+  FROM banded
+)
+SELECT id_a, id AS id_b, band FROM canon WHERE id != id_a
+"""
+
+
 def _q_bmp_decode(spark, sf_dir):
     """REAL image decode under the gate: decode_images over 24-bit BMP
     fixtures — width/height come from an actual header parse and the
@@ -1206,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_digest": _q_lineage_digest,
         "bmp_decode": _q_bmp_decode,
         "wav_decode": _q_wav_decode,
+        "near_dup_stream": _q_near_dup_stream,
     }
 
 
@@ -1534,6 +1585,7 @@ FROM documents
         "lineage_digest": _lineage_oracle_sql(),
         "bmp_decode": _bmp_decode_oracle_sql(),
         "wav_decode": _wav_decode_oracle_sql(),
+        "near_dup_stream": _near_dup_stream_oracle_sql(),
         "gtfs_resolve": _gtfs_resolve_oracle_sql(),
         "cosine_topk": similarity.cosine_topk_sql(
             "embeddings",

@@ -251,3 +251,152 @@ def cell_visits_stateful(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ------------------------------------- streaming near-dup candidates
+
+CANDIDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.StringType(), False),  # bucket canonical
+        T.StructField("id_b", T.StringType(), False),  # later arrival
+        T.StructField("band", T.IntegerType(), False),
+    ]
+)
+_BUCKET_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("canonical", T.StringType(), False),
+        T.StructField("n_seen", T.LongType(), False),
+    ]
+)
+
+
+def _banded_docs(
+    docs: DataFrame, id_col: str, text_col: str, ts_col: str | None,
+    num_hashes: int, bands: int,
+) -> DataFrame:
+    """(band, key, did[, ts]) rows: minhash LSH banding as pure Column
+    expressions — identical banding to operators.dedup.minhash_lsh_pairs
+    (same signature family, same per-band md5 key), reusable on batch
+    AND streaming frames. Project-then-explode per CLAUDE.md rule 1."""
+    from ..operators.dedup import minhash_signature
+
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rpb = num_hashes // bands
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(
+                F.concat_ws(",", F.transform(
+                    F.slice(F.col("__sig"), b * rpb + 1, rpb),
+                    lambda v: v.cast("string"),
+                ))
+            ).alias("key"),
+        ),
+    )
+    keep = [F.col(id_col).cast("string").alias("did")]
+    if ts_col is not None:
+        keep.append(F.col(ts_col).alias("ts"))
+    return (
+        docs.withColumn("__sig", minhash_signature(text_col, num_hashes))
+        .withColumn("__bands", band_arr)
+        .select(*keep, F.explode("__bands").alias("__b"))
+        .select("*", F.col("__b.band").alias("band"), F.col("__b.key").alias("key"))
+        .drop("__b")
+    )
+
+
+def near_dup_candidates_batch(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str | None = None,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Batch twin of :func:`near_dup_candidates_stream`: per LSH bucket
+    the canonical doc is the first by (ts, id) — every other member
+    pairs with it. Output (id_a, id_b, band), id_a = canonical."""
+    banded = _banded_docs(docs, id_col, text_col, ts_col, num_hashes, bands)
+    order = ([F.col("ts").asc()] if ts_col is not None else []) + [
+        F.col("did").asc()
+    ]
+    w = Window.partitionBy("band", "key").orderBy(*order)
+    return (
+        banded.withColumn("__canon", F.first("did").over(w))
+        .filter(F.col("did") != F.col("__canon"))
+        .select(
+            F.col("__canon").alias("id_a"),
+            F.col("did").alias("id_b"),
+            F.col("band").cast(T.IntegerType()).alias("band"),
+        )
+    )
+
+
+def near_dup_candidates_stream(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    num_hashes: int = 32,
+    bands: int = 16,
+    timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Streaming near-duplicate CANDIDATE detection: minhash-LSH
+    banding (pure Column expressions, JVM-side) feeds
+    ``applyInPandasWithState`` keyed by (band, key); each bucket's
+    state is ONE tuple — the canonical (first-seen) doc id — so every
+    later arrival emits (canonical, id, band) immediately and state
+    stays O(active buckets) regardless of stream length. Idle buckets
+    are evicted after ``timeout_ms`` (the state bound for an endless
+    crawl; a re-arriving near-dup after eviction starts a new bucket,
+    trading recall for bounded state exactly like the batch df-caps).
+
+    Exact-jaccard verification of the candidates happens downstream in
+    batch (operators.dedup) — the stream's job is the bounded-state
+    candidate funnel.
+    """
+    if not stream.isStreaming:
+        raise ValueError(
+            "near_dup_candidates_stream expects a streaming DataFrame; "
+            "use near_dup_candidates_batch for batch backfill"
+        )
+    banded = _banded_docs(stream, id_col, text_col, ts_col, num_hashes, bands)
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        band, _bkey = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # same (ts, id) total order as the batch twin — deterministic
+        # canonical selection within a micro-batch
+        rows = rows.sort_values(["ts", "did"]).reset_index(drop=True)
+        canon, n = state.get if state.exists else (None, 0)
+        out: list[tuple] = []
+        for r in rows.itertuples():
+            did = r.did
+            if canon is None:
+                canon = did
+            elif did != canon:
+                out.append((canon, did, int(band)))
+            n += 1
+        state.update((canon, n))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(out, columns=["id_a", "id_b", "band"])
+
+    return (
+        banded.groupBy("band", "key")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=CANDIDATE_SCHEMA,
+            stateStructType=_BUCKET_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -118,3 +118,95 @@ def test_cell_visits_stateful_rejects_batch_df(spark):
 
     with pytest.raises(ValueError):
         stateful.cell_visits_stateful(spark.createDataFrame(_events()))
+
+
+# ------------------------------- streaming near-dup candidates (r3)
+
+
+def _docs():
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    texts = {
+        "a1": "the quick brown fox jumps over the lazy dog again and again today",
+        "a2": "the quick brown fox jumps over the lazy dog again and again tonight",
+        "b1": "completely different subject matter about spark structured streaming state",
+        "b2": "completely different subject matter about spark structured streaming state",
+        "c1": "unrelated third document with entirely original words nobody else uses",
+    }
+    return pd.DataFrame(
+        [(k, v, base + dt.timedelta(minutes=i)) for i, (k, v) in
+         enumerate(sorted(texts.items()))],
+        columns=["doc_id", "text", "ts"],
+    )
+
+
+def test_near_dup_candidates_batch_shape(spark):
+    pdf = _docs()
+    got = {
+        (r.id_a, r.id_b)
+        for r in stateful.near_dup_candidates_batch(
+            spark.createDataFrame(pdf), ts_col="ts"
+        ).collect()
+    }
+    # exact dup pair always collides in every band; near-dup pair in
+    # most; the unrelated doc never pairs
+    assert ("b1", "b2") in got
+    assert ("a1", "a2") in got
+    assert all("c1" not in p for p in got)
+    # canonical is the earlier arrival: pairs are (first, later)
+    assert all(a < b for a, b in got)
+
+
+def test_near_dup_candidates_batch_partition_invariant(spark):
+    pdf = _docs()
+    a = sorted(map(tuple, stateful.near_dup_candidates_batch(
+        spark.createDataFrame(pdf), ts_col="ts").collect()))
+    b = sorted(map(tuple, stateful.near_dup_candidates_batch(
+        spark.createDataFrame(pdf).repartition(7), ts_col="ts").collect()))
+    assert a == b
+
+
+def test_near_dup_candidates_stream_matches_batch(spark, tmp_path):
+    """Every candidate the batch twin finds is emitted by the stateful
+    stream (single source file → one micro-batch → identical
+    canonical choice), and nothing extra."""
+    pdf = _docs()
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ts timestamp")
+        .parquet(src)
+    )
+    expected = sorted(
+        map(tuple, stateful.near_dup_candidates_batch(
+            spark.createDataFrame(pdf), ts_col="ts").collect())
+    )
+    out = stateful.near_dup_candidates_stream(stream, timeout_ms=3_600_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_dup_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 120
+        got = []
+        while time.time() < deadline:
+            got = sorted(
+                (r.id_a, r.id_b, r.band)
+                for r in spark.sql("SELECT * FROM near_dup_test").collect()
+            )
+            if len(got) >= len(expected):
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert got == expected
+
+
+def test_near_dup_candidates_stream_rejects_batch_df(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        stateful.near_dup_candidates_stream(spark.createDataFrame(_docs()))
