@@ -487,11 +487,14 @@ def _q_jaccard_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     dropped = dedup.jaccard_dropped_shingles(docs, "doc_id", "text",
                                              n=3, max_df=200)
-    assert dropped == 0, (
-        f"jaccard gate precondition broken: {dropped} shingles exceed "
-        "max_df=200 at gate scale, so the capped Spark path no longer "
-        "matches the exact DuckDB twin — regenerate oracle or raise cap"
-    )
+    if dropped != 0:
+        # explicit raise, not assert: python -O strips asserts and the
+        # failure mode would revert to a mystery hash mismatch
+        raise RuntimeError(
+            f"jaccard gate precondition broken: {dropped} shingles exceed "
+            "max_df=200 at gate scale, so the capped Spark path no longer "
+            "matches the exact DuckDB twin — regenerate oracle or raise cap"
+        )
     return dedup.jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.4, max_df=200,
     )

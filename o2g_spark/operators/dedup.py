@@ -73,13 +73,41 @@ def dedup_keep_latest(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
 
 # ---------------------------------------------------------- ngram jaccard
 
+_DEFAULT_MAX_DF = 200
+_USE_DEFAULT_CAP: object = object()  # sentinel: caller left max_df unset
+_default_cap_warned = False
+
+
+def _warn_default_cap() -> None:
+    """One-time warning when a caller relies on the DEFAULT df cap:
+    the capped path silently loses pairs whose only shared shingles
+    are boilerplate (df > cap). Callers who pass max_df explicitly
+    (any value, including the same 200) have made the choice and are
+    not warned; measurement hook: :func:`jaccard_dropped_shingles`.
+    Deliberately NOT data-dependent — an eager hot-shingle count here
+    would add a job to every capped call's hot path."""
+    global _default_cap_warned
+    if not _default_cap_warned:
+        _default_cap_warned = True
+        import warnings
+
+        warnings.warn(
+            "jaccard_pairs is using its default df cap "
+            f"(max_df={_DEFAULT_MAX_DF}): pairs whose only shared "
+            "shingles are hotter than the cap will not surface. Pass "
+            "max_df explicitly (None = exact) to silence this; measure "
+            "the trade with jaccard_dropped_shingles().",
+            stacklevel=3,
+        )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = 200,
+    max_df: int | None = _USE_DEFAULT_CAP,  # type: ignore[assignment]
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via shared-shingle buckets.
 
@@ -101,6 +129,9 @@ def jaccard_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, rounded 6dp,
     ≥ threshold.
     """
+    if max_df is _USE_DEFAULT_CAP:
+        _warn_default_cap()
+        max_df = _DEFAULT_MAX_DF
     # cache_latest: the candidate join + array lookups re-scan this
     # 3-4×; the columnar cache beats RDD-checkpoint blocks 2-3× here,
     # and the registry bounds CacheManager growth per session.

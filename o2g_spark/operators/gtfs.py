@@ -188,6 +188,7 @@ def build_frequencies(
     trips: DataFrame,
     stop_times: DataFrame,
     default_headway_s: int = 1800,
+    check_uniform: bool = True,
 ) -> DataFrame:
     """GTFS ``frequencies.txt`` rows DERIVED from the schedule itself
     (SURVEY.md §1.1: the reference output is agency/stops/routes/trips/
@@ -217,7 +218,29 @@ def build_frequencies(
     ranked = (
         trips.join(first_dep, "trip_id")
         .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__gap", F.col("__dep") - F.lag("__dep").over(w))
     )
+    if check_uniform:
+        # GTFS frequencies semantics assume uniform headway: a single
+        # (start, end, headway) row misrepresents any route whose
+        # sibling gaps differ, so refuse to emit one (cheap: dimension-
+        # scale data, one extra aggregate). check_uniform=False is the
+        # explicit opt-out for callers who accept the approximation.
+        bad = (
+            ranked.groupBy("route_id")
+            .agg(F.min("__gap").alias("__gmin"), F.max("__gap").alias("__gmax"))
+            .filter(F.col("__gmax") != F.col("__gmin"))
+            .limit(5)
+            .collect()
+        )
+        if bad:
+            routes = ", ".join(str(r["route_id"]) for r in bad)
+            raise ValueError(
+                "build_frequencies: non-uniform departure gaps on "
+                f"route(s) {routes} — a frequencies window would "
+                "misrepresent their trip times. Fix the schedule or "
+                "pass check_uniform=False to accept the approximation."
+            )
     per_route = (
         ranked.groupBy("route_id")
         .agg(

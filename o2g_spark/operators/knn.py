@@ -57,6 +57,22 @@ def _ring_offsets(r: int) -> list[tuple[int, int]]:
     ]
 
 
+_OFFSET_CHUNK = 4096
+
+
+def _offset_chunks(lo: int, hi: int) -> list[list[tuple[int, int]]]:
+    """Offsets of rings lo..hi, split into ≤4096-entry chunks so no
+    literal struct-array in the plan is unbounded. The per-round hi
+    shrink can't go below ONE ring, and a single ring past r=512 has
+    8r > 4096 offsets — each chunk becomes its own materialize-then-
+    explode pass; together they cover every ring cell exactly once."""
+    offsets = [off for r_ in range(lo, hi + 1) for off in _ring_offsets(r_)]
+    return [
+        offsets[i:i + _OFFSET_CHUNK]
+        for i in range(0, len(offsets), _OFFSET_CHUNK)
+    ]
+
+
 def choose_strategy(k: int, n_queries: int, n_targets: int) -> tuple[bool, int]:
     """Cost-based strategy from the two cardinalities: ``(use_brute,
     res)``. Brute = ONE map-only job producing |Q|·|T| cheap JVM
@@ -183,22 +199,31 @@ def knn_join(
         # keep the literal offset array bounded (~4k entries per round)
         while hi > lo and 4 * (hi * hi + hi - lo * lo + lo) > 4096:
             hi -= 1
-        offsets = [
-            off for r_ in range(lo, hi + 1) for off in _ring_offsets(r_)
-        ]
-        off_arr = F.array(
-            *[
-                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx, dy in offsets
-            ]
-        )
+        # _offset_chunks bounds every literal even when the hi shrink
+        # bottomed out at one over-wide ring (8r > 4096 past r=512):
+        # one materialize-then-explode pass per chunk over the
+        # checkpointed `active`, unioned before the join.
+        exploded_chunks = []
+        for chunk in _offset_chunks(lo, hi):
+            off_arr = F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in chunk
+                ]
+            )
+            exploded_chunks.append(
+                # materialize the literal array BEFORE explode (CLAUDE.md
+                # rule 1: GenerateExec evaluates generator expressions
+                # interpreted, re-building the 4k-struct literal per row)
+                active.withColumn("__offs", off_arr)
+                .withColumn("__off", F.explode("__offs"))
+                .drop("__offs")
+            )
+        cand_exploded = exploded_chunks[0]
+        for part in exploded_chunks[1:]:
+            cand_exploded = cand_exploded.unionByName(part)
         cand_cells = (
-            # materialize the literal array BEFORE explode (CLAUDE.md
-            # rule 1: GenerateExec evaluates generator expressions
-            # interpreted, re-building the 4k-struct literal per row)
-            active.withColumn("__offs", off_arr)
-            .withColumn("__off", F.explode("__offs"))
-            .drop("__offs")
+            cand_exploded
             .withColumn("__nx", F.col("__ix") + F.col("__off.dx"))
             .withColumn("__ny", F.col("__iy") + F.col("__off.dy"))
             .filter(

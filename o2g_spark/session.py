@@ -107,15 +107,24 @@ _caches_lock = threading.Lock()
 _ALL = object()  # clear_caches sentinel: every session's entries
 
 
+def _sid(session) -> tuple | None:
+    # (applicationId, id(session)): applicationId alone is shared by
+    # every SparkSession spawned via newSession() on one context, so it
+    # cannot isolate per-session caches; the Python wrapper identity
+    # disambiguates (stable for the session's lifetime — the registry
+    # entry itself keeps the session object alive via df.sparkSession,
+    # so the id can't be recycled while the key is live).
+    try:
+        return (session.sparkContext.applicationId, id(session))
+    except Exception:
+        return None
+
+
 def _session_key(df, key: str) -> tuple:
     # key per (session, operator): two sessions sharing an operator name
     # must not unpersist each other's caches, and a stopped session's
     # entries must not pin frames forever under a live session's key
-    try:
-        sid = df.sparkSession.sparkContext.applicationId
-    except Exception:
-        sid = None
-    return (sid, key)
+    return (_sid(df.sparkSession), key)
 
 
 def cache_latest(key: str, df):
@@ -132,7 +141,10 @@ def cache_latest(key: str, df):
     sessions; a caller still holding an older result just recomputes
     lazily on its next action.
 
-    The registry is keyed by (application id, operator name) and the
+    The registry is keyed by ((application id, session identity),
+    operator name) — sessions created via ``newSession()`` share one
+    application id, so the session wrapper identity is part of the key
+    to keep the documented per-session isolation true — and the
     pop/persist pair runs under a lock, so concurrent pipelines in one
     process (or two sessions sharing operator names) never unpersist
     each other's caches. Call :func:`clear_caches` at job teardown to
@@ -173,9 +185,8 @@ def clear_caches(spark: SparkSession | None = None) -> int:
     if spark is None:
         sid = _ALL
     else:
-        try:
-            sid = spark.sparkContext.applicationId
-        except Exception:
+        sid = _sid(spark)
+        if sid is None:
             return 0  # stopped/broken session: nothing identifiable
     with _caches_lock:
         victims = [

@@ -225,3 +225,24 @@ def test_jaccard_pairs_max_df_keeps_true_dups(corpus):
     }
     # exact dups + one-word-edit near dups share shingles with df <= 3
     assert capped == exact
+
+
+def test_jaccard_default_cap_warns_once(corpus):
+    """Relying on the DEFAULT df cap warns (once per process) about the
+    recall trade; passing max_df explicitly — even the same value —
+    does not (ADVICE r3 #1)."""
+    import warnings
+
+    dedup._default_cap_warned = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.4)
+        assert any("default df cap" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.4)
+        dedup.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.4,
+                            max_df=200)
+        dedup.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.4,
+                            max_df=None)
+        assert not any("default df cap" in str(x.message) for x in w)

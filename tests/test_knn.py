@@ -160,3 +160,20 @@ def test_knn_tail_brute_path(qt):
     )
     exp = _collect(knn.knn_bruteforce(q, t, k=3))
     assert got == exp
+
+
+def test_offset_chunks_cover_rings_exactly_once():
+    """A single over-wide ring (8r > 4096 past r=512) is split across
+    chunks instead of emitting one unbounded literal (ADVICE r3 #4);
+    together the chunks cover each ring cell exactly once."""
+    for lo, hi in [(0, 3), (600, 600), (510, 513)]:
+        chunks = knn._offset_chunks(lo, hi)
+        assert all(len(c) <= knn._OFFSET_CHUNK for c in chunks)
+        flat = [off for c in chunks for off in c]
+        expected = [
+            off for r in range(lo, hi + 1) for off in knn._ring_offsets(r)
+        ]
+        assert flat == expected
+        assert len(set(flat)) == len(flat)
+    # ring 600 alone is 4800 offsets -> must be 2 chunks
+    assert len(knn._offset_chunks(600, 600)) == 2

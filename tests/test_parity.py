@@ -199,3 +199,25 @@ def test_route_type_enum(parity, spark):
     _, routes, _, _, _ = parity
     got = {r.route_id: r.route_type for r in gtfs.build_routes(routes).collect()}
     assert got == {0: 3, 1: 0, 2: 2}  # bus→3, tram→0, rail→2
+
+
+def test_frequencies_rejects_nonuniform_gaps(spark):
+    """GTFS frequencies semantics assume uniform headway: departures at
+    06:00/06:10/06:30 cannot be summarized by one (start, end, headway)
+    row, so build_frequencies refuses unless the caller opts out
+    (ADVICE r3 #5)."""
+    trips = spark.createDataFrame(
+        [("t1", 1, "S"), ("t2", 1, "S"), ("t3", 1, "S")],
+        "trip_id string, route_id int, service_id string",
+    )
+    st = spark.createDataFrame(
+        [("t1", 1, 10, "06:00:00", "06:00:00"),
+         ("t2", 1, 10, "06:10:00", "06:10:00"),
+         ("t3", 1, 10, "06:30:00", "06:30:00")],
+        "trip_id string, stop_sequence int, stop_id int, "
+        "arrival_time string, departure_time string",
+    )
+    with pytest.raises(ValueError, match="non-uniform"):
+        gtfs.build_frequencies(trips, st)
+    rows = gtfs.build_frequencies(trips, st, check_uniform=False).collect()
+    assert len(rows) == 1 and rows[0].headway_secs == 600

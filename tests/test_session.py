@@ -60,3 +60,22 @@ def test_clear_caches_releases_everything(spark):
     assert n >= 2
     assert not _is_cached(f1) and not _is_cached(f2)
     assert S.clear_caches(spark) == 0
+
+
+def test_cache_latest_isolates_newsession(spark):
+    """Sessions sharing one SparkContext (newSession) share an
+    applicationId — the registry key must still tell them apart so one
+    session's cache_latest never evicts the other's (ADVICE r3 #3)."""
+    s2 = spark.newSession()
+    # distinct plans: the JVM CacheManager is PLAN-keyed per context,
+    # so identical plans share one storage entry regardless of session
+    # — the registry can only isolate what the JVM keeps separate
+    a1 = S.cache_latest("op.shared", spark.range(10))
+    a1.count()
+    a2 = S.cache_latest("op.shared", s2.range(11))
+    a2.count()
+    assert _is_cached(a1) and _is_cached(a2)
+    # clear_caches scoping is per session too
+    assert S.clear_caches(s2) == 1
+    assert _is_cached(a1) and not _is_cached(a2)
+    S.clear_caches(spark)
