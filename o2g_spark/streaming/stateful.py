@@ -10,6 +10,12 @@ Three canonical shapes for the crawl-stream case:
   timestamp via ``applyInPandasWithState``: arbitrary per-key state in
   an Arrow-batched Python function, with processing-time timeout so
   idle keys are evicted (bounded state at an unbounded stream).
+
+The stateful visit/near-dup operators default to EVENT-TIME idle
+timeouts (watermark-driven): replaying historical crawl data — the
+dominant real workload — must evict at the same data-time points every
+run; wall-clock (processing-time) timers remain available via
+``time_mode="processing"`` for live 24/7 ingest.
 - :func:`cell_visits_stateful` — geofence-dwell visits: a *visit* is a
   maximal run of consecutive events (by time) in the same cell. The
   run boundary is a VALUE change, not a time gap, so neither
@@ -186,6 +192,42 @@ FROM numbered GROUP BY user_id, vid, cell
 """
 
 
+def _epoch_ms(ts) -> int:
+    """Naive-UTC pandas Timestamp → epoch milliseconds (session tz is
+    pinned to UTC by get_spark, so naive values ARE UTC instants)."""
+    return int(pd.Timestamp(ts).value // 1_000_000)
+
+
+def _arm_timeout(
+    state: GroupState, time_mode: str, timeout_ms: int, last_event_ms: int
+) -> None:
+    """Arm the idle-eviction timer in the configured time domain.
+
+    event: fires when the WATERMARK passes last_event + timeout —
+    deterministic with respect to data time, so replaying a historical
+    crawl evicts at the same points every run regardless of wall-clock
+    speed (the production-correct mode for backfill/replay). The
+    timestamp must sit strictly above the current watermark or Spark
+    rejects it — a late-but-within-watermark batch can otherwise
+    compute last_event + timeout in the past.
+
+    processing: fires timeout_ms of WALL CLOCK after the last batch
+    that touched the key — the right domain for a live 24/7 ingest
+    where data time tracks wall time anyway (kept as an option).
+    """
+    if time_mode == "event":
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_event_ms + timeout_ms, wm + 1))
+    else:
+        state.setTimeoutDuration(timeout_ms)
+
+
+def _check_time_mode(time_mode: str) -> None:
+    if time_mode not in ("event", "processing"):
+        raise ValueError(f"time_mode must be 'event' or 'processing', "
+                         f"got {time_mode!r}")
+
+
 def cell_visits_stateful(
     stream: DataFrame,
     timeout_ms: int = 600_000,
@@ -193,20 +235,33 @@ def cell_visits_stateful(
     ts_col: str = "ts",
     cell_col: str = "cell",
     order_col: str = "event_id",
+    time_mode: str = "event",
+    watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """Structured Streaming cell visits via ``applyInPandasWithState``.
 
     State per entity = its OPEN visit; a new cell closes the previous
-    visit (emitted), a processing-time timeout of ``timeout_ms`` closes
-    idle visits. Output rows are CLOSED visits only (append mode) —
+    visit (emitted), an idle timeout of ``timeout_ms`` closes idle
+    visits. Output rows are CLOSED visits only (append mode) —
     exactly-once per visit under the normal micro-batch guarantees.
 
+    ``time_mode="event"`` (default) evicts when the *watermark* passes
+    ``last event + timeout_ms`` — replaying historical events yields
+    the same visits every run, because eviction points live in data
+    time (see :func:`_arm_timeout`). ``watermark`` is applied to
+    ``ts_col`` here unless the caller already set one (pass ``None``).
+    ``time_mode="processing"`` keeps the wall-clock timer for live
+    ingest.
+
     Within a micro-batch rows are sorted by event time; cross-batch
-    reordering is bounded by the upstream watermark the caller sets.
+    reordering is bounded by the watermark.
     """
     if not stream.isStreaming:
         raise ValueError("cell_visits_stateful expects a streaming DataFrame; "
                          "use cell_visits_batch for batch backfill")
+    _check_time_mode(time_mode)
+    if time_mode == "event" and watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
 
     def fn(
         key: tuple[Any, ...],
@@ -238,9 +293,14 @@ def cell_visits_stateful(
                 closed.append((uid, cur[0], cur[1], cur[2], cur[3]))
                 cur = [cell, ts, ts, 1]
         state.update(tuple(cur))
-        state.setTimeoutDuration(timeout_ms)
+        _arm_timeout(state, time_mode, timeout_ms, _epoch_ms(cur[2]))
         yield pd.DataFrame(closed, columns=cols)
 
+    timeout_conf = (
+        GroupStateTimeout.EventTimeTimeout
+        if time_mode == "event"
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         stream.groupBy(user_col)
         .applyInPandasWithState(
@@ -248,7 +308,7 @@ def cell_visits_stateful(
             outputStructType=VISIT_SCHEMA,
             stateStructType=_VISIT_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout_conf,
         )
     )
 
@@ -266,6 +326,9 @@ _BUCKET_STATE_SCHEMA = T.StructType(
     [
         T.StructField("canonical", T.StringType(), False),
         T.StructField("n_seen", T.LongType(), False),
+        # last-seen event time (epoch ms): the event-time idle timer is
+        # armed off this, so bucket eviction is data-time deterministic
+        T.StructField("last_ms", T.LongType(), False),
     ]
 )
 
@@ -342,6 +405,8 @@ def near_dup_candidates_stream(
     num_hashes: int = 32,
     bands: int = 16,
     timeout_ms: int = 3_600_000,
+    time_mode: str = "event",
+    watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """Streaming near-duplicate CANDIDATE detection: minhash-LSH
     banding (pure Column expressions, JVM-side) feeds
@@ -353,6 +418,13 @@ def near_dup_candidates_stream(
     crawl; a re-arriving near-dup after eviction starts a new bucket,
     trading recall for bounded state exactly like the batch df-caps).
 
+    ``time_mode="event"`` (default) measures idleness in DATA time —
+    the watermark passing ``last bucket arrival + timeout_ms`` — so a
+    replayed crawl evicts the same buckets at the same points every
+    run (see :func:`_arm_timeout`); ``watermark`` is applied to
+    ``ts_col`` unless the caller already set one (pass ``None``).
+    ``time_mode="processing"`` keeps the wall-clock timer.
+
     Exact-jaccard verification of the candidates happens downstream in
     batch (operators.dedup) — the stream's job is the bounded-state
     candidate funnel.
@@ -362,6 +434,9 @@ def near_dup_candidates_stream(
             "near_dup_candidates_stream expects a streaming DataFrame; "
             "use near_dup_candidates_batch for batch backfill"
         )
+    _check_time_mode(time_mode)
+    if time_mode == "event" and watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
     banded = _banded_docs(stream, id_col, text_col, ts_col, num_hashes, bands)
 
     def fn(
@@ -377,7 +452,7 @@ def near_dup_candidates_stream(
         # same (ts, id) total order as the batch twin — deterministic
         # canonical selection within a micro-batch
         rows = rows.sort_values(["ts", "did"]).reset_index(drop=True)
-        canon, n = state.get if state.exists else (None, 0)
+        canon, n, last_ms = state.get if state.exists else (None, 0, 0)
         out: list[tuple] = []
         for r in rows.itertuples():
             did = r.did
@@ -386,10 +461,16 @@ def near_dup_candidates_stream(
             elif did != canon:
                 out.append((canon, did, int(band)))
             n += 1
-        state.update((canon, n))
-        state.setTimeoutDuration(timeout_ms)
+            last_ms = max(last_ms, _epoch_ms(r.ts))
+        state.update((canon, n, last_ms))
+        _arm_timeout(state, time_mode, timeout_ms, last_ms)
         yield pd.DataFrame(out, columns=["id_a", "id_b", "band"])
 
+    timeout_conf = (
+        GroupStateTimeout.EventTimeTimeout
+        if time_mode == "event"
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         banded.groupBy("band", "key")
         .applyInPandasWithState(
@@ -397,6 +478,6 @@ def near_dup_candidates_stream(
             outputStructType=CANDIDATE_SCHEMA,
             stateStructType=_BUCKET_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout_conf,
         )
     )

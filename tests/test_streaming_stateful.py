@@ -210,3 +210,176 @@ def test_near_dup_candidates_stream_rejects_batch_df(spark):
 
     with pytest.raises(ValueError):
         stateful.near_dup_candidates_stream(spark.createDataFrame(_docs()))
+
+
+# ------------------------- event-time replay determinism (r4)
+
+
+def _write_replay_files(path, frames):
+    """One parquet file per micro-batch with strictly increasing
+    mtimes, so the file source replays them in a fixed order under
+    maxFilesPerTrigger=1."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    for i, pdf in enumerate(frames):
+        f = os.path.join(path, f"batch_{i}.parquet")
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        # Spark-friendly microsecond timestamps (pandas default is ns)
+        schema = pa.schema(
+            [
+                pa.field(fld.name, pa.timestamp("us"))
+                if pa.types.is_timestamp(fld.type)
+                else fld
+                for fld in tbl.schema
+            ]
+        )
+        pq.write_table(tbl.cast(schema), f)
+        os.utime(f, times=(1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+
+def _drain_stream(spark, out, name, n_expected, timeout_s=120):
+    """Start out → memory sink, poll until n_expected rows (event-time
+    timeouts fire in watermark-advancing no-data batches, so
+    processAllAvailable alone can return before evictions land)."""
+    import time
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("maxFilesPerTrigger", 1)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            if len(rows) >= n_expected:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    return rows
+
+
+def test_cell_visits_event_time_replay_deterministic(spark, tmp_path):
+    """Replaying historical events evicts idle visits at DATA-time
+    points: the watermark passing last_event + timeout closes them —
+    identically on every replay, regardless of wall-clock speed (a
+    10-minute idle timeout fires in a seconds-long test run). Under
+    processing-time timeouts the same replay would emit NO timed-out
+    visit (the wall clock never advances 10 minutes here)."""
+    t0 = dt.datetime(2024, 5, 1, 8, 0, 0)
+    early = pd.DataFrame(
+        [
+            (1, 0, t0, 5),
+            (1, 1, t0 + dt.timedelta(minutes=10), 5),
+            (1, 2, t0 + dt.timedelta(minutes=20), 7),
+            (2, 3, t0, 9),
+            (2, 4, t0 + dt.timedelta(minutes=21), 9),
+        ],
+        columns=["user_id", "event_id", "ts", "cell"],
+    )
+    # watermark pusher: one far-future event drives the watermark past
+    # every earlier visit's (last_event + timeout), forcing eviction
+    pusher = pd.DataFrame(
+        [(99, 5, t0 + dt.timedelta(hours=4), 1)],
+        columns=["user_id", "event_id", "ts", "cell"],
+    )
+    # expected: the FULL batch twin of users 1-2 (every visit closed,
+    # the trailing ones by event-time eviction); user 99 stays open
+    expected = sorted(
+        v for v in _brute_visits(pd.concat([early, pusher]))
+        if v[0] != 99
+    )
+
+    runs = []
+    for run in range(2):
+        src = str(tmp_path / f"replay_{run}")
+        _write_replay_files(src, [early, pusher])
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, cell long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        visits = stateful.cell_visits_stateful(
+            stream, timeout_ms=600_000, time_mode="event",
+            watermark="1 minute",
+        )
+        rows = _drain_stream(
+            spark, visits, f"visits_replay_{run}", len(expected)
+        )
+        runs.append(sorted(
+            (r.user_id, r.cell, r.enter_ts, r.exit_ts, r.n_events)
+            for r in rows
+        ))
+    assert runs[0] == expected  # eviction points live in data time
+    assert runs[0] == runs[1]   # replay-deterministic
+
+
+def test_near_dup_event_time_replay_evicts_buckets(spark, tmp_path):
+    """Bucket eviction is data-time deterministic: a duplicate arriving
+    after the watermark passed its bucket's idle timeout starts a NEW
+    bucket (no pair) — the bounded-state recall trade, pinned at exact
+    replay points instead of wall-clock chance."""
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    txt_a = "the quick brown fox jumps over the lazy dog again and again today"
+    txt_b = "completely different subject matter about spark structured streaming state"
+    txt_c = "unrelated third document with entirely original words nobody else uses"
+    cols = ["doc_id", "text", "ts"]
+    f1 = pd.DataFrame(
+        [("a1", txt_a, t0),
+         ("b1", txt_b, t0 + dt.timedelta(minutes=1)),
+         ("b2", txt_b, t0 + dt.timedelta(minutes=2))],
+        columns=cols,
+    )
+    # two watermark pushers: the first advances the watermark past the
+    # a/b buckets' timeout, the second is the batch in which those
+    # buckets (receiving no data) actually fire hasTimedOut — a bucket
+    # getting data in the same batch would NOT time out
+    f2 = pd.DataFrame([("c1", txt_c, t0 + dt.timedelta(hours=2))], columns=cols)
+    f3 = pd.DataFrame(
+        [("c2", "totally separate musings regarding medieval falconry "
+          "techniques and gloves", t0 + dt.timedelta(hours=2, minutes=1))],
+        columns=cols,
+    )
+    # a2 is an EXACT dup of a1 — the batch twin pairs them in all
+    # bands, but on replay a1's buckets were evicted 90 min (data
+    # time) before a2 arrives, so the stream emits no (a1, a2) pair
+    f4 = pd.DataFrame([("a2", txt_a, t0 + dt.timedelta(hours=3))], columns=cols)
+
+    batch_pairs = {
+        (r.id_a, r.id_b)
+        for r in stateful.near_dup_candidates_batch(
+            spark.createDataFrame(pd.concat([f1, f2, f3, f4])), ts_col="ts"
+        ).collect()
+    }
+    assert ("a1", "a2") in batch_pairs  # the twin, blind to time, pairs them
+
+    runs = []
+    for run in range(2):
+        src = str(tmp_path / f"nd_replay_{run}")
+        _write_replay_files(src, [f1, f2, f3, f4])
+        stream = (
+            spark.readStream.schema("doc_id string, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stateful.near_dup_candidates_stream(
+            stream, timeout_ms=1_800_000, time_mode="event",
+            watermark="1 minute",
+        )
+        rows = _drain_stream(spark, out, f"nd_replay_{run}", 16)
+        runs.append(sorted((r.id_a, r.id_b, r.band) for r in rows))
+    # exact dups collide in every band: 16 (b1, b2) pairs — and ONLY b
+    # pairs; (a1, a2) is gone because its bucket was evicted in data time
+    assert {(a, b) for a, b, _ in runs[0]} == {("b1", "b2")}
+    assert len(runs[0]) == 16
+    assert runs[0] == runs[1]
