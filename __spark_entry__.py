@@ -317,7 +317,13 @@ def _q_knn(spark, sf_dir):
     t = _points(_t(spark, sf_dir, "supplier"), "s_acctbal", "s_suppkey").withColumnRenamed(
         "s_suppkey", "tid"
     )
-    return knn.knn_join(q, t, k=3, res=6)
+    # tail_brute_cap=0 forces the PURE iterative k-ring path: at gate
+    # cardinalities the cost model would otherwise (correctly) answer
+    # the whole query with one brute cross join, and the ring
+    # machinery — the part that needs the DuckDB hash check — would
+    # leave gate coverage. The brute path is separately pinned by the
+    # knn pytest oracles.
+    return knn.knn_join(q, t, k=3, res=6, tail_brute_cap=0)
 
 
 def _q_geotag_coords(spark, sf_dir):

@@ -13,6 +13,12 @@ Stages (each checkpoints atomically with per-partition lineage rows and
 resumes from the last committed snapshot — kill this job at any point
 and rerun the same command):
 
+    extract html→text over the binary html column (B3; OPT-IN, not in
+            --stage all): per-url sha2 of the canonical extraction
+            lands in the checkpoint's lineage digest, so the
+            byte-identity invariant (input_hint: "byte-identical
+            extracted text per url") is attested per partition at
+            scale and re-checkable after resume
     geotag  scan pages → coordinate extraction → cell encode (B1-B4)
     pip     cell-cover + ray-cast point-in-polygon join (B5)
     knn     k-ring kNN against the gazetteer (B6)
@@ -40,12 +46,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from o2g_spark.functions import cellfns, geotag  # noqa: E402
-from o2g_spark.operators import dedup, knn, pip, similarity, skew, tiles  # noqa: E402
+from o2g_spark.operators import (  # noqa: E402
+    dedup, knn, multimodal, pip, similarity, skew, tiles,
+)
 from o2g_spark.plans.checkpoint import CheckpointManager  # noqa: E402
 from o2g_spark.session import get_spark  # noqa: E402
 from o2g_spark.sources import synth, synth_dist, tables  # noqa: E402
 
 STAGES = ("geotag", "pip", "knn", "tiles", "dedup", "report")
+# opt-in stages: runnable via --stage NAME but excluded from --stage all
+# (extract doubles the page-scan cost; keep `all` timings comparable
+# across rounds)
+OPT_STAGES = ("extract",)
 
 
 def main(argv=None):
@@ -53,7 +65,8 @@ def main(argv=None):
     ap.add_argument("--pages", default="synth:200000",
                     help="parquet path, or synth:N for distributed generation")
     ap.add_argument("--out", required=True, help="checkpoint warehouse dir")
-    ap.add_argument("--stage", default="all", choices=("all",) + STAGES)
+    ap.add_argument("--stage", default="all",
+                    choices=("all",) + STAGES + OPT_STAGES)
     ap.add_argument("--res", type=int, default=9, help="cell resolution")
     ap.add_argument("--zoom", type=int, default=11, help="tile zoom")
     ap.add_argument("--knn-k", type=int, default=3)
@@ -104,6 +117,37 @@ def main(argv=None):
     gaz = tables.gazetteer_df(spark, gaz_pdf)
 
     want = STAGES if args.stage == "all" else (args.stage,)
+
+    if "extract" in want:
+        # html→text at scale through the checkpoint layer: the stage
+        # output is (url, text_sha, byte_identical) — sha2 of the
+        # CANONICAL extraction per url, so every lineage digest row
+        # attests the extracted bytes of its partition (north-rule
+        # "byte-identical extracted text per url"), and a resumed run
+        # re-verifies against the committed digests for free. The bool
+        # rides in the digest too: one flipped byte anywhere flips the
+        # stage digest.
+        def build_extract():
+            ex = multimodal.extract_text(pages)
+            return ex.select(
+                "url",
+                F.sha2("text_extracted", 256).alias("text_sha"),
+                F.col("text_extracted").eqNullSafe(F.col("text")).alias(
+                    "byte_identical"
+                ),
+            )
+
+        run(
+            "extract", build_extract, key_col="url",
+            extra={
+                # no-silent-failure counter: pages whose extraction does
+                # NOT byte-match the source text column (must be 0 on
+                # synth pages, whose html wraps text losslessly)
+                "mismatched_pages": lambda: ckpt.run_stage(
+                    "extract", build_extract, key_col="url"
+                ).filter(~F.col("byte_identical")).count(),
+            },
+        )
 
     # geotag: extraction + cell encode, salted against hot cells before
     # any downstream per-cell work (SURVEY.md §7.2: salt BEFORE Python)

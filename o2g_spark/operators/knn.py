@@ -169,6 +169,56 @@ def knn_join(
     finished: list[DataFrame] = []  # emitted results of done queries
     w = Window.partitionBy("__qid").orderBy(F.col("dist2").asc(), F.col("__tid").asc())
 
+    def _finalize(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("__qid").alias(query_id),
+            F.col("__tid").alias(target_id),
+            F.col("dist2"),
+            F.col("knn_rank").cast(T.IntegerType()),
+        )
+
+    def _brute_block(qside: DataFrame) -> DataFrame:
+        """One bounded cross join finishing every query in qside exactly
+        (same output contract/tie-break as the ring path). Honors
+        broadcast_targets=False: the cap bounds cross-product ROWS, not
+        the broadcast SIZE — 2 queries × 25M targets fits the cap but
+        not the driver; let Spark pick the join strategy then."""
+        t_side = targets.select(
+            F.col(target_id).alias("__tid"),
+            F.col(lat_col).alias("__tlat"),
+            F.col(lon_col).alias("__tlon"),
+        )
+        if broadcast_targets:
+            t_side = F.broadcast(t_side)
+        return (
+            qside.select("__qid", "__qlat", "__qlon")
+            .crossJoin(t_side)
+            .withColumn("__dlat", F.col("__qlat") - F.col("__tlat"))
+            .withColumn("__dlon", F.col("__qlon") - F.col("__tlon"))
+            .withColumn(
+                "dist2",
+                F.col("__dlat") * F.col("__dlat")
+                + F.col("__dlon") * F.col("__dlon"),
+            )
+            .withColumn("knn_rank", F.row_number().over(w))
+            .filter(F.col("knn_rank") <= k)
+        )
+
+    # Cost-based EARLY exit (CLAUDE.md rule 7 — bound TOTAL work): if
+    # the whole query side already fits the brute budget, one cross
+    # join beats any number of ring rounds; the ring machinery exists
+    # to avoid |Q|·|T| when that product is huge, not to be run for
+    # its own sake. Measured: this removes the two rounds of fixed
+    # per-round job cost (ring join + window + checkpoint + counts)
+    # that dominated knn_kring at bench scale. n_active is the exact
+    # just-counted cardinality; n_targets may be a hint, and a wrong
+    # hint only mis-routes strategy — the brute output is exact
+    # regardless. tail_brute_cap=0 disables both this and the tail
+    # cleanup (forcing the pure ring path, as the gate query does to
+    # keep ring machinery under the DuckDB oracle).
+    if n_targets and tail_brute_cap and n_active * n_targets <= tail_brute_cap:
+        return _finalize(_brute_block(active))
+
     # Geometrically widening ring batches: round i examines Chebyshev
     # distances [lo, hi] with the window doubling each round. One Spark
     # job per round instead of per ring, so sparse regions converge in
@@ -311,42 +361,10 @@ def knn_join(
         # are precisely the queries whose done-proof radius grows
         # slowest). TOTAL work is capped, per CLAUDE.md rule 7.
         if n_targets and n_active * n_targets <= tail_brute_cap:
-            t_side = targets.select(
-                F.col(target_id).alias("__tid"),
-                F.col(lat_col).alias("__tlat"),
-                F.col(lon_col).alias("__tlon"),
-            )
-            # honor broadcast_targets=False (huge target sets): the cap
-            # bounds the cross-product ROWS, not the broadcast SIZE —
-            # 2 active queries × 25M targets fits the cap but not the
-            # driver; let Spark pick the join strategy in that case
-            if broadcast_targets:
-                t_side = F.broadcast(t_side)
-            tail = (
-                next_active.select("__qid", "__qlat", "__qlon")
-                .crossJoin(t_side)
-                .withColumn("__dlat", F.col("__qlat") - F.col("__tlat"))
-                .withColumn("__dlon", F.col("__qlon") - F.col("__tlon"))
-                .withColumn(
-                    "dist2",
-                    F.col("__dlat") * F.col("__dlat")
-                    + F.col("__dlon") * F.col("__dlon"),
-                )
-                .withColumn("knn_rank", F.row_number().over(w))
-                .filter(F.col("knn_rank") <= k)
-            )
-            finished.append(tail)
+            finished.append(_brute_block(next_active))
             best = None
             break
         active = next_active.localCheckpoint(eager=True)
-
-    def _finalize(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col("__qid").alias(query_id),
-            F.col("__tid").alias(target_id),
-            F.col("dist2"),
-            F.col("knn_rank").cast(T.IntegerType()),
-        )
 
     parts = [_finalize(p) for p in finished]
     if best is not None:
