@@ -23,15 +23,27 @@ from pyspark.sql import types as T
 HOT_CITIES = [(13.40, 52.52), (2.35, 48.85), (-3.70, 40.42)]
 HOT_RADIUS = 0.05
 LANGS = ["en", "de", "fr", "es", "zh"]
+# center of ONE res-9 grid cell (cell width 0.703° lon × 0.352° lat),
+# used by one_hot_frac: a 0.02° disk around it stays strictly inside
+# that single cell — the survey's "one city cell holds half the crawl"
+# worst-case skew fixture
+ONE_HOT_CENTER = (13.7109375, 52.55859375)
+ONE_HOT_RADIUS = 0.02
 
 
 def gen_pages_dist(
-    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None,
+    one_hot_frac: float | None = None,
 ) -> DataFrame:
     """n synthetic pages, columns (url, warc_ts, html, text, lang).
 
     All JVM expressions (xxhash64-driven pseudo-randomness); ~70% of
     pages embed one "Coordinates: lat, lon" literal in text.
+
+    ``one_hot_frac``: route that fraction of the COORDINATE pages into
+    a 0.02° disk inside a single res-9 cell (ONE_HOT_CENTER) — the
+    planted worst-case hot-cell fixture for skew benchmarks; the rest
+    spread uniformly. Default None keeps the 3-city FIXTURES.md shape.
     """
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism * 2
@@ -50,8 +62,19 @@ def gen_pages_dist(
     ) + (u01("jlat") - F.lit(0.5)) * F.lit(2 * HOT_RADIUS)
     uni_lon = u01("ulon") * F.lit(60.0) - F.lit(30.0)
     uni_lat = u01("ulat") * F.lit(90.0) - F.lit(30.0)
-    lat = F.round(F.when(hot, hot_lat).otherwise(uni_lat), 4)
-    lon = F.round(F.when(hot, hot_lon).otherwise(uni_lon), 4)
+    if one_hot_frac is not None:
+        in_hot = u01("onehot") < F.lit(one_hot_frac)
+        oh_lon = F.lit(ONE_HOT_CENTER[0]) + (
+            u01("ohlon") - F.lit(0.5)
+        ) * F.lit(2 * ONE_HOT_RADIUS)
+        oh_lat = F.lit(ONE_HOT_CENTER[1]) + (
+            u01("ohlat") - F.lit(0.5)
+        ) * F.lit(2 * ONE_HOT_RADIUS)
+        lat = F.round(F.when(in_hot, oh_lat).otherwise(uni_lat), 4)
+        lon = F.round(F.when(in_hot, oh_lon).otherwise(uni_lon), 4)
+    else:
+        lat = F.round(F.when(hot, hot_lat).otherwise(uni_lat), 4)
+        lon = F.round(F.when(hot, hot_lon).otherwise(uni_lon), 4)
 
     lang = F.element_at(
         F.array(*[F.lit(x) for x in LANGS]),

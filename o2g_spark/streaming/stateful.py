@@ -322,15 +322,27 @@ CANDIDATE_SCHEMA = T.StructType(
         T.StructField("band", T.IntegerType(), False),
     ]
 )
-_BUCKET_STATE_SCHEMA = T.StructType(
+# Shard state: every LSH bucket under the shard maps to ONE encoded
+# "canonical\x1fn_seen\x1flast_ms" string. Keying the stateful op by a
+# bounded SHARD of the bucket-key space (not by raw bucket) is what
+# makes the operator fast: applyInPandasWithState pays ~1-2 ms of
+# Python/Arrow harness cost PER GROUP PER BATCH, and raw bucket keying
+# creates docs×bands near-singleton groups (measured: 4k docs/batch →
+# 64k groups → ~3 min/batch; 1024 shards → seconds). Per-bucket
+# eviction moves INSIDE the shard map (pruned against the watermark on
+# every invocation), which is data-time deterministic like the old
+# per-bucket timers — and stricter: a bucket whose idle gap exceeded
+# the timeout is pruned even when its next member arrives in the same
+# batch, exactly what replay determinism wants.
+_SHARD_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("canonical", T.StringType(), False),
-        T.StructField("n_seen", T.LongType(), False),
-        # last-seen event time (epoch ms): the event-time idle timer is
-        # armed off this, so bucket eviction is data-time deterministic
-        T.StructField("last_ms", T.LongType(), False),
+        T.StructField(
+            "buckets", T.MapType(T.StringType(), T.StringType()), False
+        ),
+        T.StructField("last_ms", T.LongType(), False),  # max over buckets
     ]
 )
+_SEP = "\x1f"
 
 
 def _banded_docs(
@@ -359,12 +371,27 @@ def _banded_docs(
         ),
     )
     keep = [F.col(id_col).cast("string").alias("did")]
+    out_cols = ["did"]
     if ts_col is not None:
         keep.append(F.col(ts_col).alias("ts"))
+        out_cols.append("ts")
+    # Materialize the signature at a SHUFFLE boundary before banding.
+    # Without it CollapseProject merges the two projections: __sig is
+    # textually referenced once (inside the per-band slice lambda), so
+    # the optimizer's expensive-expression check passes — but lambda
+    # bodies evaluate INTERPRETED per array element, recomputing the
+    # whole minhash bands× per row (measured 9.4 s vs 1.5 s on 2k
+    # docs; it throttled streaming micro-batches to minutes). A
+    # Project can't merge across an Exchange, and "hash once, shuffle
+    # the hashes" is the engine's standing rule anyway. Cheap: rows
+    # are (did[, ts], 32-long array) — docs, not docs×bands.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sig = docs.select(
+        *keep, minhash_signature(text_col, num_hashes).alias("__sig")
+    ).repartition(par, "did")
     return (
-        docs.withColumn("__sig", minhash_signature(text_col, num_hashes))
-        .withColumn("__bands", band_arr)
-        .select(*keep, F.explode("__bands").alias("__b"))
+        sig.withColumn("__bands", band_arr)
+        .select(*out_cols, F.explode("__bands").alias("__b"))
         .select("*", F.col("__b.band").alias("band"), F.col("__b.key").alias("key"))
         .drop("__b")
     )
@@ -407,23 +434,32 @@ def near_dup_candidates_stream(
     timeout_ms: int = 3_600_000,
     time_mode: str = "event",
     watermark: str | None = "10 minutes",
+    shards: int = 1024,
 ) -> DataFrame:
     """Streaming near-duplicate CANDIDATE detection: minhash-LSH
     banding (pure Column expressions, JVM-side) feeds
-    ``applyInPandasWithState`` keyed by (band, key); each bucket's
-    state is ONE tuple — the canonical (first-seen) doc id — so every
-    later arrival emits (canonical, id, band) immediately and state
-    stays O(active buckets) regardless of stream length. Idle buckets
-    are evicted after ``timeout_ms`` (the state bound for an endless
-    crawl; a re-arriving near-dup after eviction starts a new bucket,
-    trading recall for bounded state exactly like the batch df-caps).
+    ``applyInPandasWithState`` keyed by ``hash(band, key) % shards``;
+    each shard's state maps its active LSH buckets to ONE encoded
+    (canonical, n_seen, last_ms) tuple, so every later arrival in a
+    bucket emits (canonical, id, band) immediately and total state
+    stays O(active buckets) regardless of stream length.
 
-    ``time_mode="event"`` (default) measures idleness in DATA time —
-    the watermark passing ``last bucket arrival + timeout_ms`` — so a
-    replayed crawl evicts the same buckets at the same points every
-    run (see :func:`_arm_timeout`); ``watermark`` is applied to
-    ``ts_col`` unless the caller already set one (pass ``None``).
-    ``time_mode="processing"`` keeps the wall-clock timer.
+    Why shards and not raw (band, key) groups: the Python/Arrow
+    harness charges ~1-2 ms PER GROUP PER BATCH, and bucket-level
+    keying creates docs×bands near-singleton groups (measured: ~3 min
+    a micro-batch at 4k docs/batch); ``shards`` bounds the per-batch
+    Python calls while the in-state map keeps per-bucket semantics
+    identical.
+
+    Idle buckets are pruned once the watermark (event mode, default)
+    passes ``last arrival + timeout_ms`` — the state bound for an
+    endless crawl; a re-arriving near-dup after eviction starts a new
+    bucket, trading recall for bounded state exactly like the batch
+    df-caps (measured curve: scripts/bench_stream_recall.py). Eviction
+    points live in DATA time, so a replayed crawl evicts identically
+    every run. ``time_mode="processing"`` prunes against the wall
+    clock instead (live 24/7 ingest). A shard whose every bucket has
+    gone idle times out and is removed whole.
 
     Exact-jaccard verification of the candidates happens downstream in
     batch (operators.dedup) — the stream's job is the bounded-state
@@ -437,33 +473,59 @@ def near_dup_candidates_stream(
     _check_time_mode(time_mode)
     if time_mode == "event" and watermark is not None:
         stream = stream.withWatermark(ts_col, watermark)
-    banded = _banded_docs(stream, id_col, text_col, ts_col, num_hashes, bands)
+    banded = _banded_docs(
+        stream, id_col, text_col, ts_col, num_hashes, bands
+    ).withColumn(
+        "shard", F.pmod(F.xxhash64("band", "key"), F.lit(shards))
+    )
 
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        band, _bkey = key
         if state.hasTimedOut:
             state.remove()
             return
+        buckets, shard_last = state.get if state.exists else ({}, 0)
+        buckets = dict(buckets)
+        # per-bucket eviction, in the configured time domain, BEFORE
+        # applying this batch's rows: a bucket whose idle gap already
+        # exceeded the timeout must not pair with the new arrival
+        if time_mode == "event":
+            now_ms = state.getCurrentWatermarkMs()
+        else:
+            import time as _t
+
+            now_ms = int(_t.time() * 1000)
+        if now_ms > 0 and buckets:
+            buckets = {
+                bk: v
+                for bk, v in buckets.items()
+                if int(v.rsplit(_SEP, 1)[1]) + timeout_ms > now_ms
+            }
         rows = pd.concat(list(pdfs), ignore_index=True)
         # same (ts, id) total order as the batch twin — deterministic
         # canonical selection within a micro-batch
         rows = rows.sort_values(["ts", "did"]).reset_index(drop=True)
-        canon, n, last_ms = state.get if state.exists else (None, 0, 0)
         out: list[tuple] = []
         for r in rows.itertuples():
             did = r.did
-            if canon is None:
-                canon = did
-            elif did != canon:
-                out.append((canon, did, int(band)))
-            n += 1
-            last_ms = max(last_ms, _epoch_ms(r.ts))
-        state.update((canon, n, last_ms))
-        _arm_timeout(state, time_mode, timeout_ms, last_ms)
+            bk = f"{int(r.band)}{_SEP}{r.key}"
+            ms = _epoch_ms(r.ts)
+            shard_last = max(shard_last, ms)
+            cur = buckets.get(bk)
+            if cur is None:
+                buckets[bk] = f"{did}{_SEP}1{_SEP}{ms}"
+                continue
+            canon, n, _last = cur.split(_SEP)
+            if did != canon:
+                out.append((canon, did, int(r.band)))
+            buckets[bk] = f"{canon}{_SEP}{int(n) + 1}{_SEP}{ms}"
+        state.update((buckets, shard_last))
+        # shard-level timer: fires only once EVERY bucket has been idle
+        # past the timeout (per-bucket pruning above handles the rest)
+        _arm_timeout(state, time_mode, timeout_ms, shard_last)
         yield pd.DataFrame(out, columns=["id_a", "id_b", "band"])
 
     timeout_conf = (
@@ -472,11 +534,11 @@ def near_dup_candidates_stream(
         else GroupStateTimeout.ProcessingTimeTimeout
     )
     return (
-        banded.groupBy("band", "key")
+        banded.groupBy("shard")
         .applyInPandasWithState(
             fn,
             outputStructType=CANDIDATE_SCHEMA,
-            stateStructType=_BUCKET_STATE_SCHEMA,
+            stateStructType=_SHARD_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=timeout_conf,
         )

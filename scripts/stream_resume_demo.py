@@ -1,0 +1,430 @@
+"""Streaming checkpoint kill/restart resume demo (round-4 evidence).
+
+North-rule: "a killed job resumes from the last committed snapshot" —
+the batch side is demonstrated by jobs/run_pipeline.py + checkpoint
+snapshots (BENCH/BASELINE.md §Resume evidence); THIS script is the
+streaming counterpart: a Structured Streaming query with
+``checkpointLocation`` is SIGKILLed mid-stream (the whole process
+group, Python driver + JVM), restarted with the same checkpoint, and
+its final sink is compared row-for-row against the batch twin — zero
+lost rows, zero duplicated rows.
+
+Covers BOTH custom stateful operators:
+  - cell_visits_stateful (event-time idle eviction closes every visit
+    once a far-future watermark-pusher event arrives)
+  - near_dup_candidates_stream (candidates emitted on arrival; exactly
+    the batch twin's pairs)
+
+Exactly-once machinery being exercised: the file-source WAL (offsets/),
+the state store (per-key visit / bucket state survives the kill), the
+watermark (persisted and recovered), and the parquet FileStreamSink
+manifest (_spark_metadata — uncommitted part files from the killed
+batch are invisible to metadata-aware reads).
+
+Usage (orchestrator):
+    python scripts/stream_resume_demo.py [--events 2000000]
+        [--docs 100000] [--files 40] [--out /tmp/stream_resume]
+        [--update-baseline]
+
+The orchestrator writes the sources with pyarrow (no JVM), runs each
+child query via subprocess, kills it after >= --kill-commits commits,
+reruns it to completion, then opens ITS OWN Spark session to validate.
+Prints one JSON line per operator.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_MS = 1_717_243_200_000  # 2024-06-01T12:00:00Z, pinned
+PUSHER_USER = 999_999_999
+VISIT_TIMEOUT_MS = 600_000           # 10 min of data time
+ND_TIMEOUT_MS = 86_400_000           # 1 day: no eviction inside the demo
+
+
+def _ts(ms: int):
+    return pd.Timestamp(ms, unit="ms")
+
+
+def synth_events(n: int, n_files: int, out: str) -> None:
+    """Time-ordered multi-file event source: n events over n//2 seconds
+    of data time, 200 users round-robin (within-user gap ~100 s of data
+    time << the 10-min visit timeout, so visits only close on cell
+    change — until the final pusher file advances the watermark by a
+    day and evicts every open visit)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out, exist_ok=True)
+    users = 200
+    rng = np.random.default_rng(42)
+    eid = np.arange(n, dtype=np.int64)
+    uid = eid % users
+    ts_ms = BASE_MS + eid * 500  # one event / 0.5 s of data time
+    # per-user cell walk: change cell every ~6 of the user's events
+    cell = (uid * 1000 + (eid // users // 6) + rng.integers(0, 2, n)).astype(
+        np.int64
+    )
+    per = n // n_files
+    schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("event_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("cell", pa.int64()),
+        ]
+    )
+    for i in range(n_files):
+        sl = slice(i * per, n if i == n_files - 1 else (i + 1) * per)
+        tbl = pa.Table.from_pydict(
+            {
+                "user_id": uid[sl],
+                "event_id": eid[sl],
+                "ts": (ts_ms[sl] * 1000).astype("datetime64[us]"),
+                "cell": cell[sl],
+            },
+            schema=schema,
+        )
+        f = os.path.join(out, f"ev_{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, times=(1_000_000 + i, 1_000_000 + i))
+    # watermark pusher: +1 day closes every visit via event-time timeout
+    f = os.path.join(out, f"ev_{n_files:04d}.parquet")
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "user_id": np.array([PUSHER_USER], dtype=np.int64),
+                "event_id": np.array([n], dtype=np.int64),
+                "ts": np.array(
+                    [(BASE_MS + 86_400_000) * 1000], dtype="datetime64[us]"
+                ),
+                "cell": np.array([0], dtype=np.int64),
+            },
+            schema=schema,
+        ),
+        f,
+    )
+    os.utime(f, times=(1_000_000 + n_files, 1_000_000 + n_files))
+
+
+def synth_docs(n: int, n_files: int, out: str) -> None:
+    """Time-ordered doc stream with planted duplicates: every 10th doc
+    repeats the text of a doc ~50 positions earlier (same LSH buckets →
+    candidate pairs), everything else is unique."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(7)
+    words = np.array(
+        ["crawl", "spark", "tile", "cell", "union", "page", "shard",
+         "route", "vector", "raster", "index", "hash", "band", "state",
+         "join", "query", "stream", "batch", "delta", "frame"]
+    )
+    texts = [
+        " ".join(rng.choice(words, size=12, replace=True)) + f" tail{i}"
+        for i in range(n)
+    ]
+    for i in range(0, n, 10):
+        if i >= 50:
+            texts[i] = texts[i - 50]  # planted dup
+    ids = np.array([f"d{i:07d}" for i in range(n)])
+    ts_ms = BASE_MS + np.arange(n, dtype=np.int64) * 1000
+    schema = pa.schema(
+        [
+            pa.field("doc_id", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    per = n // n_files
+    for i in range(n_files):
+        sl = slice(i * per, n if i == n_files - 1 else (i + 1) * per)
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": ids[sl],
+                "text": np.array(texts[sl]),
+                "ts": (ts_ms[sl] * 1000).astype("datetime64[us]"),
+            },
+            schema=schema,
+        )
+        f = os.path.join(out, f"doc_{i:04d}.parquet")
+        pq.write_table(tbl, f)
+        os.utime(f, times=(1_000_000 + i, 1_000_000 + i))
+
+
+# ------------------------------------------------------------- child
+
+
+def run_child(op: str, src: str, sink: str, ckpt: str) -> None:
+    """Run the streaming query to completion under a durable
+    checkpoint. Designed to be SIGKILLed at any moment and re-invoked:
+    everything it does is driven by the checkpoint + sink manifest."""
+    from o2g_spark.session import get_spark
+    from o2g_spark.streaming import stateful
+
+    # 8 shuffle partitions: each micro-batch commits one state-store
+    # instance per partition — at demo scale the per-batch fixed cost
+    # is state-store commits, not rows. MUST be identical across the
+    # kill and the resume run (state is partitioned by it).
+    spark = get_spark(
+        master="local[8]", app_name=f"stream-resume-{op}",
+        shuffle_partitions=8,
+    )
+    if op == "visits":
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, cell long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stateful.cell_visits_stateful(
+            stream, timeout_ms=VISIT_TIMEOUT_MS, time_mode="event",
+            watermark="1 minute",
+        )
+    else:
+        stream = (
+            spark.readStream.schema("doc_id string, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stateful.near_dup_candidates_stream(
+            stream, timeout_ms=ND_TIMEOUT_MS, time_mode="event",
+            watermark="1 minute",
+        )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    # all file batches, then let watermark-advance no-data batches run
+    # (event-time evictions land there), then confirm quiescence
+    q.processAllAvailable()
+    time.sleep(5)
+    q.processAllAvailable()
+    q.stop()
+    spark.stop()
+
+
+# ------------------------------------------------------------ parent
+
+
+def _spawn(op: str, src: str, sink: str, ckpt: str) -> subprocess.Popen:
+    return subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child", op,
+         "--src", src, "--sink", sink, "--ckpt", ckpt],
+        start_new_session=True,  # own process group: SIGKILL takes the JVM too
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+
+
+def _commits(ckpt: str) -> int:
+    d = os.path.join(ckpt, "commits")
+    if not os.path.isdir(d):
+        return 0
+    return len([f for f in os.listdir(d) if not f.startswith(".")])
+
+
+def _kill_after_commits(proc: subprocess.Popen, ckpt: str, k: int,
+                        timeout_s: int = 600) -> int:
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        c = _commits(ckpt)
+        if c >= k:
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.wait()
+            return c
+        if proc.poll() is not None:
+            raise RuntimeError(
+                f"child finished (rc={proc.returncode}) before reaching "
+                f"{k} commits — raise --files so the kill lands mid-stream"
+            )
+        time.sleep(0.2)
+    raise RuntimeError("child never reached the kill point")
+
+
+def orchestrate(args) -> list[dict]:
+    base = args.out
+    shutil.rmtree(base, ignore_errors=True)
+    ev_src = os.path.join(base, "events_src")
+    doc_src = os.path.join(base, "docs_src")
+    synth_events(args.events, args.files, ev_src)
+    synth_docs(args.docs, args.files, doc_src)
+
+    results = []
+    for op, src in (("visits", ev_src), ("neardup", doc_src)):
+        sink = os.path.join(base, f"{op}_sink")
+        ckpt = os.path.join(base, f"{op}_ckpt")
+        t0 = time.time()
+        proc = _spawn(op, src, sink, ckpt)
+        commits_at_kill = _kill_after_commits(proc, ckpt, args.kill_commits)
+        t_kill = time.time() - t0
+        t1 = time.time()
+        proc2 = _spawn(op, src, sink, ckpt)
+        rc = proc2.wait(timeout=1800)
+        t_resume = time.time() - t1
+        if rc != 0:
+            raise RuntimeError(f"{op} resume run failed rc={rc}")
+        results.append(
+            {
+                "op": op,
+                "commits_at_kill": commits_at_kill,
+                "killed_after_s": round(t_kill, 1),
+                "resume_run_s": round(t_resume, 1),
+                "src": src,
+                "sink": sink,
+            }
+        )
+    return results
+
+
+def validate(results: list[dict], args) -> list[dict]:
+    """Metadata-aware sink read vs batch twin, row-for-row (Counter
+    multiset: lost AND duplicated both must be zero)."""
+    from o2g_spark.session import get_spark
+    from o2g_spark.streaming import stateful
+
+    spark = get_spark(master="local[8]", app_name="stream-resume-validate")
+    out = []
+    for r in results:
+        if r["op"] == "visits":
+            events = spark.read.parquet(r["src"])
+            twin = stateful.cell_visits_batch(events).filter(
+                f"user_id != {PUSHER_USER}"  # pusher's visit never closes
+            )
+            cols = ["user_id", "cell", "enter_ts", "exit_ts", "n_events"]
+        else:
+            docs = spark.read.parquet(r["src"])
+            twin = stateful.near_dup_candidates_batch(docs, ts_col="ts")
+            cols = ["id_a", "id_b", "band"]
+        expected = Counter(map(tuple, twin.select(*cols).collect()))
+        got = Counter(
+            map(tuple, spark.read.parquet(r["sink"]).select(*cols).collect())
+        )
+        lost = sum((expected - got).values())
+        dup = sum((got - expected).values())
+        r.update(
+            {
+                "rows_expected": sum(expected.values()),
+                "rows_got": sum(got.values()),
+                "lost_rows": lost,
+                "duplicated_rows": dup,
+                "exactly_once": lost == 0 and dup == 0,
+            }
+        )
+        r.pop("src"), r.pop("sink")
+        out.append(r)
+    spark.stop()
+    return out
+
+
+BEGIN = "<!-- streaming-resume:begin -->"
+END = "<!-- streaming-resume:end -->"
+
+
+def update_baseline(results: list[dict], args) -> None:
+    """Splice the evidence between markers (never clobber the
+    hand-written analysis around it)."""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path) as f:
+        doc = f.read()
+    lines = [
+        BEGIN,
+        "",
+        "## Streaming resume evidence (kill -9 mid-stream) — round 4",
+        "",
+        "North-rule resume guarantee, streaming counterpart of the batch",
+        "§Resume evidence above: each stateful streaming query ran under a",
+        "durable `checkpointLocation`, its WHOLE process group (Python",
+        "driver + JVM) was SIGKILLed after the recorded number of committed",
+        "micro-batches, then the same invocation was re-launched on the",
+        "same checkpoint and ran to completion. The parquet sink (read",
+        "through its `_spark_metadata` manifest, so uncommitted part files",
+        "from the killed batch are invisible) is compared as a row MULTISET",
+        "against the batch twin:",
+        "",
+        f"Input: {args.events:,} events ({args.files} files + watermark "
+        f"pusher) / {args.docs:,} docs ({args.files} files); "
+        "maxFilesPerTrigger=1; event-time timeouts.",
+        "",
+        "| op | commits at kill | killed after | resume run | rows expected "
+        "| rows got | lost | duplicated |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['op']} | {r['commits_at_kill']} | {r['killed_after_s']} s "
+            f"| {r['resume_run_s']} s | {r['rows_expected']:,} "
+            f"| {r['rows_got']:,} | {r['lost_rows']} | {r['duplicated_rows']} |"
+        )
+    lines += [
+        "",
+        "Exactly-once across the kill rests on four recovered pieces: the",
+        "file-source WAL (`offsets/`), the HDFS-backed state store (open",
+        "visits / bucket canonicals, including their armed EVENT-TIME",
+        "timers), the persisted watermark, and the sink manifest. The",
+        "visits row counts also prove the recovered watermark kept",
+        "advancing: every visit was closed by the event-time eviction the",
+        "pusher file triggers, in the resumed process.",
+        "",
+        END,
+    ]
+    block = "\n".join(lines)
+    if BEGIN in doc:
+        pre = doc[: doc.index(BEGIN)]
+        post = doc[doc.index(END) + len(END):]
+        doc = pre + block + post
+    else:
+        doc = doc.rstrip() + "\n\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(doc)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", choices=["visits", "neardup"])
+    ap.add_argument("--src")
+    ap.add_argument("--sink")
+    ap.add_argument("--ckpt")
+    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--files", type=int, default=40)
+    ap.add_argument("--kill-commits", type=int, default=3)
+    ap.add_argument("--out", default="/tmp/stream_resume")
+    ap.add_argument("--update-baseline", action="store_true")
+    args = ap.parse_args()
+
+    if args.child:
+        run_child(args.child, args.src, args.sink, args.ckpt)
+        return
+
+    results = orchestrate(args)
+    results = validate(results, args)
+    for r in results:
+        print(json.dumps(r))
+    if args.update_baseline:
+        update_baseline(results, args)
+    if not all(r["exactly_once"] for r in results):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
