@@ -65,7 +65,12 @@ def main():
         "spatial_pipeline": spatial_pipeline,
         # auto strategy: small broadcast targets → one-job brute force
         "knn_auto": lambda: knn.knn_join(knn_queries(), tgt, k=3),
-        # the iterative distance-bounded k-ring path (the 100 TB shape)
+        # k-ring entry point. Since r4 the cost model takes its EARLY
+        # brute exit here (|Q|×|T| ≈ 4M fits the budget — paying ring
+        # rounds at this shape was pure fixed cost); the iterative
+        # ring machinery itself is measured by the 20M-page pipeline
+        # knn stage (14M queries, over budget → real rings) and pinned
+        # by the gate's tail_brute_cap=0 oracle query.
         "knn_kring": lambda: knn.knn_join(knn_queries(), tgt, k=3, res=5),
         "pip_tables": lambda: E.queries()["pip_rows"](spark, SF_DIR),
         "tile_assign_tables": lambda: E.queries()["tile_assign"](spark, SF_DIR),

@@ -102,16 +102,19 @@ def synth_events(n: int, n_files: int, out: str) -> None:
         f = os.path.join(out, f"ev_{i:04d}.parquet")
         pq.write_table(tbl, f)
         os.utime(f, times=(1_000_000 + i, 1_000_000 + i))
-    # watermark pusher: +1 day closes every visit via event-time timeout
+    # watermark pusher: ONE DAY AFTER THE LAST EVENT (computed, not
+    # absolute — an absolute offset lands mid-stream once n*500ms
+    # exceeds it, making the pusher late data the watermark drops and
+    # leaving every final visit unevicted) closes every visit via the
+    # event-time timeout
     f = os.path.join(out, f"ev_{n_files:04d}.parquet")
+    pusher_ms = BASE_MS + n * 500 + 86_400_000
     pq.write_table(
         pa.Table.from_pydict(
             {
                 "user_id": np.array([PUSHER_USER], dtype=np.int64),
                 "event_id": np.array([n], dtype=np.int64),
-                "ts": np.array(
-                    [(BASE_MS + 86_400_000) * 1000], dtype="datetime64[us]"
-                ),
+                "ts": np.array([pusher_ms * 1000], dtype="datetime64[us]"),
                 "cell": np.array([0], dtype=np.int64),
             },
             schema=schema,
@@ -143,7 +146,12 @@ def synth_docs(n: int, n_files: int, out: str) -> None:
         if i >= 50:
             texts[i] = texts[i - 50]  # planted dup
     ids = np.array([f"d{i:07d}" for i in range(n)])
-    ts_ms = BASE_MS + np.arange(n, dtype=np.int64) * 1000
+    # 500 ms/doc keeps the whole stream's data-time span under the
+    # 1-day idle timeout for any --docs ≤ 170k: a span past the
+    # timeout makes REAL bucket evictions diverge (correctly) from the
+    # time-blind batch twin, which is the recall trade measured by
+    # bench_stream_recall.py — not what this exactly-once check tests
+    ts_ms = BASE_MS + np.arange(n, dtype=np.int64) * 500
     schema = pa.schema(
         [
             pa.field("doc_id", pa.string()),
@@ -215,10 +223,31 @@ def run_child(op: str, src: str, sink: str, ckpt: str) -> None:
         .start()
     )
     # all file batches, then let watermark-advance no-data batches run
-    # (event-time evictions land there), then confirm quiescence
+    # (event-time evictions land there). processAllAvailable does NOT
+    # cover a no-data batch that is still being scheduled, and stopping
+    # mid-eviction-batch loses its sink commit — wait until the commit
+    # log stops advancing while the trigger is idle.
     q.processAllAvailable()
-    time.sleep(5)
-    q.processAllAvailable()
+    commits_dir = os.path.join(ckpt, "commits")
+
+    def n_commits() -> int:
+        return len([f for f in os.listdir(commits_dir)
+                    if not f.startswith(".")])
+
+    stable_since = None
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        before = n_commits()
+        time.sleep(4)
+        st = q.status
+        if (n_commits() == before and not st["isDataAvailable"]
+                and not st["isTriggerActive"]):
+            if stable_since is None:
+                stable_since = time.time()
+            elif time.time() - stable_since >= 8:
+                break
+        else:
+            stable_since = None
     q.stop()
     spark.stop()
 
