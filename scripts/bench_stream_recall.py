@@ -46,9 +46,9 @@ def synth_docs(n: int) -> tuple[pd.DataFrame, dict]:
     closest to a planted gap earlier (gaps cycle GAP_MINUTES). Returns
     (frame, {(src_id, dup_id): gap_minutes})."""
     rng = np.random.default_rng(11)
-    words = ["crawl", "spark", "tile", "cell", "union", "page", "shard",
-             "route", "vector", "raster", "index", "hash", "band",
-             "state", "join", "query", "stream", "batch", "delta", "gap"]
+    # 200-word vocabulary: large enough that coincidental shingle/band
+    # collisions are rare and the planted pairs dominate the signal
+    words = [f"w{k:03d}" for k in range(200)]
     texts = [
         " ".join(rng.choice(words, size=12, replace=True)) + f" tail{i}"
         for i in range(n)
@@ -58,7 +58,10 @@ def synth_docs(n: int) -> tuple[pd.DataFrame, dict]:
     for i in range(0, n, 20):
         gap_min = GAP_MINUTES[gi % len(GAP_MINUTES)]
         gi += 1
-        back = (gap_min * 60) // DOC_STEP_S
+        # +7 keeps the source OFF the every-20th dup slots for every
+        # gap (gap*60/STEP is divisible by 20 for the round gaps, so
+        # without the offset j would always be a dup slot and skipped)
+        back = (gap_min * 60) // DOC_STEP_S + 7
         j = i - back
         if j < 0 or j % 20 == 0:
             continue  # source out of range or itself a dup slot
