@@ -162,8 +162,14 @@ def main(argv=None):
 
     if "geotag" in want:
         tagged = run("geotag", build_geotag, key_col="url", cell_col="cell")
-    else:
+    elif set(want) & {"pip", "knn", "tiles", "report"}:
+        # only the stages that consume `tagged` pay for it (resume from
+        # the committed snapshot when present, else build uncounted);
+        # extract/dedup read raw pages and must not trigger a geotag
+        # build on a fresh warehouse
         tagged = ckpt.run_stage("geotag", build_geotag, key_col="url", cell_col="cell")
+    else:
+        tagged = None
 
     if "pip" in want:
         run(

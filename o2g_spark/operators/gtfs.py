@@ -282,6 +282,7 @@ def frequencies_feed(
     trips: DataFrame,
     stop_times: DataFrame,
     default_headway_s: int = 1800,
+    check_uniform: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(template trips, template stop_times, frequencies) — the
     frequency-based representation of the dummy schedule: ONE template
@@ -290,7 +291,10 @@ def frequencies_feed(
     Replaces the explicit sibling trips so no departure is declared
     twice. Template selection rides on :func:`build_frequencies`'
     derived earliest-departure trip, not an id pattern."""
-    freq = build_frequencies(trips, stop_times, default_headway_s)
+    # forwarded so build_frequencies' "pass check_uniform=False"
+    # escape hatch is actually reachable from this path too
+    freq = build_frequencies(trips, stop_times, default_headway_s,
+                             check_uniform=check_uniform)
     tmpl = freq.select("trip_id")
     t0 = trips.join(tmpl, "trip_id", "left_semi")
     st0 = stop_times.join(tmpl, "trip_id", "left_semi")

@@ -105,6 +105,11 @@ def adaptive_cell_split(
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") > F.lit(threshold))
         .select("__c")
+        # bound the DRIVER materialization itself, not just the check
+        # after it: a pathological threshold (1 on 14M rows) would
+        # otherwise collect the whole per-level cell space before the
+        # budget comparison ever ran
+        .limit(_MAX_HOT_CELLS + 1)
         .collect()
     )
     if len(hot_rows) > _MAX_HOT_CELLS:

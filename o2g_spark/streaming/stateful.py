@@ -464,6 +464,13 @@ def near_dup_candidates_stream(
     Exact-jaccard verification of the candidates happens downstream in
     batch (operators.dedup) — the stream's job is the bounded-state
     candidate funnel.
+
+    CHECKPOINT COMPATIBILITY: the r4 sharding changed both the group
+    key (shard vs (band, key)) and the state schema (map vs tuple) —
+    a checkpoint written by the pre-shard operator cannot be resumed
+    by this one (Spark's state-store schema validation rejects it at
+    start). Drain or finish old queries on the old code; start new
+    checkpoints here.
     """
     if not stream.isStreaming:
         raise ValueError(
@@ -491,7 +498,14 @@ def near_dup_candidates_stream(
         buckets = dict(buckets)
         # per-bucket eviction, in the configured time domain, BEFORE
         # applying this batch's rows: a bucket whose idle gap already
-        # exceeded the timeout must not pair with the new arrival
+        # exceeded the timeout must not pair with the new arrival.
+        # CLOCK CONSISTENCY: the stored per-bucket timestamp and the
+        # "now" it is pruned against must live in the SAME domain —
+        # event mode stores event time and prunes at the watermark;
+        # processing mode stores the WALL time of the last batch that
+        # touched the bucket and prunes at the wall clock (storing
+        # event time there would evict every bucket of a replayed
+        # historical stream on its second batch).
         if time_mode == "event":
             now_ms = state.getCurrentWatermarkMs()
         else:
@@ -512,13 +526,16 @@ def near_dup_candidates_stream(
         for r in rows.itertuples():
             did = r.did
             bk = f"{int(r.band)}{_SEP}{r.key}"
-            ms = _epoch_ms(r.ts)
+            ms = _epoch_ms(r.ts) if time_mode == "event" else now_ms
             shard_last = max(shard_last, ms)
             cur = buckets.get(bk)
             if cur is None:
                 buckets[bk] = f"{did}{_SEP}1{_SEP}{ms}"
                 continue
-            canon, n, _last = cur.split(_SEP)
+            # rsplit from the RIGHT: n/ms are always the two numeric
+            # tail fields, so a doc id containing the separator byte
+            # can never shift the parse (split() would crash on it)
+            canon, n, _last = cur.rsplit(_SEP, 2)
             if did != canon:
                 out.append((canon, did, int(r.band)))
             buckets[bk] = f"{canon}{_SEP}{int(n) + 1}{_SEP}{ms}"

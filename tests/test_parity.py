@@ -221,3 +221,23 @@ def test_frequencies_rejects_nonuniform_gaps(spark):
         gtfs.build_frequencies(trips, st)
     rows = gtfs.build_frequencies(trips, st, check_uniform=False).collect()
     assert len(rows) == 1 and rows[0].headway_secs == 600
+
+
+def test_frequencies_feed_forwards_check_uniform(spark):
+    """frequencies_feed must expose the same escape hatch its error
+    message advertises (r4 review finding)."""
+    trips = spark.createDataFrame(
+        [("t1", 1, "S"), ("t2", 1, "S"), ("t3", 1, "S")],
+        "trip_id string, route_id int, service_id string",
+    )
+    st = spark.createDataFrame(
+        [("t1", 1, 10, "06:00:00", "06:00:00"),
+         ("t2", 1, 10, "06:10:00", "06:10:00"),
+         ("t3", 1, 10, "06:30:00", "06:30:00")],
+        "trip_id string, stop_sequence int, stop_id int, "
+        "arrival_time string, departure_time string",
+    )
+    with pytest.raises(ValueError, match="non-uniform"):
+        gtfs.frequencies_feed(trips, st)
+    t0, st0, freq = gtfs.frequencies_feed(trips, st, check_uniform=False)
+    assert freq.count() == 1 and t0.count() == 1

@@ -241,6 +241,31 @@ def _write_replay_files(path, frames):
         os.utime(f, times=(1_000_000 + i * 1000, 1_000_000 + i * 1000))
 
 
+def _poll_sink(spark, out, name, n_expected, timeout_s=120):
+    """Poll-only drain for PROCESSING-time queries, whose perpetual
+    cleanup batches make processAllAvailable never return."""
+    import time
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("maxFilesPerTrigger", 1)
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_s
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            if len(rows) >= n_expected:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    return rows
+
+
 def _drain_stream(spark, out, name, n_expected, timeout_s=120):
     """Start out → memory sink, poll until n_expected rows (event-time
     timeouts fire in watermark-advancing no-data batches, so
@@ -383,3 +408,54 @@ def test_near_dup_event_time_replay_evicts_buckets(spark, tmp_path):
     assert {(a, b) for a, b, _ in runs[0]} == {("b1", "b2")}
     assert len(runs[0]) == 16
     assert runs[0] == runs[1]
+
+
+def test_near_dup_processing_mode_pairs_across_batches(spark, tmp_path):
+    """Processing-mode pruning must use WALL time for the stored bucket
+    timestamps: replaying historical data (event ts far in the past)
+    must still pair duplicates across micro-batches — storing event
+    time and pruning against the wall clock would evict every bucket
+    of the replay on its second batch (r4 review finding)."""
+    t0 = dt.datetime(2020, 1, 1, 0, 0, 0)  # years before "now"
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    cols = ["doc_id", "text", "ts"]
+    f1 = pd.DataFrame([("x1", txt, t0)], columns=cols)
+    f2 = pd.DataFrame([("x2", txt, t0 + dt.timedelta(minutes=1))],
+                      columns=cols)
+    src = str(tmp_path / "proc_src")
+    _write_replay_files(src, [f1, f2])
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful.near_dup_candidates_stream(
+        stream, timeout_ms=3_600_000, time_mode="processing",
+    )
+    # ProcessingTimeTimeout keeps scheduling cleanup batches, so
+    # processAllAvailable never returns — poll the sink instead
+    rows = _poll_sink(spark, out, "proc_pairs", 16)
+    assert {(r.id_a, r.id_b) for r in rows} == {("x1", "x2")}
+    assert len(rows) == 16  # exact dup collides in every band
+
+
+def test_near_dup_stream_separator_in_doc_id(spark, tmp_path):
+    """A doc id containing the state-encoding separator byte must not
+    corrupt the parse (tail fields are rsplit from the right)."""
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    txt = "completely different subject matter about spark streaming state"
+    weird_a, weird_b = "a\x1f1\x1f2", "b\x1f9"
+    cols = ["doc_id", "text", "ts"]
+    f1 = pd.DataFrame([(weird_a, txt, t0)], columns=cols)
+    f2 = pd.DataFrame([(weird_b, txt, t0 + dt.timedelta(minutes=1))],
+                      columns=cols)
+    src = str(tmp_path / "sep_src")
+    _write_replay_files(src, [f1, f2])
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful.near_dup_candidates_stream(stream, timeout_ms=3_600_000)
+    rows = _drain_stream(spark, out, "sep_pairs", 16)
+    assert {(r.id_a, r.id_b) for r in rows} == {(weird_a, weird_b)}
