@@ -237,6 +237,7 @@ def cell_visits_stateful(
     order_col: str = "event_id",
     time_mode: str = "event",
     watermark: str | None = "10 minutes",
+    shards: int | None = None,
 ) -> DataFrame:
     """Structured Streaming cell visits via ``applyInPandasWithState``.
 
@@ -253,6 +254,17 @@ def cell_visits_stateful(
     ``time_mode="processing"`` keeps the wall-clock timer for live
     ingest.
 
+    ``shards``: key the state op by ``hash(user) % shards`` with a
+    per-shard user→open-visit map instead of one group per user. The
+    Python/Arrow harness charges ~1-2 ms PER GROUP PER BATCH (CLAUDE.md
+    rule 9), so per-user keying is right only while the per-batch
+    active-entity count stays small; at crawl scale (10⁵-10⁷ entities
+    per batch) pass shards≈1024 — same visits, bounded Python calls.
+    Idle visits are then pruned inside the map (emitted at the shard's
+    next invocation or its whole-shard timeout), so eviction stays
+    deterministic in the configured time domain; only the EMISSION
+    batch of a timed-out visit can differ from per-user keying.
+
     Within a micro-batch rows are sorted by event time; cross-batch
     reordering is bounded by the watermark.
     """
@@ -262,6 +274,11 @@ def cell_visits_stateful(
     _check_time_mode(time_mode)
     if time_mode == "event" and watermark is not None:
         stream = stream.withWatermark(ts_col, watermark)
+    if shards is not None:
+        return _cell_visits_sharded(
+            stream, timeout_ms, user_col, ts_col, cell_col, order_col,
+            time_mode, shards,
+        )
 
     def fn(
         key: tuple[Any, ...],
@@ -307,6 +324,145 @@ def cell_visits_stateful(
             fn,
             outputStructType=VISIT_SCHEMA,
             stateStructType=_VISIT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
+    )
+
+
+_VISIT_SHARD_STATE_SCHEMA = T.StructType(
+    [
+        # user → "cell\x1Fenter_us\x1Flast_us\x1Fn\x1Ftouch_ms": the
+        # open visit plus its prune timestamp (event ms in event mode,
+        # wall ms of the last touching batch in processing mode — the
+        # clock-consistency rule from the near-dup shard map)
+        T.StructField(
+            "visits", T.MapType(T.StringType(), T.StringType()), False
+        ),
+        T.StructField("touch_ms", T.LongType(), False),  # max over users
+    ]
+)
+
+
+def _cell_visits_sharded(
+    stream: DataFrame,
+    timeout_ms: int,
+    user_col: str,
+    ts_col: str,
+    cell_col: str,
+    order_col: str,
+    time_mode: str,
+    shards: int,
+) -> DataFrame:
+    """Shard-keyed variant of :func:`cell_visits_stateful` (see its
+    docstring for when): one state group per shard, open visits in a
+    user→encoded-visit map, per-user idle pruning inside the map."""
+    keyed = stream.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(user_col)), F.lit(shards))
+    )
+    cols = ["user_id", "cell", "enter_ts", "exit_ts", "n_events"]
+
+    def decode_row(uid: str, v: str) -> tuple:
+        cell, enter_us, last_us, n, _touch = v.rsplit(_SEP, 4)
+        return (
+            int(uid), int(cell),
+            pd.Timestamp(int(enter_us), unit="us"),
+            pd.Timestamp(int(last_us), unit="us"),
+            int(n),
+        )
+
+    def now_in_domain(state: GroupState) -> int:
+        if time_mode == "event":
+            return state.getCurrentWatermarkMs()
+        import time as _t
+
+        return int(_t.time() * 1000)
+
+    def prune(visits: dict, now_ms: int) -> list[tuple]:
+        closed: list[tuple] = []
+        if now_ms > 0 and visits:
+            for u, v in list(visits.items()):
+                if int(v.rsplit(_SEP, 1)[1]) + timeout_ms <= now_ms:
+                    closed.append(decode_row(u, v))
+                    del visits[u]
+        return sorted(closed)
+
+    def rearm(state: GroupState, visits: dict) -> None:
+        # EARLIEST deadline among open visits, not the latest: a shard
+        # can hold one active user and many idle ones — arming at the
+        # max touch would let the active user postpone every idle
+        # visit's eviction until the shard's next data batch, which
+        # may never come. The timeout handler prunes what expired and
+        # re-arms for the next-oldest visit.
+        if time_mode != "event":
+            state.setTimeoutDuration(timeout_ms)
+            return
+        wm = state.getCurrentWatermarkMs()
+        deadline = min(
+            int(v.rsplit(_SEP, 1)[1]) for v in visits.values()
+        ) + timeout_ms
+        state.setTimeoutTimestamp(max(deadline, wm + 1))
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            visits, shard_touch = state.get
+            visits = dict(visits)
+            closed = prune(visits, now_in_domain(state))
+            if visits:
+                state.update((visits, shard_touch))
+                rearm(state, visits)
+            else:
+                state.remove()
+            yield pd.DataFrame(closed, columns=cols)
+            return
+        visits, shard_touch = state.get if state.exists else ({}, 0)
+        visits = dict(visits)
+        now_ms = now_in_domain(state)
+        # per-user idle eviction BEFORE applying this batch's rows
+        closed = prune(visits, now_ms)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # same (ts, order_col) total order as cell_visits_batch; run
+        # logic is per-user, so globally ordered rows update each
+        # user's open visit in that user's own event order
+        rows = rows.sort_values([ts_col, order_col]).reset_index(drop=True)
+        for r in rows.itertuples():
+            uid = str(getattr(r, user_col))
+            cell = int(getattr(r, cell_col))
+            ts_us = int(pd.Timestamp(getattr(r, ts_col)).value // 1_000)
+            touch = ts_us // 1000 if time_mode == "event" else now_ms
+            shard_touch = max(shard_touch, touch)
+            cur = visits.get(uid)
+            if cur is not None:
+                ccell, enter_us, _last, n, _t2 = cur.rsplit(_SEP, 4)
+                if int(ccell) == cell:
+                    visits[uid] = _SEP.join(
+                        (ccell, enter_us, str(ts_us), str(int(n) + 1),
+                         str(touch))
+                    )
+                    continue
+                closed.append(decode_row(uid, cur))
+            visits[uid] = _SEP.join(
+                (str(cell), str(ts_us), str(ts_us), "1", str(touch))
+            )
+        state.update((visits, shard_touch))
+        rearm(state, visits)
+        yield pd.DataFrame(closed, columns=cols)
+
+    timeout_conf = (
+        GroupStateTimeout.EventTimeTimeout
+        if time_mode == "event"
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return (
+        keyed.groupBy("__shard")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=VISIT_SCHEMA,
+            stateStructType=_VISIT_SHARD_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=timeout_conf,
         )

@@ -178,20 +178,33 @@ def synth_docs(n: int, n_files: int, out: str) -> None:
 # ------------------------------------------------------------- child
 
 
-def run_child(op: str, src: str, sink: str, ckpt: str) -> None:
+def run_child(op: str, src: str, sink: str, ckpt: str,
+              state_store: str = "hdfs") -> None:
     """Run the streaming query to completion under a durable
     checkpoint. Designed to be SIGKILLed at any moment and re-invoked:
-    everything it does is driven by the checkpoint + sink manifest."""
+    everything it does is driven by the checkpoint + sink manifest.
+
+    ``state_store="rocksdb"`` runs on RocksDBStateStoreProvider — the
+    production backend for state larger than executor memory (the
+    100 TB crawl shape); "hdfs" is the default in-memory+snapshot
+    provider. Must be identical across kill and resume.
+    """
     from o2g_spark.session import get_spark
     from o2g_spark.streaming import stateful
 
+    extra = {}
+    if state_store == "rocksdb":
+        extra["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
     # 8 shuffle partitions: each micro-batch commits one state-store
     # instance per partition — at demo scale the per-batch fixed cost
     # is state-store commits, not rows. MUST be identical across the
     # kill and the resume run (state is partitioned by it).
     spark = get_spark(
         master="local[8]", app_name=f"stream-resume-{op}",
-        shuffle_partitions=8,
+        shuffle_partitions=8, extra_conf=extra,
     )
     if op == "visits":
         stream = (
@@ -255,10 +268,12 @@ def run_child(op: str, src: str, sink: str, ckpt: str) -> None:
 # ------------------------------------------------------------ parent
 
 
-def _spawn(op: str, src: str, sink: str, ckpt: str) -> subprocess.Popen:
+def _spawn(op: str, src: str, sink: str, ckpt: str,
+           state_store: str) -> subprocess.Popen:
     return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--child", op,
-         "--src", src, "--sink", sink, "--ckpt", ckpt],
+         "--src", src, "--sink", sink, "--ckpt", ckpt,
+         "--state-store", state_store],
         start_new_session=True,  # own process group: SIGKILL takes the JVM too
         stdout=subprocess.DEVNULL,
         stderr=subprocess.DEVNULL,
@@ -298,30 +313,35 @@ def orchestrate(args) -> list[dict]:
     synth_events(args.events, args.files, ev_src)
     synth_docs(args.docs, args.files, doc_src)
 
+    stores = (["hdfs", "rocksdb"] if args.state_store == "both"
+              else [args.state_store])
     results = []
-    for op, src in (("visits", ev_src), ("neardup", doc_src)):
-        sink = os.path.join(base, f"{op}_sink")
-        ckpt = os.path.join(base, f"{op}_ckpt")
-        t0 = time.time()
-        proc = _spawn(op, src, sink, ckpt)
-        commits_at_kill = _kill_after_commits(proc, ckpt, args.kill_commits)
-        t_kill = time.time() - t0
-        t1 = time.time()
-        proc2 = _spawn(op, src, sink, ckpt)
-        rc = proc2.wait(timeout=1800)
-        t_resume = time.time() - t1
-        if rc != 0:
-            raise RuntimeError(f"{op} resume run failed rc={rc}")
-        results.append(
-            {
-                "op": op,
-                "commits_at_kill": commits_at_kill,
-                "killed_after_s": round(t_kill, 1),
-                "resume_run_s": round(t_resume, 1),
-                "src": src,
-                "sink": sink,
-            }
-        )
+    for store in stores:
+        for op, src in (("visits", ev_src), ("neardup", doc_src)):
+            sink = os.path.join(base, f"{op}_{store}_sink")
+            ckpt = os.path.join(base, f"{op}_{store}_ckpt")
+            t0 = time.time()
+            proc = _spawn(op, src, sink, ckpt, store)
+            commits_at_kill = _kill_after_commits(
+                proc, ckpt, args.kill_commits)
+            t_kill = time.time() - t0
+            t1 = time.time()
+            proc2 = _spawn(op, src, sink, ckpt, store)
+            rc = proc2.wait(timeout=1800)
+            t_resume = time.time() - t1
+            if rc != 0:
+                raise RuntimeError(f"{op}/{store} resume run failed rc={rc}")
+            results.append(
+                {
+                    "op": op,
+                    "state_store": store,
+                    "commits_at_kill": commits_at_kill,
+                    "killed_after_s": round(t_kill, 1),
+                    "resume_run_s": round(t_resume, 1),
+                    "src": src,
+                    "sink": sink,
+                }
+            )
     return results
 
 
@@ -394,13 +414,14 @@ def update_baseline(results: list[dict], args) -> None:
         f"pusher) / {args.docs:,} docs ({args.files} files); "
         "maxFilesPerTrigger=1; event-time timeouts.",
         "",
-        "| op | commits at kill | killed after | resume run | rows expected "
-        "| rows got | lost | duplicated |",
-        "|---|---|---|---|---|---|---|---|",
+        "| op | state store | commits at kill | killed after | resume run "
+        "| rows expected | rows got | lost | duplicated |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in results:
         lines.append(
-            f"| {r['op']} | {r['commits_at_kill']} | {r['killed_after_s']} s "
+            f"| {r['op']} | {r['state_store']} | {r['commits_at_kill']} "
+            f"| {r['killed_after_s']} s "
             f"| {r['resume_run_s']} s | {r['rows_expected']:,} "
             f"| {r['rows_got']:,} | {r['lost_rows']} | {r['duplicated_rows']} |"
         )
@@ -409,7 +430,9 @@ def update_baseline(results: list[dict], args) -> None:
         "Exactly-once across the kill rests on four recovered pieces: the",
         "file-source WAL (`offsets/`), the HDFS-backed state store (open",
         "visits / bucket canonicals, including their armed EVENT-TIME",
-        "timers), the persisted watermark, and the sink manifest. The",
+        "timers — under BOTH the default HDFS-backed provider and",
+        "RocksDB, the backend for state larger than executor memory),",
+        "the persisted watermark, and the sink manifest. The",
         "visits row counts also prove the recovered watermark kept",
         "advancing: every visit was closed by the event-time eviction the",
         "pusher file triggers, in the resumed process.",
@@ -437,12 +460,17 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=100_000)
     ap.add_argument("--files", type=int, default=40)
     ap.add_argument("--kill-commits", type=int, default=3)
+    ap.add_argument("--state-store", default="hdfs",
+                    choices=["hdfs", "rocksdb", "both"],
+                    help="state backend; 'both' runs the whole demo "
+                         "under each provider")
     ap.add_argument("--out", default="/tmp/stream_resume")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 
     if args.child:
-        run_child(args.child, args.src, args.sink, args.ckpt)
+        run_child(args.child, args.src, args.sink, args.ckpt,
+                  args.state_store)
         return
 
     results = orchestrate(args)

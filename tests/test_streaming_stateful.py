@@ -459,3 +459,75 @@ def test_near_dup_stream_separator_in_doc_id(spark, tmp_path):
     out = stateful.near_dup_candidates_stream(stream, timeout_ms=3_600_000)
     rows = _drain_stream(spark, out, "sep_pairs", 16)
     assert {(r.id_a, r.id_b) for r in rows} == {(weird_a, weird_b)}
+
+
+def test_stateful_ops_on_rocksdb_state_store(spark, tmp_path):
+    """Both custom stateful ops run unchanged on RocksDB — the state
+    backend for state larger than executor memory (the endless-crawl
+    shape). Provider is a session-scoped SQL conf read at query start."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        pdf = _docs()
+        src = str(tmp_path / "rocks_docs")
+        spark.createDataFrame(pdf).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id string, text string, ts timestamp")
+            .parquet(src)
+        )
+        expected = sorted(
+            map(tuple, stateful.near_dup_candidates_batch(
+                spark.createDataFrame(pdf), ts_col="ts").collect())
+        )
+        out = stateful.near_dup_candidates_stream(stream,
+                                                  timeout_ms=3_600_000)
+        rows = _drain_stream(spark, out, "rocks_nd", len(expected))
+        assert sorted((r.id_a, r.id_b, r.band) for r in rows) == expected
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_cell_visits_sharded_matches_per_user(spark, tmp_path):
+    """shards=N keys the visit op by hash(user)%N with a per-shard map
+    (bounded Python calls per batch — CLAUDE.md rule 9); the visits it
+    emits must be identical to per-user keying on the same replay."""
+    t0 = dt.datetime(2024, 5, 1, 8, 0, 0)
+    early = pd.DataFrame(
+        [(u, u * 10 + i, t0 + dt.timedelta(minutes=3 * i), (u * 7 + i // 2))
+         for u in range(1, 9) for i in range(6)],
+        columns=["user_id", "event_id", "ts", "cell"],
+    )
+    pusher = pd.DataFrame(
+        [(99, 999, t0 + dt.timedelta(hours=4), 1)],
+        columns=["user_id", "event_id", "ts", "cell"],
+    )
+    expected = sorted(
+        v for v in _brute_visits(pd.concat([early, pusher])) if v[0] != 99
+    )
+    results = []
+    for shards in (None, 4):
+        src = str(tmp_path / f"shard_{shards}")
+        _write_replay_files(src, [early, pusher])
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, cell long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        visits = stateful.cell_visits_stateful(
+            stream, timeout_ms=600_000, time_mode="event",
+            watermark="1 minute", shards=shards,
+        )
+        rows = _drain_stream(
+            spark, visits, f"shard_visits_{shards}", len(expected)
+        )
+        results.append(sorted(
+            (r.user_id, r.cell, r.enter_ts, r.exit_ts, r.n_events)
+            for r in rows
+        ))
+    assert results[0] == expected
+    assert results[0] == results[1]
