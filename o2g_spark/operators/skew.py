@@ -18,10 +18,11 @@ Two mechanisms, composable:
    representation in reverse — that downstream joins/partitioning key
    on without further skew work.
 
-Scale notes: each split round is one map-side-combined count plus one
-broadcast join of the (tiny) hot-cell set back to the fact table; rounds
-are bounded by (max_res - base_res), in practice 2-4. No driver-side
-data beyond the hot-cell list ever materializes.
+Scale notes: the split is ONE map-side-combined histogram over all
+candidate resolutions plus a literal selection map — no per-round
+rescans of the fact table. The only driver-side data is the
+over-threshold cell list, ≤ levels × rows/threshold by definition and
+hard-bounded by a limited collect.
 """
 
 from __future__ import annotations
@@ -113,9 +114,11 @@ def adaptive_cell_split(
         .collect()
     )
     if len(hot_rows) > _MAX_HOT_CELLS:
+        # the limited collect caps what we can count — report the bound,
+        # not the (always budget+1) capped length
         raise ValueError(
-            f"adaptive_cell_split: {len(hot_rows)} over-threshold cells "
-            f"exceed the literal budget ({_MAX_HOT_CELLS}); raise "
+            f"adaptive_cell_split: more than {_MAX_HOT_CELLS} "
+            "over-threshold cells exceed the literal budget; raise "
             "threshold (hot cells are bounded by levels*rows/threshold)"
         )
     hot_by_res: dict[int, list[int]] = {}

@@ -339,7 +339,6 @@ _VISIT_SHARD_STATE_SCHEMA = T.StructType(
         T.StructField(
             "visits", T.MapType(T.StringType(), T.StringType()), False
         ),
-        T.StructField("touch_ms", T.LongType(), False),  # max over users
     ]
 )
 
@@ -378,11 +377,20 @@ def _cell_visits_sharded(
 
         return int(_t.time() * 1000)
 
-    def prune(visits: dict, now_ms: int) -> list[tuple]:
+    def prune(visits: dict, now_ms: int,
+              touched: set | None = None) -> list[tuple]:
+        # STRICT < to match Spark's own timers (they fire when the
+        # watermark advances BEYOND the set timestamp), and never a
+        # user with data in this batch — per-user keying only evicts a
+        # group in a batch where it has NO data, and the sharded form
+        # must emit the exact same visit rows (only the batch they
+        # appear in may differ)
         closed: list[tuple] = []
         if now_ms > 0 and visits:
             for u, v in list(visits.items()):
-                if int(v.rsplit(_SEP, 1)[1]) + timeout_ms <= now_ms:
+                if touched is not None and u in touched:
+                    continue
+                if int(v.rsplit(_SEP, 1)[1]) + timeout_ms < now_ms:
                     closed.append(decode_row(u, v))
                     del visits[u]
         return sorted(closed)
@@ -409,32 +417,32 @@ def _cell_visits_sharded(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            visits, shard_touch = state.get
+            (visits,) = state.get
             visits = dict(visits)
             closed = prune(visits, now_in_domain(state))
             if visits:
-                state.update((visits, shard_touch))
+                state.update((visits,))
                 rearm(state, visits)
             else:
                 state.remove()
             yield pd.DataFrame(closed, columns=cols)
             return
-        visits, shard_touch = state.get if state.exists else ({}, 0)
+        (visits,) = state.get if state.exists else ({},)
         visits = dict(visits)
         now_ms = now_in_domain(state)
-        # per-user idle eviction BEFORE applying this batch's rows
-        closed = prune(visits, now_ms)
         rows = pd.concat(list(pdfs), ignore_index=True)
         # same (ts, order_col) total order as cell_visits_batch; run
         # logic is per-user, so globally ordered rows update each
         # user's open visit in that user's own event order
         rows = rows.sort_values([ts_col, order_col]).reset_index(drop=True)
+        closed: list[tuple] = []
+        touched: set = set()
         for r in rows.itertuples():
             uid = str(getattr(r, user_col))
+            touched.add(uid)
             cell = int(getattr(r, cell_col))
             ts_us = int(pd.Timestamp(getattr(r, ts_col)).value // 1_000)
             touch = ts_us // 1000 if time_mode == "event" else now_ms
-            shard_touch = max(shard_touch, touch)
             cur = visits.get(uid)
             if cur is not None:
                 ccell, enter_us, _last, n, _t2 = cur.rsplit(_SEP, 4)
@@ -448,7 +456,14 @@ def _cell_visits_sharded(
             visits[uid] = _SEP.join(
                 (str(cell), str(ts_us), str(ts_us), "1", str(touch))
             )
-        state.update((visits, shard_touch))
+        # idle eviction AFTER applying rows, untouched users only —
+        # applying first is what keeps the emitted VISIT ROWS identical
+        # to per-user keying: a user whose timer expired but whose next
+        # event shares this batch EXTENDS the visit there (hasTimedOut
+        # never fires for a group with data), so the sharded form must
+        # not close it either
+        closed += prune(visits, now_ms, touched)
+        state.update((visits,))
         rearm(state, visits)
         yield pd.DataFrame(closed, columns=cols)
 

@@ -391,7 +391,13 @@ END = "<!-- streaming-resume:end -->"
 
 def update_baseline(results: list[dict], args) -> None:
     """Splice the evidence between markers (never clobber the
-    hand-written analysis around it)."""
+    hand-written analysis around it). The prose names only the state
+    stores actually measured in THIS run's results."""
+    stores = sorted({r["state_store"] for r in results})
+    names = {"hdfs": "the default HDFS-backed provider",
+             "rocksdb": "RocksDB (the backend for state larger than "
+                        "executor memory)"}
+    stores_txt = " and ".join(names.get(x, x) for x in stores)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(path) as f:
         doc = f.read()
@@ -430,8 +436,7 @@ def update_baseline(results: list[dict], args) -> None:
         "Exactly-once across the kill rests on four recovered pieces: the",
         "file-source WAL (`offsets/`), the HDFS-backed state store (open",
         "visits / bucket canonicals, including their armed EVENT-TIME",
-        "timers — under BOTH the default HDFS-backed provider and",
-        "RocksDB, the backend for state larger than executor memory),",
+        f"timers — measured under: {stores_txt}),",
         "the persisted watermark, and the sink manifest. The",
         "visits row counts also prove the recovered watermark kept",
         "advancing: every visit was closed by the event-time eviction the",

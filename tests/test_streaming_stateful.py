@@ -241,47 +241,27 @@ def _write_replay_files(path, frames):
         os.utime(f, times=(1_000_000 + i * 1000, 1_000_000 + i * 1000))
 
 
-def _poll_sink(spark, out, name, n_expected, timeout_s=120):
-    """Poll-only drain for PROCESSING-time queries, whose perpetual
-    cleanup batches make processAllAvailable never return."""
-    import time
-
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("maxFilesPerTrigger", 1)
-        .start()
-    )
-    try:
-        deadline = time.time() + timeout_s
-        rows = []
-        while time.time() < deadline:
-            rows = spark.sql(f"SELECT * FROM {name}").collect()
-            if len(rows) >= n_expected:
-                break
-            time.sleep(2)
-    finally:
-        q.stop()
-    return rows
-
-
-def _drain_stream(spark, out, name, n_expected, timeout_s=120):
+def _drain_stream(spark, out, name, n_expected, timeout_s=120,
+                  process_all=True):
     """Start out → memory sink, poll until n_expected rows (event-time
     timeouts fire in watermark-advancing no-data batches, so
-    processAllAvailable alone can return before evictions land)."""
+    processAllAvailable alone can return before evictions land).
+    process_all=False skips the initial processAllAvailable for
+    PROCESSING-time queries, whose perpetual cleanup batches make it
+    never return."""
     import time
 
     q = (
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("maxFilesPerTrigger", 1)
         .start()
     )
     try:
-        q.processAllAvailable()
+        if process_all:
+            q.processAllAvailable()
         deadline = time.time() + timeout_s
+        rows = []
         while time.time() < deadline:
             rows = spark.sql(f"SELECT * FROM {name}").collect()
             if len(rows) >= n_expected:
@@ -434,7 +414,7 @@ def test_near_dup_processing_mode_pairs_across_batches(spark, tmp_path):
     )
     # ProcessingTimeTimeout keeps scheduling cleanup batches, so
     # processAllAvailable never returns — poll the sink instead
-    rows = _poll_sink(spark, out, "proc_pairs", 16)
+    rows = _drain_stream(spark, out, "proc_pairs", 16, process_all=False)
     assert {(r.id_a, r.id_b) for r in rows} == {("x1", "x2")}
     assert len(rows) == 16  # exact dup collides in every band
 
@@ -486,6 +466,33 @@ def test_stateful_ops_on_rocksdb_state_store(spark, tmp_path):
                                                   timeout_ms=3_600_000)
         rows = _drain_stream(spark, out, "rocks_nd", len(expected))
         assert sorted((r.id_a, r.id_b, r.band) for r in rows) == expected
+
+        # cell visits, per-user AND sharded (the MapType shard state
+        # must round-trip through RocksDB's encoding too)
+        ev = _events()
+        esrc = str(tmp_path / "rocks_events")
+        spark.createDataFrame(ev).write.parquet(esrc)
+        batch = _brute_visits(ev)
+        open_v = {}
+        for v in batch:
+            if v[0] not in open_v or v[2] > open_v[v[0]][2]:
+                open_v[v[0]] = v
+        exp_visits = sorted(v for v in batch if v != open_v[v[0]])
+        for shards, qn in ((None, "rocks_cv"), (4, "rocks_cv_sh")):
+            estream = (
+                spark.readStream.schema(
+                    "user_id long, event_id long, ts timestamp, cell long"
+                ).parquet(esrc)
+            )
+            visits = stateful.cell_visits_stateful(
+                estream, timeout_ms=3_600_000, shards=shards
+            )
+            vrows = _drain_stream(spark, visits, qn, len(exp_visits))
+            got = sorted(
+                (r.user_id, r.cell, r.enter_ts, r.exit_ts, r.n_events)
+                for r in vrows
+            )
+            assert got == exp_visits
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
