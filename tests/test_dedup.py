@@ -246,3 +246,20 @@ def test_jaccard_default_cap_warns_once(corpus):
         dedup.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.4,
                             max_df=None)
         assert not any("default df cap" in str(x.message) for x in w)
+
+
+def test_jaccard_candidate_strategies_equal(corpus):
+    """The bucket expansion (one groupBy) and the inverted-index
+    self-join must produce identical pairs — only the physical plan
+    differs (r4)."""
+    kw = dict(n=3, threshold=0.4, max_df=5)
+    a = sorted(map(tuple, dedup.jaccard_pairs(
+        corpus, "doc_id", "text", candidate_strategy="bucket", **kw
+    ).collect()))
+    b = sorted(map(tuple, dedup.jaccard_pairs(
+        corpus, "doc_id", "text", candidate_strategy="join", **kw
+    ).collect()))
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="bucket"):
+        dedup.jaccard_pairs(corpus, "doc_id", "text", n=3, max_df=None,
+                            candidate_strategy="bucket")
