@@ -554,16 +554,12 @@ def _q_ann_ivf(spark, sf_dir):
     return similarity.ann_ivf_topk(emb, q, k=5, n_centroids=16, nprobe=3)
 
 
-def _q_embedding_near_dup(spark, sf_dir):
-    """Banded-LSH near-dup pairs with PLANTED duplicates: vec_id < 200
-    get a deterministically perturbed copy at vec_id + 1_000_000
-    (cosine ≈ 1), so the gate proves the operator finds real pairs at
-    every sf instead of vacuously returning 0 rows. The perturbation is
-    exact-rational IEEE arithmetic (no libm sin — 1-ulp cross-engine
-    drift) so the DuckDB twin reproduces the input bit-for-bit; the
-    twin embeds the seeded hyperplane matrix as literals, making this a
-    full value-hash entry. Recall bound vs brute force additionally
-    pinned by tests/test_similarity.py."""
+def _emb_with_planted(spark, sf_dir):
+    """embeddings ∪ deterministically perturbed copies of vec_id < 200
+    at vec_id + 10^6 (cosine ≈ 1): the planted near-dups both the
+    banded-pairs query and the streaming-twin query detect. The
+    perturbation is exact-rational IEEE arithmetic, so DuckDB twins
+    reproduce the input bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast(T.LongType()).alias("vec_id"), "embedding"
     )
@@ -579,8 +575,21 @@ def _q_embedding_near_dup(spark, sf_dir):
             ).cast("float"),
         ).alias("embedding"),
     )
+    return emb.unionByName(pert)
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    """Banded-LSH near-dup pairs with PLANTED duplicates: vec_id < 200
+    get a deterministically perturbed copy at vec_id + 1_000_000
+    (cosine ≈ 1), so the gate proves the operator finds real pairs at
+    every sf instead of vacuously returning 0 rows. The perturbation is
+    exact-rational IEEE arithmetic (no libm sin — 1-ulp cross-engine
+    drift) so the DuckDB twin reproduces the input bit-for-bit; the
+    twin embeds the seeded hyperplane matrix as literals, making this a
+    full value-hash entry. Recall bound vs brute force additionally
+    pinned by tests/test_similarity.py."""
     return similarity.embedding_near_dup_pairs(
-        emb.unionByName(pert), sim_threshold=0.9
+        _emb_with_planted(spark, sf_dir), sim_threshold=0.9
     )
 
 
@@ -998,6 +1007,61 @@ def _q_near_dup_stream(spark, sf_dir):
     )
 
 
+def _q_near_dup_emb_stream(spark, sf_dir):
+    """Batch twin of streaming.stateful.near_dup_embedding_stream (the
+    embedding-modality candidate funnel): hyperplane sign-bit bucket
+    canonicals + (canonical, member, band) pairs over the planted-dup
+    embedding set. The streaming path is pinned against this twin by
+    tests/test_streaming_stateful.py."""
+    from o2g_spark.streaming import stateful
+
+    return stateful.near_dup_embedding_batch(
+        _emb_with_planted(spark, sf_dir), id_col="vec_id",
+        vec_col="embedding", ts_col=None, bands=8, bits_per_band=12,
+        dim=64,
+    )
+
+
+def _near_dup_emb_stream_oracle_sql() -> str:
+    """DuckDB twin: the same literal-planes banding as the
+    embedding_near_dup oracle, then min-id-per-bucket canonicals
+    (string order — ids are VARCHAR on both sides)."""
+    bands, bits, dim = 8, 12, 64
+    rows = _planes_values_sql(dim, bands * bits)
+    return f"""
+WITH base AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT CAST(vec_id AS BIGINT) + 1000000,
+         list_transform(embedding, (x, i) ->
+           CAST(CAST(x AS DOUBLE)
+                + CAST(((i - 1) * 37 + 11) % 97 AS DOUBLE) / 97.0 * 0.0006
+                - 0.0003 AS FLOAT))
+  FROM embeddings WHERE vec_id < 200
+),
+planes(p, w) AS (VALUES {rows}),
+keys AS (
+  SELECT b.vec_id, pl.p // {bits} AS band,
+         sum(CASE WHEN list_inner_product(
+                    list_transform(b.embedding, v -> CAST(v AS DOUBLE)),
+                    pl.w) > 0
+             THEN CAST(1 AS BIGINT) << (pl.p % {bits})
+             ELSE CAST(0 AS BIGINT) END)
+           AS key
+  FROM base b CROSS JOIN planes pl
+  GROUP BY b.vec_id, pl.p // {bits}
+),
+ranked AS (
+  SELECT CAST(band AS INTEGER) AS band,
+         CAST(vec_id AS VARCHAR) AS did,
+         min(CAST(vec_id AS VARCHAR)) OVER (PARTITION BY band, key)
+           AS canon
+  FROM keys
+)
+SELECT canon AS id_a, did AS id_b, band FROM ranked WHERE did <> canon
+"""
+
+
 def _near_dup_stream_oracle_sql() -> str:
     """DuckDB twin: same shingle→minhash→band-key pipeline as the
     minhash_lsh oracle, then min-id-per-bucket canonicals."""
@@ -1266,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_decode": _q_bmp_decode,
         "wav_decode": _q_wav_decode,
         "near_dup_stream": _q_near_dup_stream,
+        "near_dup_emb_stream": _q_near_dup_emb_stream,
     }
 
 
@@ -1595,6 +1660,7 @@ FROM documents
         "bmp_decode": _bmp_decode_oracle_sql(),
         "wav_decode": _wav_decode_oracle_sql(),
         "near_dup_stream": _near_dup_stream_oracle_sql(),
+        "near_dup_emb_stream": _near_dup_emb_stream_oracle_sql(),
         "gtfs_resolve": _gtfs_resolve_oracle_sql(),
         "cosine_topk": similarity.cosine_topk_sql(
             "embeddings",

@@ -651,9 +651,22 @@ def near_dup_candidates_stream(
     _check_time_mode(time_mode)
     if time_mode == "event" and watermark is not None:
         stream = stream.withWatermark(ts_col, watermark)
-    banded = _banded_docs(
-        stream, id_col, text_col, ts_col, num_hashes, bands
-    ).withColumn(
+    banded = _banded_docs(stream, id_col, text_col, ts_col, num_hashes, bands)
+    return _bucket_candidates_stream(banded, timeout_ms, time_mode, shards)
+
+
+def _bucket_candidates_stream(
+    banded: DataFrame,
+    timeout_ms: int,
+    time_mode: str,
+    shards: int,
+) -> DataFrame:
+    """Banding-agnostic sharded candidate machinery (shared by the
+    minhash/text and hyperplane/embedding streams): ``banded`` must
+    carry (did string, ts timestamp, band int, key) rows; each
+    (band, key) bucket's state is one encoded (canonical, n_seen,
+    last_ms) tuple inside its shard's map."""
+    banded = banded.withColumn(
         "shard", F.pmod(F.xxhash64("band", "key"), F.lit(shards))
     )
 
@@ -731,3 +744,108 @@ def near_dup_candidates_stream(
             timeoutConf=timeout_conf,
         )
     )
+
+
+# --------------------------------- streaming EMBEDDING near-dup
+
+def _banded_vecs(
+    df: DataFrame, id_col: str, vec_col: str, ts_col: str | None,
+    bands: int, bits_per_band: int, dim: int, seed: int,
+) -> DataFrame:
+    """(band, key, did[, ts]) rows via hyperplane sign-bit banding —
+    the SAME signature family as operators.similarity's
+    embedding_near_dup_pairs (lsh_band_keys_udf: one numpy matmul per
+    Arrow batch, each band packing its own sign bits), reusable on
+    batch AND streaming frames. The keys column is a UDF output
+    (ArrowEvalPython is its own operator node), so the posexplode
+    consumes a real column — no CollapseProject/HOF inlining risk."""
+    from ..operators.similarity import lsh_band_keys_udf
+
+    keys_udf = lsh_band_keys_udf(dim, bands, bits_per_band, seed)
+    keep = [F.col(id_col).cast("string").alias("did")]
+    out_cols = ["did"]
+    if ts_col is not None:
+        keep.append(F.col(ts_col).alias("ts"))
+        out_cols.append("ts")
+    sig = df.select(*keep, keys_udf(F.col(vec_col)).alias("__keys"))
+    return sig.select(
+        *out_cols, F.posexplode("__keys").alias("band", "key")
+    )
+
+
+def near_dup_embedding_batch(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ts_col: str | None = None,
+    bands: int = 8,
+    bits_per_band: int = 12,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Batch twin of :func:`near_dup_embedding_stream`: per hyperplane
+    LSH bucket the canonical vector is the first by (ts, id) — every
+    other member pairs with it. Output (id_a, id_b, band), id_a =
+    canonical. Cosine verification of the candidates happens
+    downstream (operators.similarity), exactly like the text family.
+    """
+    if dim is None:
+        dim = int(vecs.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    banded = _banded_vecs(
+        vecs, id_col, vec_col, ts_col, bands, bits_per_band, dim, seed
+    )
+    order = ([F.col("ts").asc()] if ts_col is not None else []) + [
+        F.col("did").asc()
+    ]
+    w = Window.partitionBy("band", "key").orderBy(*order)
+    return (
+        banded.withColumn("__canon", F.first("did").over(w))
+        .filter(F.col("did") != F.col("__canon"))
+        .select(
+            F.col("__canon").alias("id_a"),
+            F.col("did").alias("id_b"),
+            F.col("band").cast(T.IntegerType()).alias("band"),
+        )
+    )
+
+
+def near_dup_embedding_stream(
+    stream: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ts_col: str = "ts",
+    bands: int = 8,
+    bits_per_band: int = 12,
+    seed: int = 42,
+    timeout_ms: int = 3_600_000,
+    time_mode: str = "event",
+    watermark: str | None = "10 minutes",
+    shards: int = 1024,
+) -> DataFrame:
+    """Streaming near-duplicate candidates for the EMBEDDING modality:
+    hyperplane sign-bit banding (one Arrow matmul per batch) feeds the
+    same sharded bounded-state machinery as the text stream
+    (:func:`_bucket_candidates_stream` — see
+    :func:`near_dup_candidates_stream` for the state/eviction
+    semantics, which are identical). ``dim`` is required here: a
+    streaming frame cannot be sampled for the vector width.
+
+    Together with the text stream this closes the near-dup funnel for
+    a mixed-modality crawl: every incoming page/image embedding can be
+    checked against the recent-horizon corpus with O(active buckets)
+    state; exact cosine verification of the candidate pairs happens
+    downstream in batch (operators.similarity).
+    """
+    if not stream.isStreaming:
+        raise ValueError(
+            "near_dup_embedding_stream expects a streaming DataFrame; "
+            "use near_dup_embedding_batch for batch backfill"
+        )
+    _check_time_mode(time_mode)
+    if time_mode == "event" and watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+    banded = _banded_vecs(
+        stream, id_col, vec_col, ts_col, bands, bits_per_band, dim, seed
+    )
+    return _bucket_candidates_stream(banded, timeout_ms, time_mode, shards)

@@ -538,3 +538,66 @@ def test_cell_visits_sharded_matches_per_user(spark, tmp_path):
         ))
     assert results[0] == expected
     assert results[0] == results[1]
+
+
+# ---------------------- streaming embedding near-dup (r4)
+
+
+def _vecs():
+    import numpy as np
+
+    base = dt.datetime(2024, 7, 1, 9, 0, 0)
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(6):
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v], base + dt.timedelta(minutes=i)))
+    # planted exact duplicates of vec 0 and vec 2, arriving later
+    rows.append((100, rows[0][1], base + dt.timedelta(minutes=10)))
+    rows.append((102, rows[2][1], base + dt.timedelta(minutes=11)))
+    return pd.DataFrame(rows, columns=["vec_id", "embedding", "ts"])
+
+
+def test_near_dup_embedding_batch_shape(spark):
+    pdf = _vecs()
+    got = {
+        (r.id_a, r.id_b)
+        for r in stateful.near_dup_embedding_batch(
+            spark.createDataFrame(pdf), ts_col="ts", dim=16
+        ).collect()
+    }
+    # identical vectors share every band bucket; canonical = earlier
+    assert ("0", "100") in got and ("2", "102") in got
+
+
+def test_near_dup_embedding_stream_matches_batch(spark, tmp_path):
+    """Embedding stream == batch twin on a replayed 2-file stream (the
+    state machinery is shared with the text stream; this pins the
+    banding plumbing end-to-end)."""
+    pdf = _vecs()
+    expected = sorted(
+        map(tuple, stateful.near_dup_embedding_batch(
+            spark.createDataFrame(pdf), ts_col="ts", dim=16
+        ).collect())
+    )
+    src = str(tmp_path / "vec_src")
+    _write_replay_files(src, [pdf.iloc[:6], pdf.iloc[6:]])
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful.near_dup_embedding_stream(
+        stream, dim=16, timeout_ms=3_600_000
+    )
+    rows = _drain_stream(spark, out, "emb_nd", len(expected))
+    assert sorted((r.id_a, r.id_b, r.band) for r in rows) == expected
+    import pytest
+
+    with pytest.raises(ValueError):
+        stateful.near_dup_embedding_stream(
+            spark.createDataFrame(pdf), dim=16
+        )
