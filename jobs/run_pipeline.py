@@ -127,14 +127,23 @@ def main(argv=None):
         # re-verifies against the committed digests for free. The bool
         # rides in the digest too: one flipped byte anywhere flips the
         # stage digest.
+        # byte_identical attestation needs a canonical `text` column to
+        # compare against — synth pages carry one; a real crawl parquet
+        # usually doesn't, and referencing it would AnalysisException.
+        # Without it, emit NULL (the digest still attests text_sha).
+        has_canonical_text = "text" in pages.columns
+
         def build_extract():
             ex = multimodal.extract_text(pages)
+            identical = (
+                F.col("text_extracted").eqNullSafe(F.col("text"))
+                if has_canonical_text
+                else F.lit(None).cast("boolean")
+            )
             return ex.select(
                 "url",
                 F.sha2("text_extracted", 256).alias("text_sha"),
-                F.col("text_extracted").eqNullSafe(F.col("text")).alias(
-                    "byte_identical"
-                ),
+                identical.alias("byte_identical"),
             )
 
         run(
@@ -142,10 +151,13 @@ def main(argv=None):
             extra={
                 # no-silent-failure counter: pages whose extraction does
                 # NOT byte-match the source text column (must be 0 on
-                # synth pages, whose html wraps text losslessly)
-                "mismatched_pages": lambda: ckpt.run_stage(
-                    "extract", build_extract, key_col="url"
-                ).filter(~F.col("byte_identical")).count(),
+                # synth pages, whose html wraps text losslessly); None
+                # when the input has no canonical text to attest against
+                "mismatched_pages": (
+                    lambda: ckpt.run_stage(
+                        "extract", build_extract, key_col="url"
+                    ).filter(~F.col("byte_identical")).count()
+                ) if has_canonical_text else None,
             },
         )
 

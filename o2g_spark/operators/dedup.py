@@ -25,6 +25,8 @@ clusters; `dup_group` canonicalization is one more hash-keyed agg.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -74,8 +76,26 @@ def dedup_keep_latest(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
 # ---------------------------------------------------------- ngram jaccard
 
 _DEFAULT_MAX_DF = 200
-_USE_DEFAULT_CAP: object = object()  # sentinel: caller left max_df unset
+
+
+class _UnsetType:
+    """Typed sentinel: caller left ``max_df`` unset (distinct from an
+    explicit ``None``, which opts into the exact all-shingles path)."""
+
+    _instance: "_UnsetType | None" = None
+
+    def __new__(cls) -> "_UnsetType":
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self) -> str:  # readable in signatures / help()
+        return "<unset: default df cap>"
+
+
+_USE_DEFAULT_CAP = _UnsetType()
 _default_cap_warned = False
+_default_cap_lock = threading.Lock()
 
 
 def _warn_default_cap() -> None:
@@ -87,7 +107,9 @@ def _warn_default_cap() -> None:
     Deliberately NOT data-dependent — an eager hot-shingle count here
     would add a job to every capped call's hot path."""
     global _default_cap_warned
-    if not _default_cap_warned:
+    with _default_cap_lock:
+        if _default_cap_warned:
+            return
         _default_cap_warned = True
         import warnings
 
@@ -107,7 +129,7 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = _USE_DEFAULT_CAP,  # type: ignore[assignment]
+    max_df: "int | None | _UnsetType" = _USE_DEFAULT_CAP,
     candidate_strategy: str = "auto",
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via shared-shingle buckets.

@@ -445,11 +445,17 @@ def _cell_visits_sharded(
             touch = ts_us // 1000 if time_mode == "event" else now_ms
             cur = visits.get(uid)
             if cur is not None:
-                ccell, enter_us, _last, n, _t2 = cur.rsplit(_SEP, 4)
+                ccell, enter_us, last_us, n, t2 = cur.rsplit(_SEP, 4)
                 if int(ccell) == cell:
+                    # max against the stored values: a late row must
+                    # not rewind the idle clock (touch) or the visit's
+                    # exit_ts — the batch twin sorts globally, so the
+                    # run's exit is its MAX ts regardless of arrival
+                    # order (cross-batch determinism; same rule as
+                    # _bucket_candidates_stream)
                     visits[uid] = _SEP.join(
-                        (ccell, enter_us, str(ts_us), str(int(n) + 1),
-                         str(touch))
+                        (ccell, enter_us, str(max(ts_us, int(last_us))),
+                         str(int(n) + 1), str(max(touch, int(t2))))
                     )
                     continue
                 closed.append(decode_row(uid, cur))
@@ -697,10 +703,14 @@ def _bucket_candidates_stream(
 
             now_ms = int(_t.time() * 1000)
         if now_ms > 0 and buckets:
+            # keep while last+timeout >= now — the same strict-after
+            # deadline as _cell_visits_sharded's prune() and Spark's
+            # own event-time timers (which fire only once the
+            # watermark advances BEYOND the set timestamp)
             buckets = {
                 bk: v
                 for bk, v in buckets.items()
-                if int(v.rsplit(_SEP, 1)[1]) + timeout_ms > now_ms
+                if int(v.rsplit(_SEP, 1)[1]) + timeout_ms >= now_ms
             }
         rows = pd.concat(list(pdfs), ignore_index=True)
         # same (ts, id) total order as the batch twin — deterministic
@@ -719,10 +729,16 @@ def _bucket_candidates_stream(
             # rsplit from the RIGHT: n/ms are always the two numeric
             # tail fields, so a doc id containing the separator byte
             # can never shift the parse (split() would crash on it)
-            canon, n, _last = cur.rsplit(_SEP, 2)
+            canon, n, last = cur.rsplit(_SEP, 2)
             if did != canon:
                 out.append((canon, did, int(r.band)))
-            buckets[bk] = f"{canon}{_SEP}{int(n) + 1}{_SEP}{ms}"
+            # never move the bucket's last-arrival BACKWARD: a
+            # late-but-above-watermark row in a later micro-batch
+            # carries an older event ts than the stored last_ms, and
+            # re-encoding with it would make the eviction point depend
+            # on micro-batch boundaries (replays that batch differently
+            # would evict differently)
+            buckets[bk] = f"{canon}{_SEP}{int(n) + 1}{_SEP}{max(ms, int(last))}"
         state.update((buckets, shard_last))
         # shard-level timer: fires only once EVERY bucket has been idle
         # past the timeout (per-bucket pruning above handles the rest)

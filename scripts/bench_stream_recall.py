@@ -107,15 +107,17 @@ def main() -> int:
     ap.add_argument("--timeouts", default="15,60,240",
                     help="idle timeouts to measure, minutes of data time")
     ap.add_argument("--out", default="/tmp/stream_recall")
+    ap.add_argument("--force", action="store_true",
+                    help="delete --out even if it pre-exists without "
+                         "a scratch marker from a previous run")
     ap.add_argument("--master", default="local[16]")
     args = ap.parse_args()
 
-    import shutil
-
+    from o2g_spark.fsutil import reset_scratch_dir
     from o2g_spark.session import get_spark
     from o2g_spark.streaming import stateful
 
-    shutil.rmtree(args.out, ignore_errors=True)
+    reset_scratch_dir(args.out, force=args.force)
     pdf, planted = synth_docs(args.docs)
     src = os.path.join(args.out, "src")
     write_files(pdf, args.files, src)

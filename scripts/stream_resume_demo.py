@@ -37,7 +37,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 import signal
 import subprocess
 import sys
@@ -306,8 +305,10 @@ def _kill_after_commits(proc: subprocess.Popen, ckpt: str, k: int,
 
 
 def orchestrate(args) -> list[dict]:
+    from o2g_spark.fsutil import reset_scratch_dir
+
     base = args.out
-    shutil.rmtree(base, ignore_errors=True)
+    reset_scratch_dir(base, force=args.force)
     ev_src = os.path.join(base, "events_src")
     doc_src = os.path.join(base, "docs_src")
     synth_events(args.events, args.files, ev_src)
@@ -470,6 +471,9 @@ def main() -> None:
                     help="state backend; 'both' runs the whole demo "
                          "under each provider")
     ap.add_argument("--out", default="/tmp/stream_resume")
+    ap.add_argument("--force", action="store_true",
+                    help="delete --out even if it pre-exists without "
+                         "a scratch marker from a previous run")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 

@@ -419,6 +419,51 @@ def test_near_dup_processing_mode_pairs_across_batches(spark, tmp_path):
     assert len(rows) == 16  # exact dup collides in every band
 
 
+def test_near_dup_late_row_does_not_rewind_eviction_clock(spark, tmp_path):
+    """A late-but-above-watermark row must not move its bucket's
+    last-arrival timestamp BACKWARD (r4 ADVICE): the eviction point is
+    'latest arrival + timeout' in data time, independent of which
+    micro-batch the late row lands in. Pre-fix, re-encoding the bucket
+    with the late row's older ts made the bucket evict at 'late ts +
+    timeout', so the x3 duplicate below would find its bucket gone."""
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    cols = ["doc_id", "text", "ts"]
+    # x1 fresh at +60 min; x2 is LATE (35 min, above the 30-min
+    # watermark after f1) and lands in the NEXT micro-batch; pusher
+    # advances the watermark to +110 min; x3 duplicates at +139 min.
+    # timeout 60 min: bucket last must stay 60 (60+60=120 >= 110 →
+    # alive when x3 arrives). Buggy last=35 → 35+60=95 < 110 → evicted.
+    f1 = pd.DataFrame([("x1", txt, t0 + dt.timedelta(minutes=60))],
+                      columns=cols)
+    f2 = pd.DataFrame([("x2", txt, t0 + dt.timedelta(minutes=35))],
+                      columns=cols)
+    f3 = pd.DataFrame(
+        [("p1", "watermark pusher text totally unlike the duplicates",
+          t0 + dt.timedelta(minutes=140))], columns=cols)
+    f4 = pd.DataFrame([("x3", txt, t0 + dt.timedelta(minutes=139))],
+                      columns=cols)
+    runs = []
+    for run in range(2):
+        src = str(tmp_path / f"late_src_{run}")
+        _write_replay_files(src, [f1, f2, f3, f4])
+        stream = (
+            spark.readStream.schema("doc_id string, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stateful.near_dup_candidates_stream(
+            stream, timeout_ms=3_600_000, time_mode="event",
+            watermark="30 minutes",
+        )
+        rows = _drain_stream(spark, out, f"late_pairs_{run}", 32)
+        runs.append(sorted((r.id_a, r.id_b, r.band) for r in rows))
+    # both dups pair with the canonical x1, in every band
+    assert {(a, b) for a, b, _ in runs[0]} == {("x1", "x2"), ("x1", "x3")}
+    assert len(runs[0]) == 32
+    assert runs[0] == runs[1]  # replay-deterministic
+
+
 def test_near_dup_stream_separator_in_doc_id(spark, tmp_path):
     """A doc id containing the state-encoding separator byte must not
     corrupt the parse (tail fields are rsplit from the right)."""
