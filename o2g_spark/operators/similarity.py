@@ -313,25 +313,53 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "qid",
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k (the other scale path besides
     LSH): corpus rows live in their nearest-centroid bucket (ONE
     partitionable assignment, reusable across query batches); each
     query probes its ``nprobe`` nearest buckets; exact cosine ranks the
     candidates. Same output schema as :func:`cosine_topk`.
+
+    ``centroids`` (a ``(n_centroids, dim)`` array) skips training —
+    the serving path: train once via :func:`ivf_train_centroids` (or
+    the persisted :mod:`..operators.ann_index` lifecycle) and reuse
+    across calls; per-call training is the flat cost floor the r4
+    recall bench measured.
     """
-    cent = ivf_train_centroids(
+    cent = centroids if centroids is not None else ivf_train_centroids(
         corpus, n_centroids, seed=seed, train_sample=train_sample,
         id_col=id_col, vec_col=vec_col,
     )
 
     c_assign = ivf_assign_udf(cent, nprobe=1)
-    q_assign = ivf_assign_udf(cent, nprobe=nprobe)
     c = corpus.select(
         F.col(id_col).alias("__cid"),
         F.col(vec_col).alias("__cv"),
         F.element_at(c_assign(F.col(vec_col)), 1).alias("__bkt"),
     )
+    return ivf_topk_from_bucketed(
+        c, queries, cent, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, query_id=query_id,
+    )
+
+
+def ivf_topk_from_bucketed(
+    bucketed_corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "qid",
+) -> DataFrame:
+    """Probe-and-rank over an ALREADY bucket-assigned corpus
+    (``__cid``, ``__cv``, ``__bkt`` columns) — the tail shared by
+    :func:`ann_ivf_topk` (assigns inline) and the persisted serving
+    index (:mod:`.ann_index`, which reads the assignment back from a
+    bucket-partitioned snapshot so probes prune directories)."""
+    q_assign = ivf_assign_udf(centroids, nprobe=nprobe)
     q = (
         queries.select(
             F.col(query_id).alias("__qid"),
@@ -344,7 +372,7 @@ def ann_ivf_topk(
     sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
     w = Window.partitionBy("__qid").orderBy(F.col("sim").desc(), F.col("__cid").asc())
     return (
-        c.join(F.broadcast(q), "__bkt")
+        bucketed_corpus.join(F.broadcast(q), "__bkt")
         .dropDuplicates(["__qid", "__cid"])
         .withColumn("sim", sim)
         .withColumn("sim_rank", F.row_number().over(w))

@@ -240,11 +240,17 @@ class CheckpointManager:
         key_col: str,
         cell_col: str | None = None,
         force: bool = False,
+        partition_by: str | None = None,
     ) -> DataFrame:
         """Run (or resume) a stage. ``force=True`` rebuilds even when a
         committed snapshot exists: the old snapshot is RETIRED into the
         history (still readable via :meth:`read_snapshot`) and the new
-        one becomes current — Iceberg's createOrReplace semantics."""
+        one becomes current — Iceberg's createOrReplace semantics.
+
+        ``partition_by`` hive-partitions the snapshot on that column —
+        readers that filter on it get DIRECTORY-level pruning (the IVF
+        serving index partitions its corpus by coarse bucket so a probe
+        scans only the probed buckets' files)."""
         sdir = self._stage_dir(stage)
         data_dir = os.path.join(sdir, "data")
         if self.is_committed(stage):
@@ -282,7 +288,10 @@ class CheckpointManager:
 
         token = uuid.uuid4().hex[:12]
         tmp_data = os.path.join(sdir, f"data.tmp-{token}")
-        build_fn().write.mode("overwrite").parquet(tmp_data)
+        writer = build_fn().write.mode("overwrite")
+        if partition_by is not None:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(tmp_data)
         os.rename(tmp_data, data_dir)  # atomic snapshot swap
 
         committed = self.spark.read.parquet(data_dir)
