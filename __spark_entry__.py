@@ -1231,6 +1231,119 @@ FROM stats CROSS JOIN (SELECT unnest(range(0, 8)) AS slot) s
 """
 
 
+def _q_png_decode(spark, sf_dir):
+    """REAL PNG decode under the gate: decode_images over 8-bit
+    truecolor PNG fixtures (multimodal.try_decode_png — chunk walk +
+    DEFLATE inflate + filter reversal in pure numpy/zlib). The
+    fixtures use the canonical stored-DEFLATE layout with uniform
+    None/Sub/Up filters per image, so the DuckDB twin re-derives every
+    pixel from the payload hex with byte arithmetic + mod-256
+    cumulative-sum windows — a hash match proves the decode (header,
+    stored-block framing, filter reversal, pixel stats) is physically
+    true. Average/Paeth filters and real zlib streams are pinned by
+    pytest round-trips (not SQL-expressible without an inflater)."""
+    media = spark.createDataFrame(
+        multimodal.synth_png_media_rows(), multimodal.MEDIA_SCHEMA
+    )
+    out = multimodal.decode_images(media)
+    return out.select(
+        "media_id", "width", "height", "n_bytes",
+        F.posexplode("feature").alias("slot", "__f"),
+    ).select(
+        "media_id", "width", "height", "n_bytes", "slot",
+        F.round(F.col("__f").cast(T.DoubleType()), 6).alias("feature_val"),
+    )
+
+
+def _be_sql(off: int, nbytes: int) -> str:
+    """DuckDB: BIG-endian unsigned integer at fixed byte offset (PNG
+    header ints are network order, unlike BMP/WAV's little-endian)."""
+    return "(" + " + ".join(
+        f"{256 ** (nbytes - 1 - k)} * {_hexbyte(str(off + k))}"
+        for k in range(nbytes)
+    ) + ")"
+
+
+def _png_decode_oracle_sql() -> str:
+    """DuckDB twin of _q_png_decode. Canonical fixture layout: width/
+    height big-endian at bytes 16/20, every scanline's filter byte
+    equal (byte 48 = row 0's), raw filtered bytes at
+    48 + y*(1+3w) + 1 + i. Filter reversal without an inflater:
+    None → the raw byte; Sub → mod-256 running sum across the row's
+    channel lane (recon[x] = Σ raw deltas, since addition mod 256 is
+    associative); Up → mod-256 running sum down the byte column.
+    Channel order is R,G,B = i%3 (no BMP-style BGR flip); stats and
+    the 8-slot feature mirror _bmp_decode_oracle_sql exactly."""
+    feat = """
+           CASE s.slot
+             WHEN 0 THEN sumr / n / 255.0
+             WHEN 1 THEN sumg / n / 255.0
+             WHEN 2 THEN sumb / n / 255.0
+             WHEN 3 THEN maxr / 255.0
+             WHEN 4 THEN maxg / 255.0
+             WHEN 5 THEN maxb / 255.0
+             WHEN 6 THEN minall / 255.0
+             ELSE (sumr + sumg + sumb) / (n * 3) / 255.0
+           END"""
+    return f"""
+WITH media(media_id, ph) AS (VALUES {_png_media_values()}),
+hdr AS (
+  SELECT media_id, ph,
+         {_be_sql(16, 4)} AS w,
+         {_be_sql(20, 4)} AS h,
+         {_hexbyte("48")} AS f,
+         CAST(length(ph) // 2 AS BIGINT) AS n_bytes
+  FROM media
+),
+grid AS (
+  SELECT media_id, w, h, n_bytes, f, yy.y, xx.i,
+         {_hexbyte("48 + yy.y * (1 + 3 * w) + 1 + xx.i")} AS raw
+  FROM hdr,
+       LATERAL (SELECT unnest(range(0, h)) AS y) yy,
+       LATERAL (SELECT unnest(range(0, 3 * w)) AS i) xx
+),
+recon AS (
+  SELECT media_id, w, h, n_bytes, f, (i % 3) AS c, raw,
+         sum(raw) OVER (PARTITION BY media_id, y, i % 3
+                        ORDER BY i) % 256 AS sub_v,
+         sum(raw) OVER (PARTITION BY media_id, i
+                        ORDER BY y) % 256 AS up_v
+  FROM grid
+),
+pixv AS (
+  SELECT media_id, w, h, n_bytes, c,
+         CASE f WHEN 0 THEN raw WHEN 1 THEN sub_v ELSE up_v END AS v
+  FROM recon
+),
+stats AS (
+  SELECT media_id, w, h, n_bytes, w * h AS n,
+         sum(v) FILTER (c = 0) AS sumr,
+         sum(v) FILTER (c = 1) AS sumg,
+         sum(v) FILTER (c = 2) AS sumb,
+         max(v) FILTER (c = 0) AS maxr,
+         max(v) FILTER (c = 1) AS maxg,
+         max(v) FILTER (c = 2) AS maxb,
+         min(v) AS minall
+  FROM pixv
+  GROUP BY media_id, w, h, n_bytes
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       n_bytes,
+       CAST(s.slot AS INTEGER) AS slot,
+       round(CAST(CAST({feat} AS REAL) AS DOUBLE), 6) AS feature_val
+FROM stats CROSS JOIN (SELECT unnest(range(0, 8)) AS slot) s
+"""
+
+
+def _png_media_values() -> str:
+    return ", ".join(
+        f"({mid}, '{p.hex()}')"
+        for mid, _url, _k, p, _m in multimodal.synth_png_media_rows()
+    )
+
+
 def _wav_decode_oracle_sql() -> str:
     """DuckDB twin of _q_wav_decode: canonical-header PCM16 WAV
     re-decode — channels at 22, rate at 24, data length at 40, samples
@@ -1328,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_to_text": _q_html_to_text,
         "lineage_digest": _q_lineage_digest,
         "bmp_decode": _q_bmp_decode,
+        "png_decode": _q_png_decode,
         "wav_decode": _q_wav_decode,
         "near_dup_stream": _q_near_dup_stream,
         "near_dup_emb_stream": _q_near_dup_emb_stream,
@@ -1658,6 +1772,7 @@ FROM documents
         "html_to_text": _html_to_text_oracle_sql(),
         "lineage_digest": _lineage_oracle_sql(),
         "bmp_decode": _bmp_decode_oracle_sql(),
+        "png_decode": _png_decode_oracle_sql(),
         "wav_decode": _wav_decode_oracle_sql(),
         "near_dup_stream": _near_dup_stream_oracle_sql(),
         "near_dup_emb_stream": _near_dup_emb_stream_oracle_sql(),

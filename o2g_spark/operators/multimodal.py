@@ -166,6 +166,180 @@ def try_decode_wav(b: bytes) -> tuple[int, int, np.ndarray] | None:
     return rate, channels, samples.reshape(n, channels)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec filters 0-4) on the
+    decompressed stream ``raw`` (h rows of 1 filter byte + w*ch pixel
+    bytes). All arithmetic is mod-256 uint8 per the spec; Paeth's
+    predictor compares in signed space. Sub/Up are vectorized
+    (cumulative sums); Average/Paeth walk x per row (left-neighbor
+    dependence with floor/branch breaks the prefix-sum form)."""
+    rb = w * ch  # row bytes
+    raw = raw.reshape(h, 1 + rb)
+    ftypes = raw[:, 0]
+    out = np.zeros((h, rb), dtype=np.uint8)
+    prior = np.zeros(rb, dtype=np.uint8)
+    for y in range(h):
+        f = int(ftypes[y])
+        line = raw[y, 1:].copy()
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-ch] → cumsum/lane
+            rec = (line.reshape(-1, ch).astype(np.uint64).cumsum(axis=0)
+                   % 256).astype(np.uint8).reshape(rb)
+        elif f == 2:  # Up
+            rec = line + prior
+        elif f == 3:  # Average
+            rec = np.zeros(rb, dtype=np.uint8)
+            for x in range(rb):
+                a = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (int(line[x]) + (a + int(prior[x])) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = np.zeros(rb, dtype=np.uint8)
+            for x in range(rb):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b_ = int(prior[x])
+                c_ = int(prior[x - ch]) if x >= ch else 0
+                p = a + b_ - c_
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c_)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+                rec[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prior = rec
+    return out
+
+
+def try_decode_png(b: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Parse a non-interlaced 8-bit PNG → (width, height, rgb).
+
+    Pure stdlib-zlib + numpy (no PIL): chunk walk, IDAT concat,
+    inflate, filter reversal (all five spec filters, :func:`_png_unfilter`).
+    Color types 2 (RGB — returned as-is), 6 (RGBA — alpha dropped) and
+    0 (greyscale — replicated to 3 channels) are supported; anything
+    else (palette, 16-bit, Adam7 interlace, malformed) returns None.
+    ``rgb`` is uint8 (height, width, 3), top row first, R,G,B order —
+    the same contract as :func:`try_decode_bmp`.
+    """
+    import zlib
+
+    if len(b) < 8 + 25 or b[:8] != _PNG_SIG:
+        return None
+    pos = 8
+    ihdr = None
+    idat = b""
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        cid = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        if cid == b"IHDR":
+            ihdr = body
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        pos += 12 + ln  # len + type + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if (w <= 0 or h <= 0 or depth != 8 or channels is None
+            or comp != 0 or filt != 0 or interlace != 0):
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    if len(raw) != h * (1 + w * channels):
+        return None
+    px = _png_unfilter(
+        np.frombuffer(raw, dtype=np.uint8), h, w, channels
+    ).reshape(h, w, channels)
+    if ctype == 0:
+        return w, h, np.repeat(px, 3, axis=2)
+    return w, h, px[..., :3]  # RGBA → drop alpha; RGB as-is
+
+
+def _png_filter_line(line: np.ndarray, prior: np.ndarray, ch: int,
+                     f: int) -> np.ndarray:
+    """Apply PNG filter ``f`` to a reconstructed scanline (encoder
+    side of :func:`_png_unfilter`; all mod-256)."""
+    rb = line.shape[0]
+    left = np.zeros(rb, dtype=np.uint8)
+    left[ch:] = line[:-ch]
+    if f == 0:
+        return line
+    if f == 1:
+        return line - left
+    if f == 2:
+        return line - prior
+    if f == 3:
+        return line - ((left.astype(np.uint16) + prior) // 2).astype(np.uint8)
+    if f == 4:
+        ul = np.zeros(rb, dtype=np.uint8)
+        ul[ch:] = prior[:-ch]
+        a, b_, c_ = (x.astype(np.int32) for x in (left, prior, ul))
+        p = a + b_ - c_
+        pa, pb, pc = np.abs(p - a), np.abs(p - b_), np.abs(p - c_)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b_, c_)
+        ).astype(np.uint8)
+        return line - pred
+    raise ValueError(f"bad PNG filter type {f}")
+
+
+def make_png(rgb: np.ndarray, filter_type: int = 0,
+             stored: bool = True) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as a CANONICAL 8-bit
+    truecolor PNG: 8-byte signature, IHDR, exactly ONE IDAT, IEND, no
+    ancillary chunks; every scanline uses ``filter_type``.
+
+    ``stored=True`` wraps the filtered stream in a single STORED
+    (uncompressed) DEFLATE block — raw scanline bytes then sit at the
+    FIXED file offset 48 (8 sig + 25 IHDR + 8 IDAT hdr + 2 zlib hdr +
+    5 stored-block hdr), which is what lets the gate's DuckDB twin
+    reach the pixels with byte arithmetic, no inflater. ``stored=
+    False`` uses real zlib compression (decoder-side coverage).
+    Raw stream must fit one stored block (h*(1+3w) ≤ 65535)."""
+    import struct
+    import zlib
+
+    h, w, _ = rgb.shape
+    lines = []
+    prior = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        line = rgb[y].reshape(-1)
+        lines.append(bytes([filter_type])
+                     + _png_filter_line(line, prior, 3, filter_type).tobytes())
+        prior = line
+    raw = b"".join(lines)
+    if stored:
+        if len(raw) > 0xFFFF:
+            raise ValueError("raw stream exceeds one stored DEFLATE block")
+        comp = (b"\x78\x01"                      # zlib header (CM=8, no dict)
+                + b"\x01"                        # BFINAL=1, BTYPE=00 (stored)
+                + struct.pack("<HH", len(raw), len(raw) ^ 0xFFFF)
+                + raw
+                + struct.pack(">I", zlib.adler32(raw)))
+    else:
+        comp = zlib.compress(raw, 6)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp)
+            + chunk(b"IEND", b""))
+
+
 def make_bmp(rgb: np.ndarray, top_down: bool = False) -> bytes:
     """Serialize an (h, w, 3) uint8 RGB array as a 24-bit BI_RGB BMP
     (54-byte header) — the fixture builder for decoder tests and the
@@ -223,6 +397,15 @@ def _bmp_feature(rgb: np.ndarray) -> np.ndarray:
     return np.array(vals, dtype=np.float32)
 
 
+def _try_decode_raster(b: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Sniff-and-decode the raster formats this container handles for
+    real: 24-bit BMP, then 8-bit PNG. One (w, h, rgb) contract."""
+    out = try_decode_bmp(b)
+    if out is None:
+        out = try_decode_png(b)
+    return out
+
+
 def _fake_decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Deterministic stand-in for a real image decode.
 
@@ -251,18 +434,20 @@ def decode_images(
     bytes never accumulate beyond one batch per worker, which is the
     shape that survives 100 TB of media.
 
-    Payloads are sniffed per row: 24-bit BMP decodes FOR REAL (header +
-    pixel parse in pure numpy, :func:`try_decode_bmp`) with physically
+    Payloads are sniffed per row: 24-bit BMP and 8-bit PNG decode FOR
+    REAL (header/chunk + pixel parse in pure numpy + stdlib zlib,
+    :func:`try_decode_bmp` / :func:`try_decode_png`) with physically
     true width/height and :func:`_bmp_feature` pixel stats; other
     formats fall back to the deterministic sha256 stand-in.
     ``use_real_decoder=True`` demands a real decode for EVERY row, which
-    needs PIL for codec formats — absent here, so it raises.
+    needs PIL for the remaining codec formats — absent here, so it
+    raises.
     """
     if use_real_decoder and not HAVE_PIL:
         raise NotImplementedError(
-            "real decode of codec formats (JPEG/PNG/...) needs "
-            "PIL/pillow — not in this container; BMP already decodes "
-            "for real on the default path"
+            "real decode of the remaining codec formats (JPEG/GIF/...) "
+            "needs PIL/pillow — not in this container; BMP and PNG "
+            "already decode for real on the default path"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -270,9 +455,9 @@ def decode_images(
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                bmp = try_decode_bmp(b)
-                if bmp is not None:
-                    w, h, rgb = bmp
+                raster = _try_decode_raster(b)
+                if raster is not None:
+                    w, h, rgb = raster
                     feat = _bmp_feature(rgb)
                 else:
                     w, h, feat = _fake_decode_image(b)
@@ -310,14 +495,15 @@ def resize_images(
 ) -> DataFrame:
     """image rows → fixed-size width*height*3 RGB pixel buffers.
 
-    BMP payloads are resampled FOR REAL: nearest-neighbor via numpy
-    index arrays (``src_y = out_y * in_h // out_h``) over the actually
-    decoded pixel grid. Codec formats keep the deterministic sha256
-    stand-in (same schema and byte sizing)."""
+    BMP and PNG payloads are resampled FOR REAL: nearest-neighbor via
+    numpy index arrays (``src_y = out_y * in_h // out_h``) over the
+    actually decoded pixel grid. Remaining codec formats keep the
+    deterministic sha256 stand-in (same schema and byte sizing)."""
     if use_real_decoder and not HAVE_PIL:
         raise NotImplementedError(
-            "real resize of codec formats needs PIL/pillow — not in "
-            "this container; BMP already resizes for real"
+            "real resize of the remaining codec formats needs "
+            "PIL/pillow — not in this container; BMP and PNG already "
+            "resize for real"
         )
 
     n_bytes = width * height * 3
@@ -327,9 +513,9 @@ def resize_images(
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                bmp = try_decode_bmp(b)
-                if bmp is not None:
-                    in_w, in_h, rgb = bmp
+                raster = _try_decode_raster(b)
+                if raster is not None:
+                    in_w, in_h, rgb = raster
                     ys = np.arange(height) * in_h // height
                     xs = np.arange(width) * in_w // width
                     px = rgb[ys][:, xs].tobytes()
@@ -485,6 +671,31 @@ def synth_decodable_media_rows(
         samples = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
         payload = make_wav(samples, rate)
         rows.append((n_img + j, f"https://media.example/wav/{j}", "audio",
+                     payload, {}))
+    return rows
+
+
+def synth_png_media_rows(n_img: int = 18, seed: int = 29) -> list[tuple]:
+    """Deterministic REAL-PNG media rows for the ``png_decode`` gate
+    query: canonical stored-DEFLATE layout (raw scanlines at file
+    offset 48 — see :func:`make_png`), each image uniformly filtered
+    with None/Sub/Up cycling by index. Those three filters unfilter in
+    PURE SQL (None = raw byte; Sub = mod-256 cumsum across a row's
+    channel lane; Up = mod-256 cumsum down a column), so the DuckDB
+    twin re-derives every pixel from the payload hex alone — no
+    inflater, no Python. Average/Paeth and real zlib streams are
+    pinned by pytest round-trips instead (tests/test_multimodal.py).
+    Kept SEPARATE from :func:`synth_decodable_media_rows` (whose image
+    rows feed the bmp_decode twin — a BMP-only VALUES set)."""
+    rng = np.random.default_rng(seed)
+    widths = [4, 6, 3, 8, 5]
+    heights = [3, 5, 4, 6]
+    rows = []
+    for i in range(n_img):
+        w, h = widths[i % len(widths)], heights[i % len(heights)]
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = make_png(rgb, filter_type=i % 3, stored=True)
+        rows.append((i, f"https://media.example/png/{i}", "image",
                      payload, {}))
     return rows
 

@@ -137,6 +137,88 @@ def test_wav_roundtrip_mono_stereo():
     assert (rate, ch) == (44100, 2) and np.array_equal(out, s2)
 
 
+def test_png_roundtrip_all_filters_stored_and_compressed():
+    """make_png → try_decode_png is pixel-exact for EVERY spec filter
+    (None/Sub/Up/Average/Paeth) under both the canonical stored-DEFLATE
+    framing (the gate-twin layout) and a real zlib-compressed stream —
+    the gate only SQL-covers filters 0-2, so 3/4 + inflate are pinned
+    here."""
+    rng = np.random.default_rng(11)
+    for (h, w) in [(1, 1), (4, 5), (7, 3)]:
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for f in range(5):
+            for stored in (True, False):
+                got = mm.try_decode_png(mm.make_png(rgb, filter_type=f,
+                                                    stored=stored))
+                assert got is not None, (h, w, f, stored)
+                gw, gh, out = got
+                assert (gw, gh) == (w, h)
+                assert np.array_equal(out, rgb), (h, w, f, stored)
+
+
+def test_png_gray_and_rgba_color_types():
+    """Color type 0 replicates to 3 channels; type 6 drops alpha —
+    hand-built minimal files (make_png only emits type 2)."""
+    import struct
+    import zlib
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    def build(w, h, ctype, px_rows):
+        raw = b"".join(b"\x00" + r for r in px_rows)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (mm._PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    g = build(2, 1, 0, [bytes([7, 250])])
+    w, h, rgb = mm.try_decode_png(g)
+    assert (w, h) == (2, 1)
+    assert np.array_equal(rgb, [[[7, 7, 7], [250, 250, 250]]])
+    a = build(1, 1, 6, [bytes([10, 20, 30, 99])])
+    w, h, rgb = mm.try_decode_png(a)
+    assert (w, h) == (1, 1) and np.array_equal(rgb, [[[10, 20, 30]]])
+
+
+def test_png_rejects_unsupported():
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = bytearray(mm.make_png(rgb))
+    assert mm.try_decode_png(b"JFIF" * 30) is None
+    assert mm.try_decode_png(bytes(good[:20])) is None  # truncated
+    bad_depth = good.copy(); bad_depth[8 + 8 + 8] = 16
+    assert mm.try_decode_png(bytes(bad_depth)) is None
+    bad_interlace = good.copy(); bad_interlace[8 + 8 + 12] = 1
+    assert mm.try_decode_png(bytes(bad_interlace)) is None
+    bad_ctype = good.copy(); bad_ctype[8 + 8 + 9] = 3  # palette
+    assert mm.try_decode_png(bytes(bad_ctype)) is None
+
+
+def test_decode_and_resize_png_physical_truth(spark):
+    """A PNG goes through the REAL raster path in decode_images and
+    resize_images (not the sha256 stand-in): true dimensions, exact
+    channel means, exact NN source pixels."""
+    rgb = np.zeros((6, 5, 3), dtype=np.uint8)
+    rgb[..., 0] = 200; rgb[..., 1] = 100; rgb[..., 2] = 50
+    media = spark.createDataFrame(
+        [(1, "u", "image", mm.make_png(rgb, filter_type=4, stored=False),
+          {})], mm.MEDIA_SCHEMA
+    )
+    r = mm.decode_images(media).collect()[0]
+    assert (r.width, r.height) == (5, 6)
+    assert abs(r.feature[0] - 200 / 255) < 1e-6
+    assert abs(r.feature[6] - 50 / 255) < 1e-6
+    rgb2 = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    media2 = spark.createDataFrame(
+        [(1, "u", "image", mm.make_png(rgb2, filter_type=1), {})],
+        mm.MEDIA_SCHEMA
+    )
+    r2 = mm.resize_images(media2, width=2, height=2).collect()[0]
+    got = np.frombuffer(bytes(r2.pixels), dtype=np.uint8).reshape(2, 2, 3)
+    assert np.array_equal(got, rgb2[[0, 2]][:, [0, 2]])
+
+
 def test_decode_images_bmp_physical_truth(spark):
     """A solid-color BMP must decode to its REAL dimensions and exact
     channel means — physically true values, not digest stand-ins."""
