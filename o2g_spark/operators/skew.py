@@ -62,6 +62,7 @@ def cell_histogram(df: DataFrame, cell_col: str) -> DataFrame:
 
 
 _MAX_HOT_CELLS = 65536
+_LITERAL_BUDGET = 4096
 
 
 def adaptive_cell_split(
@@ -72,6 +73,7 @@ def adaptive_cell_split(
     lat_col: str = "lat",
     lon_col: str = "lon",
     out_col: str = "cell_adaptive",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Mixed-resolution cell assignment: each point's cell is the FIRST
     resolution in ``base_res..max_res`` whose (global, exact) occupancy
@@ -91,10 +93,23 @@ def adaptive_cell_split(
 
     Deterministic and partition-invariant: counts are exact, never
     sampled. Raises (no silent degradation) if the hot-cell set
-    exceeds the literal budget — raise ``threshold`` in that case.
+    exceeds the overall budget — raise ``threshold`` in that case.
+
+    ``strategy``: how the first-not-hot selection is expressed.
+    "literal" bakes the hot cells into per-level ``isin`` chains —
+    plan-light up to a few thousand cells, zero extra operators.
+    "broadcast" ships them as a LocalRelation and marks each level
+    with a broadcast LEFT join — plan size stays O(levels) no matter
+    how many cells are hot (tens of thousands of ``isin`` literals
+    are a driver/plan-size cost: the r4 plan at 30k cells is ~2 MB of
+    expression tree). "auto" picks literal at ≤ 4096 hot cells,
+    broadcast beyond. Output is identical either way (pinned by
+    test); only the physical plan differs.
     """
     if not base_res <= max_res:
         raise ValueError("need base_res <= max_res")
+    if strategy not in ("auto", "literal", "broadcast"):
+        raise ValueError("strategy must be auto|literal|broadcast")
     levels = list(range(base_res, max_res + 1))
     cells_arr = F.array(
         *[cellfns.cell_encode(lat_col, lon_col, r) for r in levels]
@@ -121,16 +136,47 @@ def adaptive_cell_split(
             "over-threshold cells exceed the literal budget; raise "
             "threshold (hot cells are bounded by levels*rows/threshold)"
         )
-    hot_by_res: dict[int, list[int]] = {}
-    for row in hot_rows:
-        c = row["__c"]
-        hot_by_res.setdefault((c >> 58) & 0x1F, []).append(c)
-    # first-not-hot selection, built back-to-front: max_res is the
-    # unconditional fallback (its cell is used even if still hot)
+    if strategy == "auto":
+        strategy = "literal" if len(hot_rows) <= _LITERAL_BUDGET else "broadcast"
+
+    if strategy == "literal":
+        hot_by_res: dict[int, list[int]] = {}
+        for row in hot_rows:
+            c = row["__c"]
+            hot_by_res.setdefault((c >> 58) & 0x1F, []).append(c)
+        # first-not-hot selection, built back-to-front: max_res is the
+        # unconditional fallback (its cell is used even if still hot)
+        expr = F.element_at("__cells", len(levels))
+        for i in range(len(levels) - 2, -1, -1):
+            r = levels[i]
+            c = F.element_at("__cells", i + 1)
+            hot = hot_by_res.get(r)
+            expr = c if not hot else F.when(~c.isin(hot), c).otherwise(expr)
+        return df.withColumn(out_col, expr).drop("__cells")
+
+    # broadcast: the collected hot set becomes ONE LocalRelation (cell
+    # ids carry their resolution in bits 58-62, so a single table
+    # serves every level without cross-level collisions); each level
+    # below max_res gets a broadcast LEFT join marking its candidate
+    # cell hot (match) or cold (null). No shuffle of the fact table,
+    # no literals in the expression tree — the plan is O(levels)
+    # regardless of |hot|.
+    spark = points.sparkSession
+    hot_df = spark.createDataFrame(
+        [(row["__c"],) for row in hot_rows], "__hot_c long"
+    )
+    flags = []
+    for i in range(len(levels) - 1):  # max_res needs no flag (fallback)
+        flag = f"__hot_{i}"
+        df = df.join(
+            F.broadcast(hot_df.select(F.col("__hot_c").alias(flag))),
+            F.element_at("__cells", i + 1) == F.col(flag),
+            "left",
+        )
+        flags.append(flag)
     expr = F.element_at("__cells", len(levels))
     for i in range(len(levels) - 2, -1, -1):
-        r = levels[i]
-        c = F.element_at("__cells", i + 1)
-        hot = hot_by_res.get(r)
-        expr = c if not hot else F.when(~c.isin(hot), c).otherwise(expr)
-    return df.withColumn(out_col, expr).drop("__cells")
+        expr = F.when(
+            F.col(flags[i]).isNull(), F.element_at("__cells", i + 1)
+        ).otherwise(expr)
+    return df.withColumn(out_col, expr).drop("__cells", *flags)

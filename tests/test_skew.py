@@ -68,3 +68,43 @@ def test_adaptive_split_deterministic(hot_points):
     assert sorted((r.pid, r.cell_adaptive) for r in a.collect()) == sorted(
         (r.pid, r.cell_adaptive) for r in b.collect()
     )
+
+
+def test_adaptive_split_broadcast_matches_literal(hot_points):
+    """The broadcast-join fallback is a PHYSICAL-plan choice only:
+    identical output to the literal isin chain on the same input."""
+    lit = skew.adaptive_cell_split(hot_points, 6, 10, 250,
+                                   strategy="literal")
+    bc = skew.adaptive_cell_split(hot_points, 6, 10, 250,
+                                  strategy="broadcast")
+    assert sorted((r.pid, r.cell_adaptive) for r in lit.collect()) == sorted(
+        (r.pid, r.cell_adaptive) for r in bc.collect()
+    )
+
+
+def test_adaptive_split_30k_hot_cells_bounded_plan(spark):
+    """≥30k hot cells (r4 VERDICT #5 shape): auto must route to the
+    broadcast form, its plan must stay small (the literal chain at
+    this cardinality is megabytes of expression tree), and the output
+    must equal the literal form's."""
+    rng = np.random.default_rng(5)
+    n_sites = 16_000
+    lat = np.repeat(rng.uniform(-60, 60, n_sites), 3)   # coincident
+    lon = np.repeat(rng.uniform(-150, 150, n_sites), 3)  # triplets
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pid": np.arange(3 * n_sites),
+        "lat": np.round(lat, 6), "lon": np.round(lon, 6),
+    })).repartition(8).localCheckpoint()  # freeze: one histogram per call
+    # threshold=2 → every occupied cell of a coincident triplet is hot
+    # at BOTH levels: ~2×16k ≈ 30k+ hot cells (minus rare collisions)
+    auto = skew.adaptive_cell_split(pts, 9, 10, 2)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert len(plan) < 100_000, f"plan blew up: {len(plan)} chars"
+    lit = skew.adaptive_cell_split(pts, 9, 10, 2, strategy="literal")
+    got_a = sorted((r.pid, r.cell_adaptive) for r in auto.collect())
+    got_l = sorted((r.pid, r.cell_adaptive) for r in lit.collect())
+    assert got_a == got_l
+    # every row of a triplet ends at max_res (coincident rows can never
+    # split below the threshold)
+    assert all(((c >> 58) & 0x1F) == 10 for _, c in got_a)
