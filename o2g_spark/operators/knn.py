@@ -79,12 +79,17 @@ def choose_strategy(k: int, n_queries: int, n_targets: int) -> tuple[bool, int]:
     distance rows; k-ring = ~3 rounds of |Q|·(ring cells) probes. Brute
     wins only when the CROSS PRODUCT is small — bounding on |T| alone
     chose a 2.8-billion row window for 14M queries × 200 targets
-    (observed at 20M pages). For the k-ring path, pick the grid so a
+    (observed at 20M pages). The 120M product budget is MEASURED, not
+    reasoned (scripts/bench_knn_crossover.py, BENCH/BASELINE.md §knn
+    crossover): brute wins by ~25-30% at 120M-product shapes and LOSES
+    by ~40% at 200M (the former budget — it claimed a shape where
+    rings win), so the claim region stops at the largest measured
+    brute-win product. For the k-ring path, pick the grid so a
     query expects its answers within ~1 ring: ~k targets per (2r+1)²
     window at r≈1 ⇒ cells ≈ 9·n/k (too fine ⇒ empty rings ⇒ wasted
     rounds, measured 3×). Pure function — unit-testable without Spark.
     """
-    use_brute = n_targets <= 5000 and n_queries * n_targets <= 200_000_000
+    use_brute = n_targets <= 5000 and n_queries * n_targets <= 120_000_000
     res = max(2, min(12, int(math.log2(max(4, 9 * n_targets / max(k, 1)) ** 0.5))))
     return use_brute, res
 
