@@ -852,6 +852,17 @@ def near_dup_embedding_stream(
     checked against the recent-horizon corpus with O(active buckets)
     state; exact cosine verification of the candidate pairs happens
     downstream in batch (operators.similarity).
+
+    SIZE ``bits_per_band`` TO THE CORPUS: each bucket keeps ONE
+    canonical doc, and an unrelated doc claims a true pair's bucket at
+    rate ≈ n_active/2^bits per band — the (canon, x) links it emits
+    instead then fail downstream cosine verification, silently costing
+    recall (measured: 12 bits at 20k docs lost 55% of embedding-only
+    planted pairs end-to-end; 20 bits recovered them —
+    scripts/demo_mixed_dedup.py). Rule of thumb: 2^bits ≥ ~50× the
+    active-horizon doc count. Wider bands cost nothing but band-key
+    bytes; the 12-bit default matches the BATCH twin's gate fixture,
+    not a production corpus.
     """
     if not stream.isStreaming:
         raise ValueError(
