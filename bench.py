@@ -33,7 +33,7 @@ JACCARD_MAX_DF = 200
 
 
 def _cpu_control_sec() -> float:
-    """Machine-noise control: median-of-3 of a fixed single-threaded
+    """Machine-noise control: MIN-of-5 of a fixed single-threaded
     integer workload (numpy element-wise affine hashing — no BLAS, no
     JVM, no disk). On a quiet host this is stable to a few percent;
     on a noisy shared-VM window it inflates together with the Spark

@@ -89,9 +89,23 @@ def drain(q, ckpt: str, timeout_s: int) -> None:
     """Process all available input AND the watermark-advance no-data
     batches (event-time evictions commit there — processAllAvailable
     alone can return before they land): wait for the commit log to
-    stop advancing while the trigger is idle."""
+    stop advancing while the trigger is idle.
+
+    The commit-log probe reads the LOCAL filesystem; for a remote
+    ``--ckpt`` (hdfs://, s3a://, ...) it degrades to the status-only
+    idle heuristic — loudly, because that heuristic alone can return
+    before a scheduled eviction batch commits."""
     q.processAllAvailable()
     commits_dir = os.path.join(ckpt, "commits")
+    if "://" in ckpt and not os.path.isdir(commits_dir):
+        print(
+            f"WARNING: --ckpt {ckpt!r} is not a local path; drain's "
+            "commit-log quiescence check is unavailable and only the "
+            "trigger-idle status heuristic gates completion — prefer "
+            "a longer --drain-timeout-s or verify the sink row count "
+            "against a batch twin",
+            file=sys.stderr, flush=True,
+        )
 
     def n_commits() -> int:
         if not os.path.isdir(commits_dir):
@@ -174,7 +188,13 @@ def main(argv=None) -> int:
         return 0
     drain(q, args.ckpt, args.drain_timeout_s)
     q.stop()
-    rows = spark.read.parquet(args.sink).count()
+    # a drained stream that emitted ZERO rows writes only
+    # _spark_metadata (parquet writers are created lazily on the first
+    # row) — an empty sink is a successful drain, not a read error
+    has_data = (not os.path.isdir(args.sink)) or any(
+        not f.startswith((".", "_")) for f in os.listdir(args.sink)
+    )
+    rows = spark.read.parquet(args.sink).count() if has_data else 0
     print(json.dumps({
         "op": args.op, "mode": "drain", "sink_rows": int(rows),
         "state_store": args.state_store, "ckpt": args.ckpt,

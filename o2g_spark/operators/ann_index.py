@@ -54,10 +54,14 @@ def ivf_index_build(
     ``force=True`` retrains and retires the old snapshots into the
     checkpoint history (createOrReplace semantics).
 
-    The corpus stage is built from the centroid STAGE's committed
-    bytes (not the freshly trained array) so a resumed corpus build
-    after a crash between the two commits can never pair a new
-    quantizer with an old layout.
+    Crash-consistency: the corpus stage is built from the centroid
+    STAGE's committed bytes (not the freshly trained array), and its
+    manifest records WHICH quantizer snapshot it was built from —
+    stamped atomically with the corpus commit. A crash between a
+    force-retrain's centroid commit and the corpus rebuild therefore
+    leaves a DETECTABLE mismatch: the next build force-rebuilds the
+    corpus, and serving refuses the index instead of silently probing
+    an old layout with a new quantizer.
     """
     ckpt = CheckpointManager(spark, base_dir)
 
@@ -73,6 +77,7 @@ def ivf_index_build(
 
     ckpt.run_stage(CENTROID_STAGE, build_centroids,
                    key_col="centroid_id", force=force)
+    cent_snap = ckpt.manifest(CENTROID_STAGE)["snapshot_id"]
     cent = ivf_load_centroids(spark, base_dir)
 
     def build_corpus() -> DataFrame:
@@ -83,9 +88,37 @@ def ivf_index_build(
             F.element_at(assign(F.col(vec_col)), 1).alias("__bkt"),
         )
 
-    ckpt.run_stage(CORPUS_STAGE, build_corpus, key_col="__cid",
-                   force=force, partition_by="__bkt")
+    # rebuild the corpus when it is missing OR stamped with a different
+    # quantizer snapshot (interrupted force-retrain recovery)
+    corpus_m = ckpt.manifest(CORPUS_STAGE)
+    corpus_stale = bool(
+        corpus_m and corpus_m.get("centroid_snapshot") != cent_snap
+    )
+    ckpt.run_stage(
+        CORPUS_STAGE, build_corpus, key_col="__cid",
+        force=force or corpus_stale, partition_by="__bkt",
+        manifest_extra={"centroid_snapshot": cent_snap},
+    )
     return cent
+
+
+def _check_index_consistency(ckpt: CheckpointManager, base_dir: str) -> None:
+    """Raise unless the committed corpus snapshot was built from the
+    committed quantizer snapshot (see :func:`ivf_index_build`)."""
+    cent_m = ckpt.manifest(CENTROID_STAGE)
+    corp_m = ckpt.manifest(CORPUS_STAGE)
+    if not (corp_m and corp_m.get("committed")):
+        raise FileNotFoundError(
+            f"no committed IVF corpus at {base_dir!r}: run ivf_index_build"
+        )
+    if corp_m.get("centroid_snapshot") != cent_m["snapshot_id"]:
+        raise RuntimeError(
+            f"inconsistent IVF index at {base_dir!r}: corpus snapshot "
+            f"{corp_m['snapshot_id']} was built from quantizer "
+            f"{corp_m.get('centroid_snapshot')!r} but the committed "
+            f"quantizer is {cent_m['snapshot_id']!r} (interrupted "
+            "retrain?) — rerun ivf_index_build to rebuild the corpus"
+        )
 
 
 def ivf_load_centroids(spark: SparkSession, base_dir: str) -> np.ndarray:
@@ -130,6 +163,7 @@ def ann_ivf_topk_indexed(
     cent = centroids if centroids is not None \
         else ivf_load_centroids(spark, base_dir)
     ckpt = CheckpointManager(spark, base_dir)
+    _check_index_consistency(ckpt, base_dir)
     bucketed = ckpt.read_snapshot(CORPUS_STAGE)
 
     # union of probed buckets across this query batch — bounded by

@@ -241,6 +241,7 @@ class CheckpointManager:
         cell_col: str | None = None,
         force: bool = False,
         partition_by: str | None = None,
+        manifest_extra: dict | None = None,
     ) -> DataFrame:
         """Run (or resume) a stage. ``force=True`` rebuilds even when a
         committed snapshot exists: the old snapshot is RETIRED into the
@@ -250,7 +251,14 @@ class CheckpointManager:
         ``partition_by`` hive-partitions the snapshot on that column —
         readers that filter on it get DIRECTORY-level pruning (the IVF
         serving index partitions its corpus by coarse bucket so a probe
-        scans only the probed buckets' files)."""
+        scans only the probed buckets' files).
+
+        ``manifest_extra`` merges caller keys into the committed
+        manifest ATOMICALLY with the snapshot (same tmp+rename write) —
+        the mechanism for cross-stage consistency stamps (the IVF
+        corpus records which quantizer snapshot it was built from, so a
+        crash between two related commits is detectable, never silently
+        served). Caller keys must not collide with the built-ins."""
         sdir = self._stage_dir(stage)
         data_dir = os.path.join(sdir, "data")
         if self.is_committed(stage):
@@ -306,6 +314,7 @@ class CheckpointManager:
             "cell_col": cell_col,
             "schema": committed.schema.jsonValue(),
             "lineage": lineage,
+            **(manifest_extra or {}),
         }
         tmp_manifest = os.path.join(sdir, f"manifest.tmp-{token}")
         with open(tmp_manifest, "w") as f:

@@ -305,7 +305,12 @@ def cell_visits_stateful(
             if cur is None:
                 cur = [cell, ts, ts, 1]
             elif cell == cur[0]:
-                cur[2], cur[3] = ts, cur[3] + 1
+                # min/max, not overwrite: a late-but-above-watermark
+                # same-cell row in a later batch must not move the
+                # visit's enter forward or exit backward — the batch
+                # twin's min(ts)/max(ts) over the run is order-blind
+                cur[1] = min(cur[1], ts)
+                cur[2], cur[3] = max(cur[2], ts), cur[3] + 1
             else:
                 closed.append((uid, cur[0], cur[1], cur[2], cur[3]))
                 cur = [cell, ts, ts, 1]
@@ -447,14 +452,15 @@ def _cell_visits_sharded(
             if cur is not None:
                 ccell, enter_us, last_us, n, t2 = cur.rsplit(_SEP, 4)
                 if int(ccell) == cell:
-                    # max against the stored values: a late row must
-                    # not rewind the idle clock (touch) or the visit's
-                    # exit_ts — the batch twin sorts globally, so the
-                    # run's exit is its MAX ts regardless of arrival
-                    # order (cross-batch determinism; same rule as
-                    # _bucket_candidates_stream)
+                    # min/max against the stored values: a late row
+                    # must not move the visit's enter forward, its
+                    # exit backward, or rewind the idle clock (touch)
+                    # — the batch twin's min(ts)/max(ts) over the run
+                    # is order-blind (cross-batch determinism; same
+                    # rule as _bucket_candidates_stream)
                     visits[uid] = _SEP.join(
-                        (ccell, enter_us, str(max(ts_us, int(last_us))),
+                        (ccell, str(min(ts_us, int(enter_us))),
+                         str(max(ts_us, int(last_us))),
                          str(int(n) + 1), str(max(touch, int(t2))))
                     )
                     continue

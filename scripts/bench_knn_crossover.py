@@ -74,19 +74,32 @@ def main() -> int:
         t = synth(spark, nt, "t", 23)
         claimed, res = knn.choose_strategy(K, nq, nt)
 
-        def brute():
-            return knn.knn_bruteforce(q, t, K).count()
+        def brute_df():
+            return knn.knn_bruteforce(q, t, K)
 
-        def ring():
+        def ring_df():
             # pin the iterative ring machinery: explicit res skips the
             # strategy dispatch; tail_brute_cap=0 forbids the tail exit
             return knn.knn_join(
                 q, t, K, res=res, n_queries=nq, n_targets=nt,
                 tail_brute_cap=0,
-            ).count()
+            )
 
-        nb, nr = brute(), ring()
-        assert nb == nr, f"row mismatch at ({nq},{nt}): {nb} vs {nr}"
+        def brute():
+            return brute_df().count()
+
+        def ring():
+            return ring_df().count()
+
+        # REAL multiset equivalence, not row counts (both paths always
+        # emit ~|Q|·k rows, so a wrong-neighbor bug would pass a count
+        # check): symmetric exceptAll over the full result rows
+        cols = ["qid", "tid", "dist2", "knn_rank"]
+        b_res, r_res = brute_df().select(cols), ring_df().select(cols)
+        diff = (b_res.exceptAll(r_res).count()
+                + r_res.exceptAll(b_res).count())
+        assert diff == 0, f"result mismatch at ({nq},{nt}): {diff} rows differ"
+        nb = b_res.count()
         tb, tr = timed(brute), timed(ring)
         winner = "brute" if tb < tr else "ring"
         print(json.dumps({

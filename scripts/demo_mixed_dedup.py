@@ -230,10 +230,12 @@ def main() -> int:
         .withColumn("verified",
                     (F.col("jac") >= JAC_T) | (F.col("cos") >= SIM_T))
     )
-    verified = {(r.id_a, r.id_b)
-                for r in scored.filter("verified")
-                .select("id_a", "id_b").collect()}
-    n_pairs_scored = scored.count()
+    # ONE collect derives both the verified set and the scored count —
+    # a separate scored.count() would re-execute the double join +
+    # shingle/cosine scoring, the demo's most expensive batch stage
+    scored_rows = scored.select("id_a", "id_b", "verified").collect()
+    verified = {(r.id_a, r.id_b) for r in scored_rows if r.verified}
+    n_pairs_scored = len(scored_rows)
 
     planted_set = set(planted)
     tp = verified & planted_set

@@ -84,6 +84,44 @@ def test_load_missing_index_raises(spark, tmp_path):
         ann_index.ivf_load_centroids(spark, str(tmp_path / "nope"))
 
 
+def test_interrupted_retrain_detected_and_healed(spark, emb, tmp_path):
+    """Crash window between a force-retrain's centroid commit and the
+    corpus rebuild: the corpus manifest's quantizer stamp no longer
+    matches, so serving must REFUSE (not silently probe the old layout
+    with the new quantizer) and the next build must heal by rebuilding
+    the corpus."""
+    base = str(tmp_path / "ivf")
+    ann_index.ivf_index_build(spark, base, emb, n_centroids=8)
+    served_before = sorted(
+        (r.qid, r.vec_id, r.sim, r.sim_rank)
+        for r in ann_index.ann_ivf_topk_indexed(
+            spark, base, _queries(emb), k=5, nprobe=2).collect()
+    )
+    # simulate the crash: force-retrain ONLY the centroid stage
+    ckpt = CheckpointManager(spark, base)
+
+    def rebuild_centroids():
+        cent = sim.ivf_train_centroids(emb, 8)
+        return spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(cent)],
+            "centroid_id int, centroid array<double>",
+        )
+
+    ckpt.run_stage(ann_index.CENTROID_STAGE, rebuild_centroids,
+                   key_col="centroid_id", force=True)
+    with pytest.raises(RuntimeError, match="inconsistent IVF index"):
+        ann_index.ann_ivf_topk_indexed(spark, base, _queries(emb),
+                                       k=5, nprobe=2).collect()
+    # heal: build detects the stale stamp and rebuilds the corpus
+    ann_index.ivf_index_build(spark, base, emb, n_centroids=8)
+    served_after = sorted(
+        (r.qid, r.vec_id, r.sim, r.sim_rank)
+        for r in ann_index.ann_ivf_topk_indexed(
+            spark, base, _queries(emb), k=5, nprobe=2).collect()
+    )
+    assert served_after == served_before  # deterministic retrain
+
+
 def test_corpus_snapshot_is_bucket_partitioned_and_pruned(
     spark, emb, tmp_path
 ):

@@ -4,6 +4,7 @@ brute force, and the applyInPandasWithState path vs the batch twin."""
 import datetime as dt
 
 import pandas as pd
+import pytest
 
 from o2g_spark.streaming import stateful
 
@@ -462,6 +463,46 @@ def test_near_dup_late_row_does_not_rewind_eviction_clock(spark, tmp_path):
     assert {(a, b) for a, b, _ in runs[0]} == {("x1", "x2"), ("x1", "x3")}
     assert len(runs[0]) == 32
     assert runs[0] == runs[1]  # replay-deterministic
+
+
+@pytest.mark.parametrize("shards", [None, 8])
+def test_cell_visits_late_row_keeps_batch_twin_bounds(spark, tmp_path,
+                                                      shards):
+    """A late-but-above-watermark SAME-CELL row must not move the open
+    visit's enter_ts forward or exit_ts backward (r5 review): the
+    batch twin's min(ts)/max(ts) over the run is arrival-order-blind,
+    so the streamed visit must carry the same bounds regardless of
+    which micro-batch the late row lands in. Covers per-user and
+    sharded keying."""
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    cols = ["user_id", "event_id", "ts", "cell"]
+    f1 = pd.DataFrame([(1, 0, t0 + dt.timedelta(minutes=10), 7)],
+                      columns=cols)
+    # late same-cell row: 5 min < watermark cutoff (10 - 30 < 5) ✓
+    f2 = pd.DataFrame([(1, 1, t0 + dt.timedelta(minutes=5), 7)],
+                      columns=cols)
+    # pusher advances the watermark a day → evicts and emits the visit
+    f3 = pd.DataFrame([(9, 2, t0 + dt.timedelta(days=1, minutes=30), 0)],
+                      columns=cols)
+    src = str(tmp_path / f"late_visit_{shards}")
+    _write_replay_files(src, [f1, f2, f3])
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, cell long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful.cell_visits_stateful(
+        stream, timeout_ms=3_600_000, time_mode="event",
+        watermark="30 minutes", shards=shards,
+    )
+    rows = [r for r in _drain_stream(spark, out, f"late_visit_q_{shards}", 1)
+            if r.user_id == 1]
+    assert len(rows) == 1
+    v = rows[0]
+    assert v.enter_ts == t0 + dt.timedelta(minutes=5)   # min over the run
+    assert v.exit_ts == t0 + dt.timedelta(minutes=10)   # max over the run
+    assert v.n_events == 2
 
 
 def test_near_dup_stream_separator_in_doc_id(spark, tmp_path):
