@@ -116,6 +116,12 @@ def main():
     lo, hi = levels
     t8, t32 = results[lo]["median_sec"], results[hi]["median_sec"]
     efficiency = round(t8 / (4 * t32), 3)
+    # disk self-attribution (r5 forensics): 18 GB of leaked Spark
+    # scratch on /tmp degraded a run to 0.581 while the CPU probe was
+    # clean — record the scratch device's free space so a FAIL reading
+    # carries its own df check
+    stat = os.statvfs("/tmp")
+    disk_avail_gb = round(stat.f_bavail * stat.f_frsize / 2**30, 1)
     summary = {
         "n_pages": n_pages,
         "levels": list(levels),
@@ -124,6 +130,7 @@ def main():
         "speedup_n_to_4n": round(t8 / t32, 2),
         "scaling_efficiency": efficiency,
         "pass_0.8": efficiency >= 0.8,
+        "tmp_avail_gb_after": disk_avail_gb,
     }
     with open(os.path.join(bench_dir, "scaling.json"), "w") as f:
         json.dump(summary, f, indent=1)
