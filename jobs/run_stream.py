@@ -190,11 +190,22 @@ def main(argv=None) -> int:
     q.stop()
     # a drained stream that emitted ZERO rows writes only
     # _spark_metadata (parquet writers are created lazily on the first
-    # row) — an empty sink is a successful drain, not a read error
-    has_data = (not os.path.isdir(args.sink)) or any(
-        not f.startswith((".", "_")) for f in os.listdir(args.sink)
-    )
-    rows = spark.read.parquet(args.sink).count() if has_data else 0
+    # row) — an empty sink is a successful drain, not a read error.
+    # Local sinks are probed directly; remote ones (s3a://, hdfs://)
+    # can't be listed with os, so the schema-inference failure of an
+    # empty metadata-only dir is caught instead.
+    if os.path.isdir(args.sink):
+        has_data = any(
+            not f.startswith((".", "_")) for f in os.listdir(args.sink)
+        )
+        rows = spark.read.parquet(args.sink).count() if has_data else 0
+    else:
+        try:
+            rows = spark.read.parquet(args.sink).count()
+        except Exception as exc:
+            if "infer schema" not in str(exc).lower():
+                raise
+            rows = 0
     print(json.dumps({
         "op": args.op, "mode": "drain", "sink_rows": int(rows),
         "state_store": args.state_store, "ckpt": args.ckpt,

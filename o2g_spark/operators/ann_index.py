@@ -107,6 +107,13 @@ def _check_index_consistency(ckpt: CheckpointManager, base_dir: str) -> None:
     committed quantizer snapshot (see :func:`ivf_index_build`)."""
     cent_m = ckpt.manifest(CENTROID_STAGE)
     corp_m = ckpt.manifest(CORPUS_STAGE)
+    if not (cent_m and cent_m.get("committed")):
+        # reachable when the caller passed centroids= (skipping
+        # ivf_load_centroids' own check) over a partially wiped index
+        raise FileNotFoundError(
+            f"no committed IVF quantizer at {base_dir!r}: run "
+            "ivf_index_build"
+        )
     if not (corp_m and corp_m.get("committed")):
         raise FileNotFoundError(
             f"no committed IVF corpus at {base_dir!r}: run ivf_index_build"

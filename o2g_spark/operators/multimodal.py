@@ -253,15 +253,25 @@ def try_decode_png(b: bytes) -> tuple[int, int, np.ndarray] | None:
     if (w <= 0 or h <= 0 or depth != 8 or channels is None
             or comp != 0 or filt != 0 or interlace != 0):
         return None
+    expected = h * (1 + w * channels)
+    # bomb guard: reject absurd declared dimensions BEFORE inflating,
+    # and cap the inflate at expected+1 bytes (a 1 MB IDAT of deflated
+    # zeros can otherwise expand to gigabytes inside the Python worker
+    # before the length check ever runs)
+    if expected > 256 * 1024 * 1024:
+        return None
     try:
-        raw = zlib.decompress(idat)
+        raw = zlib.decompressobj().decompress(idat, expected + 1)
     except zlib.error:
         return None
-    if len(raw) != h * (1 + w * channels):
+    if len(raw) != expected:
         return None
-    px = _png_unfilter(
-        np.frombuffer(raw, dtype=np.uint8), h, w, channels
-    ).reshape(h, w, channels)
+    try:
+        px = _png_unfilter(
+            np.frombuffer(raw, dtype=np.uint8), h, w, channels
+        ).reshape(h, w, channels)
+    except ValueError:
+        return None  # malformed filter byte — stand-in path, not a crash
     if ctype == 0:
         return w, h, np.repeat(px, 3, axis=2)
     return w, h, px[..., :3]  # RGBA → drop alpha; RGB as-is

@@ -30,8 +30,14 @@ sys.path.insert(0, REPO)
 # (|Q|, |T|) shapes: inside both bounds / at the product bound /
 # over the product bound / over the |T| bound
 SHAPES = [
-    (40_000, 2_000),     # 80M product — claimed by brute today
-    (40_000, 5_000),     # 200M product — the r4 claim boundary (ring wins!)
+    # inside the claim region (brute must win or tie)
+    (80_000, 1_000),     # 80M product, wide-Q shape
+    (40_000, 2_000),     # 80M product
+    (25_000, 4_000),     # 100M product
+    (40_000, 3_000),     # 120M product — the claim boundary itself
+    (60_000, 2_000),     # 120M product, second boundary shape
+    # outside it (ring must win)
+    (40_000, 5_000),     # 200M product — the r4 budget (ring wins here!)
     (100_000, 5_000),    # 500M product — ring territory (product)
     (20_000, 20_000),    # 400M product, |T| > 5000 — ring territory (|T|)
 ]

@@ -195,6 +195,46 @@ def test_png_rejects_unsupported():
     assert mm.try_decode_png(bytes(bad_ctype)) is None
 
 
+def test_png_malformed_filter_byte_returns_none():
+    """A filter byte >= 5 in an otherwise-valid stream must fall back
+    to None (the sha256 stand-in path), NOT raise out of the Spark
+    task (r5 review finding, reproduced)."""
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    b = bytearray(mm.make_png(rgb, filter_type=0, stored=True))
+    b[48] = 5  # corrupt row 0's filter byte (stored layout: offset 48)
+    # the stored-block data changed, so fix nothing else: decompress
+    # succeeds (stored blocks have no checksum of their own until the
+    # adler at the end — which zlib.decompressobj with max_length never
+    # reaches), length matches, and the unfilter must reject cleanly
+    assert mm.try_decode_png(bytes(b)) is None
+
+
+def test_png_decompression_bomb_rejected():
+    """An IHDR declaring huge dimensions with a tiny high-ratio IDAT
+    must be rejected BEFORE inflating gigabytes (r5 review)."""
+    import struct
+    import zlib
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    w = h = 20_000  # 20000*(1+60000) ≈ 1.2 GB raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"\x00" * 1_000_000, 9)  # ~1 KB compressed
+    bomb = (mm._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+    assert mm.try_decode_png(bomb) is None
+    # and a LYING header over a small corpus-plausible size must be
+    # caught by the capped inflate, not a full decompress
+    w2, h2 = 64, 64
+    ihdr2 = struct.pack(">IIBBBBB", w2, h2, 8, 2, 0, 0, 0)
+    idat2 = zlib.compress(b"\x00" * 10_000_000, 9)  # inflates past expected
+    lying = (mm._PNG_SIG + chunk(b"IHDR", ihdr2) + chunk(b"IDAT", idat2)
+             + chunk(b"IEND", b""))
+    assert mm.try_decode_png(lying) is None
+
+
 def test_decode_and_resize_png_physical_truth(spark):
     """A PNG goes through the REAL raster path in decode_images and
     resize_images (not the sha256 stand-in): true dimensions, exact
