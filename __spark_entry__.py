@@ -523,6 +523,65 @@ def _q_minhash_lsh(spark, sf_dir):
     )
 
 
+def _q_lsh_incremental(spark, sf_dir):
+    """Incremental near-dup pairing against the PERSISTED LSH index
+    (operators/lsh_index.py): docs with doc_id % 5 != 0 are the indexed
+    corpus, the rest arrive as the new batch; output = pairs touching
+    ≥1 new doc. The DuckDB twin is the full-corpus minhash_lsh twin
+    filtered to the same pair set — equal by per-doc banding
+    determinism (the split cannot change any pair's candidacy or
+    score; equality also pinned in tests/test_lsh_index.py). The index
+    rebuilds force=True under /tmp each call, so the query is
+    self-contained and rerunnable."""
+    import hashlib
+    import tempfile
+
+    from o2g_spark.operators import lsh_index
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        f"{tempfile.gettempdir()}/o2g_gate_lsh_index_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    )
+    lsh_index.lsh_index_build(
+        spark, base, docs.filter("doc_id % 5 != 0"),
+        num_hashes=32, bands=16, force=True,
+    )
+    return lsh_index.minhash_lsh_pairs_incremental(
+        spark, base, docs.filter("doc_id % 5 = 0"), threshold=0.4
+    )
+
+
+def _q_emb_incremental(spark, sf_dir):
+    """Incremental embedding near-dup pairing against the PERSISTED
+    embedding index (operators/emb_index.py): the planted-dup union
+    (same input as embedding_near_dup) split by vec_id % 5 — the
+    non-zero residues are the indexed corpus, the rest arrive as the
+    new batch; output = pairs touching ≥1 new vector. The DuckDB twin
+    is the full-corpus literal-planes twin filtered to the same pair
+    set — equal because hyperplane banding is per-vector deterministic
+    (split cannot change candidacy or cosine; also pinned in
+    tests/test_emb_index.py). Rebuilds force=True under /tmp so the
+    query is self-contained and rerunnable."""
+    import hashlib
+    import tempfile
+
+    from o2g_spark.operators import emb_index
+
+    vecs = _emb_with_planted(spark, sf_dir)
+    base = (
+        f"{tempfile.gettempdir()}/o2g_gate_emb_index_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    )
+    emb_index.emb_index_build(
+        spark, base, vecs.filter("vec_id % 5 != 0"),
+        bands=8, bits_per_band=12, seed=42, dim=64, force=True,
+    )
+    return emb_index.embedding_near_dup_incremental(
+        spark, base, vecs.filter("vec_id % 5 = 0"), sim_threshold=0.9
+    )
+
+
 def _q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
@@ -1430,6 +1489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_sig": _q_minhash_sig,
         "minhash_lsh": _q_minhash_lsh,
+        "lsh_incremental": _q_lsh_incremental,
+        "emb_incremental": _q_emb_incremental,
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
@@ -1764,8 +1825,23 @@ FROM documents
         "minhash_lsh": dedup.minhash_lsh_pairs_sql(
             "documents", "doc_id", "text", 32, 16, 0.4
         ),
+        # incremental == full-corpus pairs touching >= 1 new doc (the
+        # split is banding-invariant; see _q_lsh_incremental)
+        "lsh_incremental": (
+            "SELECT id_a, id_b, jaccard FROM ("
+            + dedup.minhash_lsh_pairs_sql(
+                "documents", "doc_id", "text", 32, 16, 0.4)
+            + ") WHERE id_a % 5 = 0 OR id_b % 5 = 0"
+        ),
         "simhash_pairs": dedup.simhash_pairs_sql("documents", "doc_id", "text", 3),
         "embedding_near_dup": _near_dup_oracle_sql(),
+        # incremental == full-corpus pairs touching >= 1 new vector
+        # (banding is per-vector deterministic; see _q_emb_incremental)
+        "emb_incremental": (
+            "SELECT id_a, id_b, sim FROM ("
+            + _near_dup_oracle_sql()
+            + ") WHERE id_a % 5 = 0 OR id_b % 5 = 0"
+        ),
         "ann_lsh": _ann_lsh_oracle_sql(),
         "ann_ivf": _ann_ivf_oracle_sql(),
         "multimodal_decode": _multimodal_oracle_sql(),
