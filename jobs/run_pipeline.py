@@ -25,6 +25,12 @@ and rerun the same command):
     tiles   Web-Mercator tile assignment + density (B8)
     dedup   df-capped n-gram jaccard near-dup pairs over page text;
             with --embeddings also banded-LSH embedding near-dups
+    dedup-incremental  (OPT-IN) rolling-crawl dedup against the
+            persisted LSH index (operators/lsh_index.py): builds or
+            resumes the index at --index-dir, pairs ONLY the new
+            batch (--new-pages, or a crc32 carve-out of --pages),
+            optionally --merge-index folds the batch in — O(batch)
+            per crawl increment instead of O(corpus)
     report  per-zone/lang + per-tile rollups (B9-B11)
 
 Prints one JSON metrics line per stage: rows, seconds, pages/sec. The
@@ -55,9 +61,10 @@ from o2g_spark.sources import synth, synth_dist, tables  # noqa: E402
 
 STAGES = ("geotag", "pip", "knn", "tiles", "dedup", "report")
 # opt-in stages: runnable via --stage NAME but excluded from --stage all
-# (extract doubles the page-scan cost; keep `all` timings comparable
+# (extract doubles the page-scan cost; dedup-incremental maintains a
+# persistent index across invocations; keep `all` timings comparable
 # across rounds)
-OPT_STAGES = ("extract",)
+OPT_STAGES = ("extract", "dedup-incremental")
 
 
 def main(argv=None):
@@ -77,6 +84,22 @@ def main(argv=None):
                          "embedding near-dup half of the dedup stage")
     ap.add_argument("--max-bucket", type=int, default=100_000,
                     help="LSH bucket-size cap for embedding near-dup")
+    ap.add_argument("--new-pages", default=None,
+                    help="parquet of the NEW crawl batch for --stage "
+                         "dedup-incremental (default: carve "
+                         "crc32(url) %% 20 == 0 out of --pages)")
+    ap.add_argument("--index-dir", default=None,
+                    help="long-lived persisted LSH index location for "
+                         "--stage dedup-incremental (default: "
+                         "<out>/lsh_index). Use a fresh --out warehouse "
+                         "per crawl increment and keep --index-dir "
+                         "pointed at the same place")
+    ap.add_argument("--merge-index", action="store_true",
+                    help="after incremental pairing, fold the new batch "
+                         "into the persisted LSH index (idempotent on "
+                         "rerun; the next increment must use a fresh "
+                         "--out so its pairing stage is not resumed "
+                         "from this one)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -248,6 +271,64 @@ def main(argv=None):
                     ).count(),
                 },
             )
+
+    if "dedup-incremental" in want:
+        # the rolling-crawl dedup lifecycle through the production CLI:
+        # a persisted LSH index (operators/lsh_index.py) lives at
+        # <out>/lsh_index across invocations; each run pairs only the
+        # NEW batch against it — O(batch) work, never O(corpus). First
+        # run builds the index from the non-batch pages (resumable,
+        # like every stage); --merge-index folds the paired batch in so
+        # the NEXT invocation's batch sees it. Rerunning the identical
+        # command resumes every piece from its committed snapshot.
+        from o2g_spark.operators import lsh_index
+
+        if "text" not in pages.columns:
+            raise SystemExit(
+                "--stage dedup-incremental needs a `text` column on the "
+                "pages input (run --stage extract first on raw crawls)")
+        idx_dir = args.index_dir or os.path.join(args.out, "lsh_index")
+        if args.new_pages:
+            new_docs = spark.read.parquet(args.new_pages).select("url", "text")
+            corpus = pages.select("url", "text")
+        else:
+            is_new = F.pmod(F.crc32(F.col("url")), F.lit(20)) == 0
+            new_docs = pages.filter(is_new).select("url", "text")
+            corpus = pages.filter(~is_new).select("url", "text")
+        idx_ckpt = CheckpointManager(spark, idx_dir)
+        t0 = time.time()
+        index_built = not idx_ckpt.is_committed(lsh_index.BANDS_STAGE)
+        lsh_index.lsh_index_build(
+            spark, idx_dir, corpus, id_col="url",
+            num_hashes=32, bands=16)
+        m = {
+            "stage": "lsh_index_build",
+            "rows": idx_ckpt.manifest(lsh_index.BANDS_STAGE)["row_count"],
+            "sec": round(time.time() - t0, 3),
+            "resumed": not index_built,
+            "index_dir": idx_dir,
+        }
+        metrics.append(m)
+        print(json.dumps(m), flush=True)
+        run(
+            "jaccard_dedup_incremental",
+            lambda: lsh_index.minhash_lsh_pairs_incremental(
+                spark, idx_dir, new_docs, id_col="url", threshold=0.7),
+            key_col="id_a",
+            extra={"index_dir": idx_dir},
+        )
+        if args.merge_index:
+            t0 = time.time()
+            lsh_index.lsh_index_merge(spark, idx_dir, new_docs, id_col="url")
+            m = {
+                "stage": "lsh_index_merge",
+                "rows": idx_ckpt.manifest(lsh_index.BANDS_STAGE)["row_count"],
+                "sec": round(time.time() - t0, 3),
+                "resumed": False,
+                "index_dir": idx_dir,
+            }
+            metrics.append(m)
+            print(json.dumps(m), flush=True)
 
     if "report" in want:
         def build_report():

@@ -210,7 +210,11 @@ def emb_index_merge(
     both snapshots are re-committed as old ∪ new under the checkpoint
     layer's createOrReplace semantics — the previous index versions
     stay readable in the snapshot history. Banding params come from
-    the existing manifests, so a merge can never change them."""
+    the existing manifests, so a merge can never change them. The
+    union dedupes on vector id, so re-merging an already-merged batch
+    (e.g. a production rerun after a crash between merge and the next
+    increment) is a no-op rather than a row duplication — under the
+    module contract that an id maps to one immutable vector."""
     ckpt = CheckpointManager(spark, base_dir)
     params = _index_params(ckpt, base_dir)
     new_banded, new_v = _banded_vec_rows(
@@ -223,11 +227,14 @@ def emb_index_merge(
     extra = {k: params[k] for k in
              ("bands", "bits_per_band", "seed", "dim", "id_col")}
     ckpt.run_stage(
-        BANDS_STAGE, lambda: old_banded.unionByName(new_banded),
+        BANDS_STAGE,
+        lambda: old_banded.unionByName(new_banded)
+        .dropDuplicates(["did", "band"]),
         key_col="did", force=True, partition_by="band",
         manifest_extra=extra,
     )
     ckpt.run_stage(
-        VECS_STAGE, lambda: old_v.unionByName(new_v),
+        VECS_STAGE,
+        lambda: old_v.unionByName(new_v).dropDuplicates(["did"]),
         key_col="did", force=True, manifest_extra=extra,
     )

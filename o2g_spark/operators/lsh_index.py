@@ -218,7 +218,11 @@ def lsh_index_merge(
     both snapshots are re-committed as old ∪ new under the checkpoint
     layer's createOrReplace semantics — the previous index versions
     stay readable in the snapshot history. Banding params come from
-    the existing manifests, so a merge can never change them."""
+    the existing manifests, so a merge can never change them. The
+    union dedupes on doc id, so re-merging an already-merged batch
+    (e.g. a production rerun after a crash between merge and the next
+    increment) is a no-op rather than a row duplication — under the
+    module contract that an id maps to one immutable text."""
     ckpt = CheckpointManager(spark, base_dir)
     params = _index_params(ckpt, base_dir)
     new_banded, new_sh = _banded_rows(
@@ -229,13 +233,16 @@ def lsh_index_merge(
     old_banded = ckpt.read_snapshot(BANDS_STAGE).localCheckpoint()
     old_sh = ckpt.read_snapshot(SHINGLES_STAGE).localCheckpoint()
     ckpt.run_stage(
-        BANDS_STAGE, lambda: old_banded.unionByName(new_banded),
+        BANDS_STAGE,
+        lambda: old_banded.unionByName(new_banded)
+        .dropDuplicates(["did", "band"]),
         key_col="did", force=True, partition_by="band",
         manifest_extra={k: params[k] for k in
                         ("num_hashes", "bands", "shingle_n", "id_col")},
     )
     ckpt.run_stage(
-        SHINGLES_STAGE, lambda: old_sh.unionByName(new_sh),
+        SHINGLES_STAGE,
+        lambda: old_sh.unionByName(new_sh).dropDuplicates(["did"]),
         key_col="did", force=True,
         manifest_extra={k: params[k] for k in
                         ("num_hashes", "bands", "shingle_n", "id_col")},
