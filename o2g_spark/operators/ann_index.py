@@ -102,6 +102,49 @@ def ivf_index_build(
     return cent
 
 
+def ivf_index_append(
+    spark: SparkSession,
+    base_dir: str,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow the indexed corpus WITHOUT retraining: assign the new
+    vectors with the COMMITTED quantizer and re-commit the corpus
+    stage as old ∪ new (createOrReplace — the previous corpus stays in
+    the snapshot history), stamped with the same quantizer snapshot so
+    the consistency check keeps holding. Serving after an append is
+    bit-identical to a fresh assignment of the full corpus under the
+    same centroids (per-vector deterministic; pinned by test).
+
+    The union dedupes on id, so re-appending an already-appended batch
+    (production rerun after a crash) is a no-op rather than a row
+    duplication — under the contract that an id maps to one immutable
+    vector. The quantizer is deliberately NOT retrained here: bucket
+    balance drifts only as far as the data distribution does, and a
+    deliberate retrain is ``ivf_index_build(force=True)``, which
+    retires both stages into history atomically."""
+    ckpt = CheckpointManager(spark, base_dir)
+    _check_index_consistency(ckpt, base_dir)
+    cent = ivf_load_centroids(spark, base_dir)
+    cent_snap = ckpt.manifest(CENTROID_STAGE)["snapshot_id"]
+    assign = ivf_assign_udf(cent, nprobe=1)
+    new_rows = new_corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        F.element_at(assign(F.col(vec_col)), 1).alias("__bkt"),
+    )
+    # materialize BEFORE force-retiring: the build_fn must not read the
+    # snapshot it is replacing while it is being replaced
+    old = ckpt.read_snapshot(CORPUS_STAGE).localCheckpoint()
+    ckpt.run_stage(
+        CORPUS_STAGE,
+        lambda: old.unionByName(new_rows).dropDuplicates(["__cid"]),
+        key_col="__cid", force=True, partition_by="__bkt",
+        manifest_extra={"centroid_snapshot": cent_snap},
+    )
+
+
 def _check_index_consistency(ckpt: CheckpointManager, base_dir: str) -> None:
     """Raise unless the committed corpus snapshot was built from the
     committed quantizer snapshot (see :func:`ivf_index_build`)."""

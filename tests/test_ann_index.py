@@ -145,3 +145,50 @@ def test_corpus_snapshot_is_bucket_partitioned_and_pruned(
     assert m, plan
     probed = m.group(1).split(",")
     assert 0 < len(probed) < len(parts)  # a strict subset of directories
+
+
+def test_append_grows_corpus_without_retraining(spark, emb, tmp_path):
+    """ivf_index_append: new vectors are assigned with the COMMITTED
+    quantizer and folded into the bucket-partitioned corpus — serving
+    then matches a fresh full-corpus assignment under the SAME
+    centroids bit-for-bit, a re-append of the same batch is a no-op,
+    and the quantizer snapshot never moves."""
+    base = str(tmp_path / "ivf")
+    old = emb.filter("vec_id % 4 != 0")
+    new = emb.filter("vec_id % 4 = 0")
+    cent = ann_index.ivf_index_build(spark, base, old, n_centroids=8)
+    ckpt = CheckpointManager(spark, base)
+    cent_snap = ckpt.manifest(ann_index.CENTROID_STAGE)["snapshot_id"]
+
+    ann_index.ivf_index_append(spark, base, new)
+    served = sorted(
+        (r.qid, r.vec_id, r.sim, r.sim_rank)
+        for r in ann_index.ann_ivf_topk_indexed(
+            spark, base, _queries(emb), k=5, nprobe=2).collect()
+    )
+    expected = sorted(
+        (r.qid, r.vec_id, r.sim, r.sim_rank)
+        for r in sim.ann_ivf_topk(
+            emb, _queries(emb), k=5, nprobe=2, centroids=cent).collect()
+    )
+    assert served == expected and len(served) > 0
+    assert ckpt.manifest(ann_index.CORPUS_STAGE)["row_count"] == emb.count()
+    # quantizer untouched; corpus history holds build + append versions
+    assert ckpt.manifest(ann_index.CENTROID_STAGE)["snapshot_id"] == cent_snap
+    assert len(ckpt.snapshots(ann_index.CORPUS_STAGE)) == 2
+
+    # crash-rerun shape: re-appending the same batch changes nothing
+    ann_index.ivf_index_append(spark, base, new)
+    assert ckpt.manifest(ann_index.CORPUS_STAGE)["row_count"] == emb.count()
+    served2 = sorted(
+        (r.qid, r.vec_id, r.sim, r.sim_rank)
+        for r in ann_index.ann_ivf_topk_indexed(
+            spark, base, _queries(emb), k=5, nprobe=2).collect()
+    )
+    assert served2 == served
+
+
+def test_append_to_missing_index_raises(spark, emb, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        ann_index.ivf_index_append(
+            spark, str(tmp_path / "nope"), emb.limit(4))
