@@ -88,6 +88,10 @@ def main(argv=None):
                     help="parquet of the NEW crawl batch for --stage "
                          "dedup-incremental (default: carve "
                          "crc32(url) %% 20 == 0 out of --pages)")
+    ap.add_argument("--new-embeddings", default=None,
+                    help="parquet of the NEW (vec_id, embedding) batch "
+                         "— with --embeddings, adds the embedding index "
+                         "half of --stage dedup-incremental")
     ap.add_argument("--index-dir", default=None,
                     help="long-lived persisted LSH index location for "
                          "--stage dedup-incremental (default: "
@@ -287,6 +291,10 @@ def main(argv=None):
             raise SystemExit(
                 "--stage dedup-incremental needs a `text` column on the "
                 "pages input (run --stage extract first on raw crawls)")
+        if args.new_embeddings and not args.embeddings:
+            raise SystemExit(
+                "--new-embeddings needs --embeddings (the indexed "
+                "corpus) as well")
         idx_dir = args.index_dir or os.path.join(args.out, "lsh_index")
         if args.new_pages:
             new_docs = spark.read.parquet(args.new_pages).select("url", "text")
@@ -329,6 +337,50 @@ def main(argv=None):
             }
             metrics.append(m)
             print(json.dumps(m), flush=True)
+
+        if args.embeddings and args.new_embeddings:
+            # the embedding-modality half, same lifecycle: persisted
+            # hyperplane-band index + O(batch) incremental pairing
+            from o2g_spark.operators import emb_index
+
+            eidx_dir = idx_dir + "_emb"
+            emb_corpus = spark.read.parquet(args.embeddings)
+            emb_new = spark.read.parquet(args.new_embeddings)
+            eidx_ckpt = CheckpointManager(spark, eidx_dir)
+            t0 = time.time()
+            e_built = not eidx_ckpt.is_committed(emb_index.BANDS_STAGE)
+            emb_index.emb_index_build(spark, eidx_dir, emb_corpus)
+            m = {
+                "stage": "emb_index_build",
+                "rows": eidx_ckpt.manifest(
+                    emb_index.BANDS_STAGE)["row_count"],
+                "sec": round(time.time() - t0, 3),
+                "resumed": not e_built,
+                "index_dir": eidx_dir,
+            }
+            metrics.append(m)
+            print(json.dumps(m), flush=True)
+            run(
+                "embedding_dedup_incremental",
+                lambda: emb_index.embedding_near_dup_incremental(
+                    spark, eidx_dir, emb_new, max_bucket=args.max_bucket),
+                key_col="id_a",
+                extra={"index_dir": eidx_dir,
+                       "max_bucket": args.max_bucket},
+            )
+            if args.merge_index:
+                t0 = time.time()
+                emb_index.emb_index_merge(spark, eidx_dir, emb_new)
+                m = {
+                    "stage": "emb_index_merge",
+                    "rows": eidx_ckpt.manifest(
+                        emb_index.BANDS_STAGE)["row_count"],
+                    "sec": round(time.time() - t0, 3),
+                    "resumed": False,
+                    "index_dir": eidx_dir,
+                }
+                metrics.append(m)
+                print(json.dumps(m), flush=True)
 
     if "report" in want:
         def build_report():

@@ -48,12 +48,22 @@ def _run_cli(argv, timeout=420):
     return [json.loads(ln) for ln in out.stdout.strip().splitlines()]
 
 
+def _vecs(ids, seed=5) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    m = {i: rng.standard_normal(16) for i in ids}
+    return pd.DataFrame({
+        "vec_id": list(ids),
+        "embedding": [m[i].tolist() for i in ids],
+    })
+
+
 @pytest.fixture(scope="module")
 def crawl(spark, tmp_path_factory):
     """corpus (200 docs), batch1 (30), batch2 (30) — with duplicate
     TEXTS planted across the groups under distinct urls (re-crawl
     shape): batch1 copies corpus texts, batch2 copies corpus AND
-    batch1 texts."""
+    batch1 texts. Plus (vec_id, embedding) tables for the embedding
+    half, with near-identical vectors planted batch1→corpus."""
     root = tmp_path_factory.mktemp("crawl")
     corpus = _pages(range(200))
     batch1 = _pages(range(200, 230))
@@ -63,14 +73,23 @@ def crawl(spark, tmp_path_factory):
     for k in range(4):  # batch2 duplicates corpus[50+3k] and batch1[10+k]
         batch2.loc[k, "text"] = corpus.loc[50 + 3 * k, "text"]
         batch2.loc[4 + k, "text"] = batch1.loc[10 + k, "text"]
+    emb_corpus = _vecs(range(200))
+    emb_batch1 = _vecs(range(200, 230), seed=6)
+    for k in range(5):  # batch1 vec near-duplicates corpus vec 7k
+        emb_batch1.at[k, "embedding"] = (
+            np.asarray(emb_corpus.at[7 * k, "embedding"])
+            + 1e-5 * np.random.default_rng(900 + k).standard_normal(16)
+        ).tolist()
     paths = {}
     for name, pdf in (("corpus", corpus), ("batch1", batch1),
-                      ("batch2", batch2)):
+                      ("batch2", batch2), ("emb_corpus", emb_corpus),
+                      ("emb_batch1", emb_batch1)):
         p = str(root / name)
         spark.createDataFrame(pdf).write.parquet(p)
         paths[name] = p
     return root, paths, {"corpus": corpus, "batch1": batch1,
-                         "batch2": batch2}
+                         "batch2": batch2, "emb_corpus": emb_corpus,
+                         "emb_batch1": emb_batch1}
 
 
 def _expected_pairs(spark, frames, new_urls):
@@ -91,12 +110,24 @@ def test_cli_incremental_lifecycle(spark, crawl):
     wh1, wh2 = str(root / "wh1"), str(root / "wh2")
 
     # increment 1: build index from corpus, pair batch1, merge it in
+    # (both modalities — the embedding half rides the same invocation)
     argv1 = ["--pages", paths["corpus"], "--new-pages", paths["batch1"],
+             "--embeddings", paths["emb_corpus"],
+             "--new-embeddings", paths["emb_batch1"],
              "--out", wh1, "--index-dir", idx,
              "--stage", "dedup-incremental", "--merge-index"]
     lines = _run_cli(argv1)
     stages = {m["stage"]: m for m in lines if "stage" in m}
     assert not stages["lsh_index_build"]["resumed"]
+    assert not stages["emb_index_build"]["resumed"]
+    # the planted near-identical vectors surface through the emb index
+    emb_pairs = spark.read.parquet(
+        os.path.join(wh1, "embedding_dedup_incremental", "data"))
+    assert stages["embedding_dedup_incremental"]["rows"] == \
+        emb_pairs.count() >= 5
+    assert all(r.id_b >= 200 for r in emb_pairs.collect())
+    assert stages["emb_index_merge"]["rows"] == \
+        stages["emb_index_build"]["rows"] + 30 * 8  # 30 vecs × 8 bands
     got1 = {
         (r.id_a, r.id_b, r.jaccard)
         for r in spark.read.parquet(
@@ -117,6 +148,11 @@ def test_cli_incremental_lifecycle(spark, crawl):
     assert stages_re["jaccard_dedup_incremental"]["resumed"]
     assert stages_re["lsh_index_merge"]["rows"] == merged_rows
     assert stages_re["jaccard_dedup_incremental"]["rows"] == len(got1)
+    assert stages_re["emb_index_build"]["resumed"]
+    assert stages_re["embedding_dedup_incremental"]["resumed"]
+    # emb re-merge is a no-op too (dedupe on vec id)
+    assert stages_re["emb_index_merge"]["rows"] == \
+        stages["emb_index_merge"]["rows"]
 
     # increment 2: fresh warehouse, same index — batch2 pairs against
     # corpus AND batch1 (through the merged index)
