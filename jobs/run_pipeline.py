@@ -285,7 +285,7 @@ def main(argv=None):
         # like every stage); --merge-index folds the paired batch in so
         # the NEXT invocation's batch sees it. Rerunning the identical
         # command resumes every piece from its committed snapshot.
-        from o2g_spark.operators import lsh_index
+        from o2g_spark.operators import _delta_index, lsh_index
 
         if "text" not in pages.columns:
             raise SystemExit(
@@ -311,7 +311,7 @@ def main(argv=None):
             num_hashes=32, bands=16)
         m = {
             "stage": "lsh_index_build",
-            "rows": idx_ckpt.manifest(lsh_index.BANDS_STAGE)["row_count"],
+            "rows": _delta_index.total_row_count(idx_ckpt, lsh_index.BANDS_STAGE),
             "sec": round(time.time() - t0, 3),
             "resumed": not index_built,
             "index_dir": idx_dir,
@@ -330,7 +330,7 @@ def main(argv=None):
             lsh_index.lsh_index_merge(spark, idx_dir, new_docs, id_col="url")
             m = {
                 "stage": "lsh_index_merge",
-                "rows": idx_ckpt.manifest(lsh_index.BANDS_STAGE)["row_count"],
+                "rows": _delta_index.total_row_count(idx_ckpt, lsh_index.BANDS_STAGE),
                 "sec": round(time.time() - t0, 3),
                 "resumed": False,
                 "index_dir": idx_dir,
@@ -352,8 +352,8 @@ def main(argv=None):
             emb_index.emb_index_build(spark, eidx_dir, emb_corpus)
             m = {
                 "stage": "emb_index_build",
-                "rows": eidx_ckpt.manifest(
-                    emb_index.BANDS_STAGE)["row_count"],
+                "rows": _delta_index.total_row_count(
+                    eidx_ckpt, emb_index.BANDS_STAGE),
                 "sec": round(time.time() - t0, 3),
                 "resumed": not e_built,
                 "index_dir": eidx_dir,
@@ -373,8 +373,8 @@ def main(argv=None):
                 emb_index.emb_index_merge(spark, eidx_dir, emb_new)
                 m = {
                     "stage": "emb_index_merge",
-                    "rows": eidx_ckpt.manifest(
-                        emb_index.BANDS_STAGE)["row_count"],
+                    "rows": _delta_index.total_row_count(
+                        eidx_ckpt, emb_index.BANDS_STAGE),
                     "sec": round(time.time() - t0, 3),
                     "resumed": False,
                     "index_dir": eidx_dir,

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.checkpoint import CheckpointManager
+from . import _delta_index as D
 from .similarity import (
     ivf_assign_udf,
     ivf_topk_from_bucketed,
@@ -94,11 +95,15 @@ def ivf_index_build(
     corpus_stale = bool(
         corpus_m and corpus_m.get("centroid_snapshot") != cent_snap
     )
+    # a (re)build replaces the corpus: hide any append deltas
+    # atomically with the base commit, then GC them
     ckpt.run_stage(
         CORPUS_STAGE, build_corpus, key_col="__cid",
         force=force or corpus_stale, partition_by="__bkt",
-        manifest_extra={"centroid_snapshot": cent_snap},
+        manifest_extra={"centroid_snapshot": cent_snap}
+        | D.reset_extra(ckpt, CORPUS_STAGE),
     )
+    D.gc_hidden(ckpt, CORPUS_STAGE)
     return cent
 
 
@@ -110,20 +115,23 @@ def ivf_index_append(
     vec_col: str = "embedding",
 ) -> None:
     """Grow the indexed corpus WITHOUT retraining: assign the new
-    vectors with the COMMITTED quantizer and re-commit the corpus
-    stage as old ∪ new (createOrReplace — the previous corpus stays in
-    the snapshot history), stamped with the same quantizer snapshot so
-    the consistency check keeps holding. Serving after an append is
-    bit-identical to a fresh assignment of the full corpus under the
-    same centroids (per-vector deterministic; pinned by test).
+    vectors with the COMMITTED quantizer and commit them as an LSM
+    DELTA of the corpus stage (see :mod:`._delta_index`) — O(batch)
+    work and one atomic commit, never an O(corpus) rewrite. Each delta
+    is hive-partitioned by bucket like the base, so serving's
+    bucket-directory pruning applies to every delta too; deltas are
+    stamped with the quantizer snapshot so the consistency check keeps
+    holding per delta. Serving after an append is bit-identical to a
+    fresh assignment of the full corpus under the same centroids
+    (per-vector deterministic; pinned by test).
 
-    The union dedupes on id, so re-appending an already-appended batch
-    (production rerun after a crash) is a no-op rather than a row
-    duplication — under the contract that an id maps to one immutable
-    vector. The quantizer is deliberately NOT retrained here: bucket
-    balance drifts only as far as the data distribution does, and a
-    deliberate retrain is ``ivf_index_build(force=True)``, which
-    retires both stages into history atomically."""
+    Idempotent: the delta carries the batch's id-set digest, so
+    re-appending an already-appended batch (production rerun after a
+    crash) is a no-op rather than a row duplication. The quantizer is
+    deliberately NOT retrained here: bucket balance drifts only as far
+    as the data distribution does, and a deliberate retrain is
+    ``ivf_index_build(force=True)``. :func:`ivf_index_compact` folds
+    deltas into the base when the caller chooses to pay O(corpus)."""
     ckpt = CheckpointManager(spark, base_dir)
     _check_index_consistency(ckpt, base_dir)
     cent = ivf_load_centroids(spark, base_dir)
@@ -134,15 +142,25 @@ def ivf_index_append(
         F.col(vec_col).alias("__cv"),
         F.element_at(assign(F.col(vec_col)), 1).alias("__bkt"),
     )
-    # materialize BEFORE force-retiring: the build_fn must not read the
-    # snapshot it is replacing while it is being replaced
-    old = ckpt.read_snapshot(CORPUS_STAGE).localCheckpoint()
-    ckpt.run_stage(
-        CORPUS_STAGE,
-        lambda: old.unionByName(new_rows).dropDuplicates(["__cid"]),
-        key_col="__cid", force=True, partition_by="__bkt",
+    D.commit_delta(
+        ckpt, CORPUS_STAGE, lambda: new_rows, key_col="__cid",
+        digest=D.batch_digest(new_corpus, id_col), partition_by="__bkt",
         manifest_extra={"centroid_snapshot": cent_snap},
     )
+
+
+def ivf_index_compact(spark: SparkSession, base_dir: str) -> int:
+    """Fold all append deltas into the base corpus snapshot (the one
+    O(corpus) operation — run on YOUR schedule) and GC them; the
+    pre-compaction base retires into snapshot history. Serving output
+    is unchanged by construction. Returns the number of deltas
+    folded."""
+    ckpt = CheckpointManager(spark, base_dir)
+    _check_index_consistency(ckpt, base_dir)
+    cent_snap = ckpt.manifest(CENTROID_STAGE)["snapshot_id"]
+    return D.compact(ckpt, CORPUS_STAGE, key_col="__cid",
+                     partition_by="__bkt",
+                     manifest_extra={"centroid_snapshot": cent_snap})
 
 
 def _check_index_consistency(ckpt: CheckpointManager, base_dir: str) -> None:
@@ -161,14 +179,20 @@ def _check_index_consistency(ckpt: CheckpointManager, base_dir: str) -> None:
         raise FileNotFoundError(
             f"no committed IVF corpus at {base_dir!r}: run ivf_index_build"
         )
-    if corp_m.get("centroid_snapshot") != cent_m["snapshot_id"]:
-        raise RuntimeError(
-            f"inconsistent IVF index at {base_dir!r}: corpus snapshot "
-            f"{corp_m['snapshot_id']} was built from quantizer "
-            f"{corp_m.get('centroid_snapshot')!r} but the committed "
-            f"quantizer is {cent_m['snapshot_id']!r} (interrupted "
-            "retrain?) — rerun ivf_index_build to rebuild the corpus"
-        )
+    stamped = [("corpus", corp_m)] + [
+        (name, ckpt.manifest(name))
+        for name in D.live_delta_stages(ckpt, CORPUS_STAGE)
+    ]
+    for label, mm in stamped:
+        if mm.get("centroid_snapshot") != cent_m["snapshot_id"]:
+            raise RuntimeError(
+                f"inconsistent IVF index at {base_dir!r}: {label} "
+                f"snapshot {mm.get('snapshot_id')} was built from "
+                f"quantizer {mm.get('centroid_snapshot')!r} but the "
+                f"committed quantizer is {cent_m['snapshot_id']!r} "
+                "(interrupted retrain?) — rerun ivf_index_build to "
+                "rebuild the corpus"
+            )
 
 
 def ivf_load_centroids(spark: SparkSession, base_dir: str) -> np.ndarray:
@@ -214,7 +238,7 @@ def ann_ivf_topk_indexed(
         else ivf_load_centroids(spark, base_dir)
     ckpt = CheckpointManager(spark, base_dir)
     _check_index_consistency(ckpt, base_dir)
-    bucketed = ckpt.read_snapshot(CORPUS_STAGE)
+    bucketed = D.read_with_deltas(ckpt, CORPUS_STAGE)
 
     # union of probed buckets across this query batch — bounded by
     # n_centroids (small by construction), never by |queries|

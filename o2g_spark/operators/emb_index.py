@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.checkpoint import CheckpointManager
+from . import _delta_index as D
 from .similarity import cosine, lsh_band_keys_udf
 
 BANDS_STAGE = "emb_bands"
@@ -95,10 +96,15 @@ def emb_index_build(
             vecs, id_col, vec_col, bands, bits_per_band, seed, dim)
         return v
 
+    # a forced rebuild replaces the corpus: hide any existing deltas
+    # atomically with the base commit, then GC them
     ckpt.run_stage(BANDS_STAGE, build_bands, key_col="did", force=force,
-                   partition_by="band", manifest_extra=params)
-    ckpt.run_stage(VECS_STAGE, build_vecs, key_col="did",
-                   force=force, manifest_extra=params)
+                   partition_by="band",
+                   manifest_extra=params | D.reset_extra(ckpt, BANDS_STAGE))
+    ckpt.run_stage(VECS_STAGE, build_vecs, key_col="did", force=force,
+                   manifest_extra=params | D.reset_extra(ckpt, VECS_STAGE))
+    D.gc_hidden(ckpt, BANDS_STAGE)
+    D.gc_hidden(ckpt, VECS_STAGE)
 
 
 def _index_params(ckpt: CheckpointManager, base_dir: str) -> dict:
@@ -109,13 +115,20 @@ def _index_params(ckpt: CheckpointManager, base_dir: str) -> dict:
             f"no committed embedding index at {base_dir!r}: "
             "run emb_index_build"
         )
+    manifests = [("bands", m), ("vecs", mv)] + [
+        (name, ckpt.manifest(name))
+        for stage in (BANDS_STAGE, VECS_STAGE)
+        for name in D.live_delta_stages(ckpt, stage)
+    ]
     for k in ("bands", "bits_per_band", "seed", "dim"):
-        if m.get(k) != mv.get(k):
+        vals = {label: mm.get(k) for label, mm in manifests}
+        if len(set(vals.values())) > 1:
             raise RuntimeError(
-                f"inconsistent embedding index at {base_dir!r}: bands "
-                f"stage {k}={m.get(k)!r} vs vecs stage {k}={mv.get(k)!r} "
-                "(interrupted rebuild?) — rerun emb_index_build"
+                f"inconsistent embedding index at {base_dir!r}: {k} "
+                f"differs across stages/deltas {vals} (interrupted "
+                "rebuild?) — rerun emb_index_build"
             )
+    D.check_delta_lockstep(ckpt, [BANDS_STAGE, VECS_STAGE], base_dir)
     return m
 
 
@@ -144,8 +157,8 @@ def embedding_near_dup_incremental(
         params["bits_per_band"], params["seed"], params["dim"])
     new_banded = new_banded.localCheckpoint()  # Arrow matmul runs once
     new_v = new_v.localCheckpoint()
-    idx_banded = ckpt.read_snapshot(BANDS_STAGE)
-    idx_v = ckpt.read_snapshot(VECS_STAGE)
+    idx_banded = D.read_with_deltas(ckpt, BANDS_STAGE)
+    idx_v = D.read_with_deltas(ckpt, VECS_STAGE)
 
     if max_bucket is not None:
         # hot list over the UNION — same drop set as the full-corpus
@@ -206,35 +219,42 @@ def emb_index_merge(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """Fold a paired batch INTO the index (the post-increment step):
-    both snapshots are re-committed as old ∪ new under the checkpoint
-    layer's createOrReplace semantics — the previous index versions
-    stay readable in the snapshot history. Banding params come from
-    the existing manifests, so a merge can never change them. The
-    union dedupes on vector id, so re-merging an already-merged batch
-    (e.g. a production rerun after a crash between merge and the next
-    increment) is a no-op rather than a row duplication — under the
-    module contract that an id maps to one immutable vector."""
+    """Fold a paired batch INTO the index (the post-increment step) as
+    an LSM DELTA — O(batch) work and two atomic commits, never an
+    O(corpus) rewrite (see :mod:`._delta_index`). Readers see base ∪
+    deltas; :func:`emb_index_compact` folds them down when the caller
+    chooses to pay O(corpus) once. Banding params come from the
+    existing manifests, so a merge can never change them. Idempotent:
+    each delta carries the batch's id-set digest, so re-merging an
+    already-merged batch (a production rerun after a crash) re-finds
+    the existing delta instead of duplicating rows — and a crash
+    BETWEEN the two per-stage commits is detected at pairing time and
+    healed by rerunning the merge."""
     ckpt = CheckpointManager(spark, base_dir)
     params = _index_params(ckpt, base_dir)
     new_banded, new_v = _banded_vec_rows(
         new_vecs, id_col, vec_col, params["bands"],
         params["bits_per_band"], params["seed"], params["dim"])
-    # materialize BEFORE force-retiring: the build_fn must not read the
-    # snapshot it is replacing while it is being replaced
-    old_banded = ckpt.read_snapshot(BANDS_STAGE).localCheckpoint()
-    old_v = ckpt.read_snapshot(VECS_STAGE).localCheckpoint()
+    digest = D.batch_digest(new_vecs, id_col)
     extra = {k: params[k] for k in
              ("bands", "bits_per_band", "seed", "dim", "id_col")}
-    ckpt.run_stage(
-        BANDS_STAGE,
-        lambda: old_banded.unionByName(new_banded)
-        .dropDuplicates(["did", "band"]),
-        key_col="did", force=True, partition_by="band",
-        manifest_extra=extra,
-    )
-    ckpt.run_stage(
-        VECS_STAGE,
-        lambda: old_v.unionByName(new_v).dropDuplicates(["did"]),
-        key_col="did", force=True, manifest_extra=extra,
-    )
+    D.commit_delta(ckpt, BANDS_STAGE, lambda: new_banded, key_col="did",
+                   digest=digest, partition_by="band", manifest_extra=extra)
+    D.commit_delta(ckpt, VECS_STAGE, lambda: new_v, key_col="did",
+                   digest=digest, manifest_extra=extra)
+
+
+def emb_index_compact(spark: SparkSession, base_dir: str) -> int:
+    """Fold all live deltas into the base snapshots (the one O(corpus)
+    operation — run on YOUR schedule) and GC them; the pre-compaction
+    base retires into snapshot history. Returns the number of deltas
+    folded per stage. Reader output is unchanged by construction
+    (pinned by test)."""
+    ckpt = CheckpointManager(spark, base_dir)
+    params = _index_params(ckpt, base_dir)
+    extra = {k: params[k] for k in
+             ("bands", "bits_per_band", "seed", "dim", "id_col")}
+    n = D.compact(ckpt, BANDS_STAGE, key_col="did", partition_by="band",
+                  manifest_extra=extra)
+    D.compact(ckpt, VECS_STAGE, key_col="did", manifest_extra=extra)
+    return n

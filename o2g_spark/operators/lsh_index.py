@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ..plans.checkpoint import CheckpointManager
+from . import _delta_index as D
 from .dedup import minhash_from_hashes
 
 BANDS_STAGE = "lsh_bands"
@@ -117,10 +118,17 @@ def lsh_index_build(
             docs, id_col, text_col, num_hashes, bands, shingle_n)
         return sh
 
+    # a forced rebuild replaces the corpus, so any existing deltas
+    # describe dead data: hide them atomically with the base commit
+    # (compacted_through) and GC the directories after
     ckpt.run_stage(BANDS_STAGE, build_bands, key_col="did", force=force,
-                   partition_by="band", manifest_extra=params)
+                   partition_by="band",
+                   manifest_extra=params | D.reset_extra(ckpt, BANDS_STAGE))
     ckpt.run_stage(SHINGLES_STAGE, build_shingles, key_col="did",
-                   force=force, manifest_extra=params)
+                   force=force,
+                   manifest_extra=params | D.reset_extra(ckpt, SHINGLES_STAGE))
+    D.gc_hidden(ckpt, BANDS_STAGE)
+    D.gc_hidden(ckpt, SHINGLES_STAGE)
 
 
 def _index_params(ckpt: CheckpointManager, base_dir: str) -> dict:
@@ -130,13 +138,20 @@ def _index_params(ckpt: CheckpointManager, base_dir: str) -> dict:
         raise FileNotFoundError(
             f"no committed LSH index at {base_dir!r}: run lsh_index_build"
         )
+    manifests = [("bands", m), ("shingles", ms)] + [
+        (name, ckpt.manifest(name))
+        for stage in (BANDS_STAGE, SHINGLES_STAGE)
+        for name in D.live_delta_stages(ckpt, stage)
+    ]
     for k in ("num_hashes", "bands", "shingle_n"):
-        if m.get(k) != ms.get(k):
+        vals = {label: mm.get(k) for label, mm in manifests}
+        if len(set(vals.values())) > 1:
             raise RuntimeError(
-                f"inconsistent LSH index at {base_dir!r}: bands stage "
-                f"{k}={m.get(k)!r} vs shingles stage {k}={ms.get(k)!r} "
-                "(interrupted rebuild?) — rerun lsh_index_build"
+                f"inconsistent LSH index at {base_dir!r}: {k} differs "
+                f"across stages/deltas {vals} (interrupted rebuild?) — "
+                "rerun lsh_index_build"
             )
+    D.check_delta_lockstep(ckpt, [BANDS_STAGE, SHINGLES_STAGE], base_dir)
     return m
 
 
@@ -164,8 +179,8 @@ def minhash_lsh_pairs_incremental(
         new_docs, id_col, text_col, num_hashes, bands, shingle_n)
     new_banded = new_banded.localCheckpoint()  # banding pass runs once
     new_sh = new_sh.localCheckpoint()
-    idx_banded = ckpt.read_snapshot(BANDS_STAGE)
-    idx_sh = ckpt.read_snapshot(SHINGLES_STAGE)
+    idx_banded = D.read_with_deltas(ckpt, BANDS_STAGE)
+    idx_sh = D.read_with_deltas(ckpt, SHINGLES_STAGE)
 
     # new × index: the index side is the big one — join on (band, key)
     # with the NEW side broadcast when small (AQE decides; both sides
@@ -214,36 +229,43 @@ def lsh_index_merge(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Fold a paired batch INTO the index (the post-increment step):
-    both snapshots are re-committed as old ∪ new under the checkpoint
-    layer's createOrReplace semantics — the previous index versions
-    stay readable in the snapshot history. Banding params come from
-    the existing manifests, so a merge can never change them. The
-    union dedupes on doc id, so re-merging an already-merged batch
-    (e.g. a production rerun after a crash between merge and the next
-    increment) is a no-op rather than a row duplication — under the
-    module contract that an id maps to one immutable text."""
+    """Fold a paired batch INTO the index (the post-increment step) as
+    an LSM DELTA — O(batch) work and two atomic commits, never an
+    O(corpus) rewrite (see :mod:`._delta_index`). Readers see base ∪
+    deltas; :func:`lsh_index_compact` folds them down when the caller
+    chooses to pay O(corpus) once. Banding params come from the
+    existing manifests, so a merge can never change them. Idempotent:
+    each delta carries the batch's id-set digest, so re-merging an
+    already-merged batch (a production rerun after a crash) re-finds
+    the existing delta instead of duplicating rows — and a crash
+    BETWEEN the two per-stage commits is detected at pairing time and
+    healed by rerunning the merge."""
     ckpt = CheckpointManager(spark, base_dir)
     params = _index_params(ckpt, base_dir)
     new_banded, new_sh = _banded_rows(
         new_docs, id_col, text_col, params["num_hashes"], params["bands"],
         params["shingle_n"])
-    # materialize BEFORE force-retiring: the build_fn must not read the
-    # snapshot it is replacing while it is being replaced
-    old_banded = ckpt.read_snapshot(BANDS_STAGE).localCheckpoint()
-    old_sh = ckpt.read_snapshot(SHINGLES_STAGE).localCheckpoint()
-    ckpt.run_stage(
-        BANDS_STAGE,
-        lambda: old_banded.unionByName(new_banded)
-        .dropDuplicates(["did", "band"]),
-        key_col="did", force=True, partition_by="band",
-        manifest_extra={k: params[k] for k in
-                        ("num_hashes", "bands", "shingle_n", "id_col")},
-    )
-    ckpt.run_stage(
-        SHINGLES_STAGE,
-        lambda: old_sh.unionByName(new_sh).dropDuplicates(["did"]),
-        key_col="did", force=True,
-        manifest_extra={k: params[k] for k in
-                        ("num_hashes", "bands", "shingle_n", "id_col")},
-    )
+    digest = D.batch_digest(new_docs, id_col)
+    extra = {k: params[k] for k in
+             ("num_hashes", "bands", "shingle_n", "id_col")}
+    D.commit_delta(ckpt, BANDS_STAGE, lambda: new_banded, key_col="did",
+                   digest=digest, partition_by="band", manifest_extra=extra)
+    D.commit_delta(ckpt, SHINGLES_STAGE, lambda: new_sh, key_col="did",
+                   digest=digest, manifest_extra=extra)
+
+
+def lsh_index_compact(spark: SparkSession, base_dir: str) -> int:
+    """Fold all live deltas into the base snapshots (the one O(corpus)
+    operation — run it on YOUR schedule, e.g. when deltas approach the
+    base's size) and GC them. The pre-compaction base retires into the
+    snapshot history. Returns the number of deltas folded per stage.
+    Output of every reader is unchanged by construction (pinned by
+    test)."""
+    ckpt = CheckpointManager(spark, base_dir)
+    params = _index_params(ckpt, base_dir)
+    extra = {k: params[k] for k in
+             ("num_hashes", "bands", "shingle_n", "id_col")}
+    n = D.compact(ckpt, BANDS_STAGE, key_col="did", partition_by="band",
+                  manifest_extra=extra)
+    D.compact(ckpt, SHINGLES_STAGE, key_col="did", manifest_extra=extra)
+    return n

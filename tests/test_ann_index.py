@@ -171,21 +171,36 @@ def test_append_grows_corpus_without_retraining(spark, emb, tmp_path):
         for r in sim.ann_ivf_topk(
             emb, _queries(emb), k=5, nprobe=2, centroids=cent).collect()
     )
+    from o2g_spark.operators import _delta_index as D
+
     assert served == expected and len(served) > 0
-    assert ckpt.manifest(ann_index.CORPUS_STAGE)["row_count"] == emb.count()
-    # quantizer untouched; corpus history holds build + append versions
+    # the append is an LSM delta: base snapshot untouched, logical
+    # rows = base + delta, quantizer snapshot never moves
+    assert D.total_row_count(ckpt, ann_index.CORPUS_STAGE) == emb.count()
     assert ckpt.manifest(ann_index.CENTROID_STAGE)["snapshot_id"] == cent_snap
-    assert len(ckpt.snapshots(ann_index.CORPUS_STAGE)) == 2
+    assert len(D.live_delta_stages(ckpt, ann_index.CORPUS_STAGE)) == 1
 
     # crash-rerun shape: re-appending the same batch changes nothing
     ann_index.ivf_index_append(spark, base, new)
-    assert ckpt.manifest(ann_index.CORPUS_STAGE)["row_count"] == emb.count()
+    assert len(D.live_delta_stages(ckpt, ann_index.CORPUS_STAGE)) == 1
     served2 = sorted(
         (r.qid, r.vec_id, r.sim, r.sim_rank)
         for r in ann_index.ann_ivf_topk_indexed(
             spark, base, _queries(emb), k=5, nprobe=2).collect()
     )
     assert served2 == served
+
+    # compaction folds the delta into a new base (old one retired into
+    # history) and serving output is unchanged
+    assert ann_index.ivf_index_compact(spark, base) == 1
+    assert D.live_delta_stages(ckpt, ann_index.CORPUS_STAGE) == []
+    assert len(ckpt.snapshots(ann_index.CORPUS_STAGE)) == 2
+    served3 = sorted(
+        (r.qid, r.vec_id, r.sim, r.sim_rank)
+        for r in ann_index.ann_ivf_topk_indexed(
+            spark, base, _queries(emb), k=5, nprobe=2).collect()
+    )
+    assert served3 == served
 
 
 def test_append_to_missing_index_raises(spark, emb, tmp_path):

@@ -89,20 +89,33 @@ def test_hot_bucket_cap_matches_full_run(spark, corpus, tmp_path):
 
 def test_merge_converges_to_full_index(spark, corpus, tmp_path):
     """After merge(NEW), a second increment over NEWER vectors pairs
-    against old ∪ new — the rolling-crawl lifecycle."""
+    against old ∪ new — the rolling-crawl lifecycle, with LSM-delta
+    merges, idempotent re-merge, and reader-invariant compaction."""
+    from o2g_spark.operators import _delta_index as D
+
     old = corpus.filter("vec_id < 160")
     mid = corpus.filter("vec_id >= 160 AND vec_id < 200")
     newer = corpus.filter("vec_id >= 200")
     base = str(tmp_path / "emb")
     emb_index.emb_index_build(spark, base, old, bands=NB,
                               bits_per_band=BITS, dim=DIM)
+    ckpt = CheckpointManager(spark, base)
+    base_snap = ckpt.manifest(emb_index.BANDS_STAGE)["snapshot_id"]
     emb_index.emb_index_merge(spark, base, mid)
+    assert ckpt.manifest(emb_index.BANDS_STAGE)["snapshot_id"] == base_snap
+    assert len(D.live_delta_stages(ckpt, emb_index.BANDS_STAGE)) == 1
+    emb_index.emb_index_merge(spark, base, mid)  # idempotent
+    assert len(D.live_delta_stages(ckpt, emb_index.BANDS_STAGE)) == 1
     inc2 = _pairs(emb_index.embedding_near_dup_incremental(
         spark, base, newer, sim_threshold=TH))
     expected = {p for p in _full(corpus) if p[0] >= 200 or p[1] >= 200}
     assert inc2 == expected
-    ckpt = CheckpointManager(spark, base)
+    # compaction: deltas fold into a new base, readers unchanged
+    assert emb_index.emb_index_compact(spark, base) == 1
+    assert D.live_delta_stages(ckpt, emb_index.BANDS_STAGE) == []
     assert len(ckpt.snapshots(emb_index.BANDS_STAGE)) == 2
+    assert _pairs(emb_index.embedding_near_dup_incremental(
+        spark, base, newer, sim_threshold=TH)) == expected
 
 
 def test_param_mismatch_and_missing_index_raise(spark, corpus, tmp_path):

@@ -57,22 +57,42 @@ def test_incremental_equals_full_restricted(spark, corpus, tmp_path):
 
 def test_merge_converges_to_full_index(spark, corpus, tmp_path):
     """After merge(NEW), a second increment over NEWER docs pairs
-    against old ∪ new — the rolling-crawl lifecycle."""
+    against old ∪ new — the rolling-crawl lifecycle. Merges are LSM
+    deltas (O(batch), base untouched); re-merging the same batch is a
+    no-op; compaction folds the deltas without changing any reader."""
+    from o2g_spark.operators import _delta_index as D
+
     old = corpus.filter("doc_id < 200")
     mid = corpus.filter("doc_id >= 200 AND doc_id < 250")
     newer = corpus.filter("doc_id >= 250")
     base = str(tmp_path / "lsh")
     lsh_index.lsh_index_build(spark, base, old, num_hashes=NH, bands=NB)
+    ckpt = CheckpointManager(spark, base)
+    base_snap = ckpt.manifest(lsh_index.BANDS_STAGE)["snapshot_id"]
     lsh_index.lsh_index_merge(spark, base, mid)
+    # the merge is a DELTA: base snapshot untouched, one live delta
+    assert ckpt.manifest(lsh_index.BANDS_STAGE)["snapshot_id"] == base_snap
+    assert len(D.live_delta_stages(ckpt, lsh_index.BANDS_STAGE)) == 1
+    # idempotent: re-merging the same batch commits nothing new
+    lsh_index.lsh_index_merge(spark, base, mid)
+    assert len(D.live_delta_stages(ckpt, lsh_index.BANDS_STAGE)) == 1
     inc2 = _pairs(lsh_index.minhash_lsh_pairs_incremental(
         spark, base, newer, threshold=TH))
     full = _pairs(dedup.minhash_lsh_pairs(
         corpus, "doc_id", "text", NH, NB, TH))
     expected = {p for p in full if p[0] >= 250 or p[1] >= 250}
     assert inc2 == expected
-    # the merged index retired the originals into the history
-    ckpt = CheckpointManager(spark, base)
+    # compaction folds the delta into a NEW base (old one retired into
+    # history) and changes no reader output
+    assert lsh_index.lsh_index_compact(spark, base) == 1
+    assert D.live_delta_stages(ckpt, lsh_index.BANDS_STAGE) == []
     assert len(ckpt.snapshots(lsh_index.BANDS_STAGE)) == 2
+    inc2b = _pairs(lsh_index.minhash_lsh_pairs_incremental(
+        spark, base, newer, threshold=TH))
+    assert inc2b == expected
+    # and a post-compaction re-merge of the folded batch stays a no-op
+    lsh_index.lsh_index_merge(spark, base, mid)
+    assert D.live_delta_stages(ckpt, lsh_index.BANDS_STAGE) == []
 
 
 def test_param_mismatch_and_missing_index_raise(spark, corpus, tmp_path):
