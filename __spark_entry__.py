@@ -37,7 +37,17 @@ from pyspark.sql import types as T
 from o2g_spark.functions import cellfns, geo, geotag
 from o2g_spark.functions import text as X
 from o2g_spark.kernels import cells as cellk
-from o2g_spark.operators import dedup, gtfs, knn, multimodal, pip, similarity, skew, tiles
+from o2g_spark.operators import (
+    clusters,
+    dedup,
+    gtfs,
+    knn,
+    multimodal,
+    pip,
+    similarity,
+    skew,
+    tiles,
+)
 from o2g_spark.sources import synth, tables
 from o2g_spark.streaming import windows as W
 
@@ -580,6 +590,20 @@ def _q_emb_incremental(spark, sf_dir):
     return emb_index.embedding_near_dup_incremental(
         spark, base, vecs.filter("vec_id % 5 = 0"), sim_threshold=0.9
     )
+
+
+def _q_dup_clusters(spark, sf_dir):
+    """Transitive dup-cluster canonicalization (operators/clusters.py):
+    minhash-LSH near-dup pairs (same params as the minhash_lsh gate
+    query) closed into connected components by the alternating
+    large-star/small-star contraction — (doc_id, canon_id) with
+    canon_id the component minimum. The DuckDB twin runs the
+    recursive-CTE transitive closure over the same pairs SQL."""
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=32, bands=16, threshold=0.4,
+    )
+    return clusters.dup_clusters(pairs)
 
 
 def _q_simhash_pairs(spark, sf_dir):
@@ -1490,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": _q_minhash_sig,
         "minhash_lsh": _q_minhash_lsh,
         "lsh_incremental": _q_lsh_incremental,
+        "dup_clusters": _q_dup_clusters,
         "emb_incremental": _q_emb_incremental,
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
@@ -1832,6 +1857,11 @@ FROM documents
             + dedup.minhash_lsh_pairs_sql(
                 "documents", "doc_id", "text", 32, 16, 0.4)
             + ") WHERE id_a % 5 = 0 OR id_b % 5 = 0"
+        ),
+        # recursive-CTE transitive closure over the SAME pairs SQL
+        # (exact at gate scale; the star contraction is the scale path)
+        "dup_clusters": clusters.dup_clusters_sql(
+            dedup.minhash_lsh_pairs_sql("documents", "doc_id", "text", 32, 16, 0.4)
         ),
         "simhash_pairs": dedup.simhash_pairs_sql("documents", "doc_id", "text", 3),
         "embedding_near_dup": _near_dup_oracle_sql(),

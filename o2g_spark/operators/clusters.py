@@ -1,0 +1,173 @@
+"""Dup-cluster canonicalization: connected components over a pair list.
+
+Near-dup pair generation (``jaccard_pairs`` / ``minhash_lsh_pairs`` /
+``embedding_near_dup_pairs`` — SURVEY.md §2 LLM-pipeline family) emits
+EDGES; actually deduplicating a corpus needs the transitive closure —
+A~B and B~C put A,B,C in ONE cluster with one kept representative even
+though (A,C) was never emitted. This module closes that gap with the
+alternating large-star / small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SOCC'14 — a public
+algorithm), which converges in O(log n) rounds independent of
+component DIAMETER, where plain min-label propagation needs
+O(diameter) rounds and a 100 TB crawl's worst chain (mirror-of-mirror
+boilerplate) can be thousands of hops long.
+
+Spark shape per round: two groupBy-min shuffles keyed by node id, one
+digest aggregate for the convergence check, and a ``localCheckpoint``
+to truncate the iterative lineage (without it the plan doubles per
+round and round 15+ spends longer optimizing than executing). Skew is
+the algorithm's own concern and the reason large-star exists: a hub
+node (one page near-dup to millions) only ever emits edges toward its
+neighborhood MINIMUM, so hub groups shrink geometrically instead of
+re-shuffling the hub's full adjacency every round.
+
+At convergence the edge set IS the answer: every non-root node holds
+exactly one edge to its component's minimum id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _edge_digest(e: DataFrame) -> tuple[int, int]:
+    """Order-insensitive fingerprint of an edge set — one aggregate
+    job, one driver row. Equal digests across a round = fixpoint (the
+    star operators never produce colliding rewrites of distinct sets
+    within max_iter's reach; count is part of the digest)."""
+    r = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("x"),
+    ).first()
+    return int(r["n"]), int(r["x"])
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(Γ(u) ∪ {u}). Keeps every
+    node reachable from its component min while cutting long chains:
+    strictly-larger neighbors re-attach below u."""
+    b = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        b.groupBy("u").agg(F.min("v").alias("__mn"))
+        .select("u", F.least("__mn", "u").alias("m"))
+    )
+    return (
+        b.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient each edge high→low, then point every low neighbor (and
+    the high node itself) at the group's minimum."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).dropDuplicates(["u", "v"])
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    out = d.join(m, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    ).unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+    return (
+        out.where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+    )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, canon_id) for every id in ``pairs``: canon_id is the
+    MINIMUM id of the node's connected component (roots map to
+    themselves). ``pairs`` is any near-dup pair output — orientation
+    and extra columns (scores) are ignored.
+
+    max_iter bounds the alternation; convergence is O(log n) rounds so
+    the default 25 covers corpora far beyond 2^25 docs — hitting it
+    means a logic bug, not a big input, and raises rather than
+    returning a partially-contracted (wrong) clustering.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select("u").unionByName(e.select(F.col("v").alias("u")))
+        .distinct().localCheckpoint()
+    )
+    prev = _edge_digest(e)
+    for _ in range(max_iter):
+        # localCheckpoint per round: truncates the doubling lineage
+        # AND materializes the round exactly once (digest + next round
+        # both read it; without it each reads recompute the chain)
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _edge_digest(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds — "
+            "O(log n) theory says this is a bug, not a large input"
+        )
+    # fixpoint edge set = (node → component min) for every non-root
+    return (
+        nodes.join(e, "u", "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.coalesce("v", "u").alias("canon_id"),
+        )
+    )
+
+
+def dedup_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """The corpus-level dedup step: keep ONE representative (the
+    min-id member) per near-dup cluster and every unpaired row.
+    Implemented as an anti join against the non-canonical ids — the
+    label side is |paired docs| rows (≪ corpus for real dup rates),
+    so AQE broadcasts it; the corpus is never shuffled."""
+    drop = (
+        dup_clusters(pairs, id_a, id_b, max_iter)
+        .where(F.col("doc_id") != F.col("canon_id"))
+        .select(F.col("doc_id").alias("__drop_id"))
+    )
+    return df.join(
+        drop, F.col(id_col) == F.col("__drop_id"), "left_anti"
+    )
+
+
+def dup_clusters_sql(
+    pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b"
+) -> str:
+    """DuckDB twin: transitive closure by recursive CTE, then min per
+    source node. Exact on gate-scale components (closure is O(n·m) —
+    the oracle is for CORRECTNESS at sf0.01, the star contraction is
+    the scale path)."""
+    return f"""
+WITH RECURSIVE __pr AS ({pairs_sql}),
+__e(u, v) AS (
+  SELECT {id_a}, {id_b} FROM __pr UNION SELECT {id_b}, {id_a} FROM __pr
+),
+__reach(a, b) AS (
+  SELECT u, v FROM __e
+  UNION
+  SELECT r.a, e.v FROM __reach r JOIN __e e ON r.b = e.u
+  WHERE e.v <> r.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS canon_id
+FROM __reach GROUP BY a
+"""

@@ -1,0 +1,115 @@
+"""Connected-components dup clustering: the star contraction must
+match a pure-python union-find on every graph shape the pair
+generators can emit — long chains (worst diameter), cycles, hubs,
+random — and the corpus-level dedup must keep exactly one
+representative per cluster."""
+
+import numpy as np
+import pytest
+
+from o2g_spark.operators import clusters
+
+
+def _uf_canon(edges, nodes):
+    """Pure-python union-find oracle: node -> component min."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def _pairs_df(spark, edges):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+
+
+def _check(spark, edges):
+    nodes = sorted({x for e in edges for x in e})
+    got = {
+        (r.doc_id, r.canon_id)
+        for r in clusters.dup_clusters(_pairs_df(spark, edges)).collect()
+    }
+    want = set(_uf_canon(edges, nodes).items())
+    assert got == want
+    return got
+
+
+def test_chain_worst_diameter(spark):
+    # 60-hop path: label propagation would need 60 rounds; the star
+    # contraction must finish inside dup_clusters' default max_iter
+    _check(spark, [(i, i + 1) for i in range(60)])
+
+
+def test_shapes(spark):
+    edges = (
+        [(1, 2), (2, 3), (3, 1)]          # cycle
+        + [(10, 11)]                       # isolated pair
+        + [(20, k) for k in range(21, 35)] # hub star (large-star's case)
+        + [(40, 41), (43, 42), (41, 43)]   # mixed orientation chain
+    )
+    got = _check(spark, edges)
+    assert (35 - 21 + 1) == sum(1 for d, c in got if c == 20)
+
+
+def test_random_vs_union_find(spark):
+    rng = np.random.default_rng(7)
+    edges = [tuple(sorted(p)) for p in rng.integers(0, 400, (600, 2))
+             if p[0] != p[1]]
+    _check(spark, edges)
+
+
+def test_duplicate_and_reversed_pairs_ignored(spark):
+    got = _check(spark, [(1, 2), (2, 1), (1, 2), (2, 3)])
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_empty_pairs(spark):
+    assert clusters.dup_clusters(_pairs_df(spark, [])).count() == 0
+
+
+def test_non_convergence_raises(spark):
+    with pytest.raises(RuntimeError, match="converge"):
+        clusters.dup_clusters(
+            _pairs_df(spark, [(i, i + 1) for i in range(40)]), max_iter=1
+        )
+
+
+def test_dedup_canonical_keeps_min_per_cluster(spark):
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(12)], "doc_id long, text string"
+    )
+    # clusters {0,1,2}, {5,7}; 3,4,6,8..11 unpaired
+    pairs = _pairs_df(spark, [(1, 0), (1, 2), (7, 5)])
+    kept = sorted(
+        r.doc_id
+        for r in clusters.dedup_canonical(df, pairs, "doc_id").collect()
+    )
+    assert kept == [0, 3, 4, 5, 6, 8, 9, 10, 11]
+
+
+def test_sql_twin_matches_spark(spark):
+    """The recursive-CTE oracle (the gate's side of the bargain)
+    agrees with the star contraction on a mixed graph."""
+    import duckdb
+
+    edges = [(1, 2), (2, 3), (3, 4), (9, 8), (4, 1), (6, 5)]
+    spark_rows = {
+        (r.doc_id, r.canon_id)
+        for r in clusters.dup_clusters(_pairs_df(spark, edges)).collect()
+    }
+    vals = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = clusters.dup_clusters_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(id_a, id_b)"
+    )
+    duck_rows = set(duckdb.sql(sql).fetchall())
+    assert spark_rows == duck_rows
