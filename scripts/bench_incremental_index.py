@@ -20,8 +20,14 @@ bits_per_band=20 at bench scale — corpus-sized buckets (STATUS.md
 §mixed-modality funnel); the full run uses the identical params, so
 equivalence is unaffected.
 
+The merge section splits the text batch into --merges sub-batches and
+folds each into the index (one LSM delta per merge — O(batch)), then
+compacts once (the explicit O(corpus) fold): the delta design's claim
+is merge_sec ≪ build_sec and flat across merges, compact_sec ~
+build_sec, and a post-compaction increment still bit-equal.
+
 Run: python scripts/bench_incremental_index.py \
-        [--docs 200000] [--batch 5000] [--runs 3] \
+        [--docs 200000] [--batch 5000] [--runs 3] [--merges 4] \
         [--out /tmp/bench_inc_index] [--force]
 Prints one JSON line; the table lives in BENCH/BASELINE.md.
 """
@@ -81,6 +87,7 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=200_000)
     ap.add_argument("--batch", type=int, default=5_000)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--merges", type=int, default=4)
     ap.add_argument("--out", default="/tmp/bench_inc_index")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
@@ -129,6 +136,38 @@ def main() -> None:
         "full_pairs": full_df.count(),
     }
     print(json.dumps({"stage": "text", **report["text"]}), flush=True)
+
+    # ---- merge lifecycle (LSM deltas vs O(corpus) rewrite) -------------
+    # each merge commits ONE delta — O(batch). The O(corpus) cost is
+    # paid only at an explicit compact. The old design re-committed
+    # old ∪ new per merge, i.e. ~build_sec per batch; the evidence
+    # that the LSM shape fixes it is merge_sec ≪ build_sec and flat
+    # across consecutive merges while compact_sec ~ build_sec.
+    n_m = args.merges
+    sub = max(1, args.batch // n_m)
+    t_merge = []
+    for i in range(n_m):
+        lo, hi = cut + i * sub, cut + (i + 1) * sub
+        b = all_docs.filter(f"doc_id >= {lo} AND doc_id < {hi}")
+        t, _ = timed(lambda: lsh_index.lsh_index_merge(spark, base, b))
+        t_merge.append(round(t, 3))
+    t_compact, n_folded = timed(
+        lambda: lsh_index.lsh_index_compact(spark, base))
+    # post-compaction correctness: a fresh increment over the tail
+    # (never merged) must equal the full run restricted to it
+    tail = all_docs.filter(f"doc_id >= {cut + n_m * sub}")
+    if tail.count():
+        inc3 = lsh_index.minhash_lsh_pairs_incremental(
+            spark, base, tail, threshold=JAC_T)
+        exp3 = {p for p in pair_set(full_df, "jaccard")
+                if p[0] >= cut + n_m * sub or p[1] >= cut + n_m * sub}
+        assert pair_set(inc3, "jaccard") == exp3, "post-compact mismatch"
+    report["merge"] = {
+        "merges": n_m, "sub_batch": sub, "merge_sec": t_merge,
+        "compact_sec": round(t_compact, 3), "deltas_folded": n_folded,
+        "build_sec": round(t_build, 3),
+    }
+    print(json.dumps({"stage": "merge", **report["merge"]}), flush=True)
 
     # ---- embedding modality --------------------------------------------
     t_full_e, full_e = timed(lambda: similarity.embedding_near_dup_pairs(
