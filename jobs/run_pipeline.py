@@ -23,14 +23,18 @@ and rerun the same command):
     pip     cell-cover + ray-cast point-in-polygon join (B5)
     knn     k-ring kNN against the gazetteer (B6)
     tiles   Web-Mercator tile assignment + density (B8)
-    dedup   df-capped n-gram jaccard near-dup pairs over page text;
-            with --embeddings also banded-LSH embedding near-dups
+    dedup   df-capped n-gram jaccard near-dup pairs over page text,
+            then dedup_clusters — the transitive closure that turns
+            pairs into one canonical url per near-dup cluster
+            (operators/clusters.py); with --embeddings also
+            banded-LSH embedding near-dups
     dedup-incremental  (OPT-IN) rolling-crawl dedup against the
             persisted LSH index (operators/lsh_index.py): builds or
             resumes the index at --index-dir, pairs ONLY the new
-            batch (--new-pages, or a crc32 carve-out of --pages),
-            optionally --merge-index folds the batch in — O(batch)
-            per crawl increment instead of O(corpus)
+            batch (--new-pages, or a crc32 carve-out of --pages);
+            --merge-index folds the batch in as an O(batch) LSM delta
+            AND rolls the persisted dup-cluster labels forward;
+            --compact-index pays the explicit O(corpus) delta fold
     report  per-zone/lang + per-tile rollups (B9-B11)
 
 Prints one JSON metrics line per stage: rows, seconds, pages/sec. The
@@ -53,7 +57,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from o2g_spark.functions import cellfns, geotag  # noqa: E402
 from o2g_spark.operators import (  # noqa: E402
-    dedup, knn, multimodal, pip, similarity, skew, tiles,
+    clusters, dedup, knn, multimodal, pip, similarity, skew, tiles,
 )
 from o2g_spark.plans.checkpoint import CheckpointManager  # noqa: E402
 from o2g_spark.session import get_spark  # noqa: E402
@@ -100,10 +104,17 @@ def main(argv=None):
                          "pointed at the same place")
     ap.add_argument("--merge-index", action="store_true",
                     help="after incremental pairing, fold the new batch "
-                         "into the persisted LSH index (idempotent on "
-                         "rerun; the next increment must use a fresh "
-                         "--out so its pairing stage is not resumed "
-                         "from this one)")
+                         "into the persisted LSH index as an LSM delta "
+                         "and update the rolling dup-cluster labels "
+                         "(idempotent on rerun; the next increment must "
+                         "use a fresh --out so its pairing stage is not "
+                         "resumed from this one)")
+    ap.add_argument("--compact-index", action="store_true",
+                    help="after merging, fold all accumulated LSM "
+                         "deltas into the base index snapshots (the "
+                         "explicit O(corpus) maintenance op — run on "
+                         "your schedule, e.g. when deltas approach the "
+                         "base's size; readers are unchanged)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -245,7 +256,7 @@ def main(argv=None):
     if "dedup" in want:
         # df-capped jaccard near-dups over page text; the cap counter
         # rides on the SAME stage metrics line (no silent recall loss)
-        run(
+        jpairs = run(
             "jaccard_dedup",
             lambda: dedup.jaccard_pairs(
                 pages.select("url", "text"), "url", "text",
@@ -257,6 +268,20 @@ def main(argv=None):
                 "jaccard_dropped_shingles": lambda: dedup.jaccard_dropped_shingles(
                     pages.select("url", "text"), "url", "text",
                     n=3, max_df=args.jaccard_max_df,
+                ),
+            },
+        )
+        # transitive closure of the pair list: one canonical url per
+        # near-dup CLUSTER (A~B, B~C ⇒ one kept page), the step that
+        # turns pairs into an actually-deduplicated corpus
+        run(
+            "dedup_clusters",
+            lambda: clusters.dup_clusters(jpairs),
+            key_col="doc_id",
+            extra={
+                "clusters": lambda: int(
+                    ckpt.read_snapshot("dedup_clusters")
+                    .select("canon_id").distinct().count()
                 ),
             },
         )
@@ -318,7 +343,7 @@ def main(argv=None):
         }
         metrics.append(m)
         print(json.dumps(m), flush=True)
-        run(
+        inc_pairs = run(
             "jaccard_dedup_incremental",
             lambda: lsh_index.minhash_lsh_pairs_incremental(
                 spark, idx_dir, new_docs, id_col="url", threshold=0.7),
@@ -331,6 +356,43 @@ def main(argv=None):
             m = {
                 "stage": "lsh_index_merge",
                 "rows": _delta_index.total_row_count(idx_ckpt, lsh_index.BANDS_STAGE),
+                "sec": round(time.time() - t0, 3),
+                "resumed": False,
+                "index_dir": idx_dir,
+            }
+            metrics.append(m)
+            print(json.dumps(m), flush=True)
+            # rolling dup-cluster labels, folded increment by increment:
+            # the committed labels are a star edge set spanning exactly
+            # the clusters seen so far, so folding only THIS increment's
+            # pairs equals re-clustering every pair ever emitted
+            # (operators/clusters.py invariant). Idempotent on rerun —
+            # re-folding already-spanned pairs is a fixpoint.
+            t0 = time.time()
+            if idx_ckpt.is_committed("dup_labels"):
+                prior = idx_ckpt.read_snapshot("dup_labels").localCheckpoint()
+            else:
+                prior = spark.createDataFrame(
+                    [], "doc_id string, canon_id string")
+            labels = clusters.dup_clusters_incremental(prior, inc_pairs)
+            idx_ckpt.run_stage(
+                "dup_labels", lambda: labels, key_col="doc_id", force=True)
+            m = {
+                "stage": "dup_labels",
+                "rows": idx_ckpt.manifest("dup_labels")["row_count"],
+                "sec": round(time.time() - t0, 3),
+                "resumed": False,
+                "index_dir": idx_dir,
+            }
+            metrics.append(m)
+            print(json.dumps(m), flush=True)
+        if args.compact_index:
+            t0 = time.time()
+            n_folded = lsh_index.lsh_index_compact(spark, idx_dir)
+            m = {
+                "stage": "lsh_index_compact",
+                "rows": _delta_index.total_row_count(idx_ckpt, lsh_index.BANDS_STAGE),
+                "deltas_folded": n_folded,
                 "sec": round(time.time() - t0, 3),
                 "resumed": False,
                 "index_dir": idx_dir,
@@ -375,6 +437,20 @@ def main(argv=None):
                     "stage": "emb_index_merge",
                     "rows": _delta_index.total_row_count(
                         eidx_ckpt, emb_index.BANDS_STAGE),
+                    "sec": round(time.time() - t0, 3),
+                    "resumed": False,
+                    "index_dir": eidx_dir,
+                }
+                metrics.append(m)
+                print(json.dumps(m), flush=True)
+            if args.compact_index:
+                t0 = time.time()
+                n_folded = emb_index.emb_index_compact(spark, eidx_dir)
+                m = {
+                    "stage": "emb_index_compact",
+                    "rows": _delta_index.total_row_count(
+                        eidx_ckpt, emb_index.BANDS_STAGE),
+                    "deltas_folded": n_folded,
                     "sec": round(time.time() - t0, 3),
                     "resumed": False,
                     "index_dir": eidx_dir,

@@ -127,6 +127,44 @@ def dup_clusters(
     )
 
 
+def dup_clusters_incremental(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Fold newly-arrived pairs into an existing (doc_id, canon_id)
+    labeling WITHOUT revisiting the old pair set — the rolling-crawl
+    companion to ``minhash_lsh_pairs_incremental`` /
+    ``embedding_near_dup_incremental``, whose outputs feed straight in.
+
+    Correctness rests on a spanning-structure invariant: the committed
+    labels ARE a star edge set (node → component min) connecting
+    exactly the old components, and connected components are invariant
+    under swapping one spanning structure for another — so
+    CC(stars ∪ new_pairs) == CC(old_pairs ∪ new_pairs). Work is
+    O(|labels| + |new_pairs|) per round instead of O(all pairs ever).
+
+    Canon ids are MONOTONE under increments: a component's canon is
+    its min id over a growing set, so a doc's canon_id can change only
+    when clusters merge, and only ever downward — a stable choice for
+    downstream keep/drop decisions."""
+    star = labels.where(F.col("doc_id") != F.col("canon_id")).select(
+        F.col("doc_id").alias("id_a"), F.col("canon_id").alias("id_b")
+    )
+    e = star.unionByName(
+        new_pairs.select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b"))
+    )
+    lab = dup_clusters(e, "id_a", "id_b", max_iter)
+    # singleton roots (self-labeled, untouched by any new pair) have
+    # no edge in e — carry them through unchanged
+    singles = labels.join(lab, "doc_id", "left_anti").select(
+        "doc_id", "canon_id"
+    )
+    return lab.unionByName(singles)
+
+
 def dedup_canonical(
     df: DataFrame,
     pairs: DataFrame,

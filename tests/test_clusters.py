@@ -97,6 +97,47 @@ def test_dedup_canonical_keeps_min_per_cluster(spark):
     assert kept == [0, 3, 4, 5, 6, 8, 9, 10, 11]
 
 
+def test_incremental_equals_full(spark):
+    """Folding a second batch of pairs into the first batch's labels
+    must equal clustering all pairs at once — including cluster merges
+    (a new pair bridging two old components) and singletons carried
+    through."""
+    rng = np.random.default_rng(11)
+    edges = [tuple(sorted(p)) for p in rng.integers(0, 120, (150, 2))
+             if p[0] != p[1]]
+    first, second = edges[:90], edges[90:]
+    # force a cross-batch bridge between two first-batch components
+    lab1 = clusters.dup_clusters(_pairs_df(spark, first))
+    c1 = {r.doc_id: r.canon_id for r in lab1.collect()}
+    roots = sorted(set(c1.values()))
+    if len(roots) >= 2:
+        second = second + [(roots[0], roots[1])]
+    inc = {
+        (r.doc_id, r.canon_id)
+        for r in clusters.dup_clusters_incremental(
+            lab1, _pairs_df(spark, second)).collect()
+    }
+    full = {
+        (r.doc_id, r.canon_id)
+        for r in clusters.dup_clusters(
+            _pairs_df(spark, first + second)).collect()
+    }
+    assert inc == full
+    # monotonicity: no doc's canon moved upward
+    after = dict(inc)
+    assert all(after[d] <= c for d, c in c1.items())
+
+
+def test_incremental_keeps_singletons(spark):
+    lab1 = clusters.dup_clusters(_pairs_df(spark, [(1, 2), (7, 8)]))
+    inc = {
+        (r.doc_id, r.canon_id)
+        for r in clusters.dup_clusters_incremental(
+            lab1, _pairs_df(spark, [(2, 3)])).collect()
+    }
+    assert inc == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+
+
 def test_sql_twin_matches_spark(spark):
     """The recursive-CTE oracle (the gate's side of the bargain)
     agrees with the star contraction on a mixed graph."""

@@ -104,6 +104,51 @@ def _expected_pairs(spark, frames, new_urls):
     }
 
 
+def test_cli_batch_dedup_emits_clusters(spark, crawl, tmp_path):
+    """--stage dedup now closes the pair list into clusters: the
+    dedup_clusters stage must equal a union-find over the committed
+    jaccard pairs (one canonical url per near-dup cluster)."""
+    root, paths, frames = crawl
+    allp = pd.concat([frames["corpus"], frames["batch1"]],
+                     ignore_index=True)
+    src = str(tmp_path / "allpages")
+    spark.createDataFrame(allp).write.parquet(src)
+    wh = str(tmp_path / "wh")
+    lines = _run_cli(["--pages", src, "--out", wh, "--stage", "dedup"])
+    stages = {m["stage"]: m for m in lines if "stage" in m}
+    pairs = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(
+            os.path.join(wh, "jaccard_dedup", "data")).collect()
+    }
+    labels = {
+        (r.doc_id, r.canon_id)
+        for r in spark.read.parquet(
+            os.path.join(wh, "dedup_clusters", "data")).collect()
+    }
+    assert labels == _uf_labels(pairs) and len(labels) >= 10
+    assert stages["dedup_clusters"]["clusters"] == len(
+        {c for _, c in labels})
+
+
+def _uf_labels(pairs):
+    """(doc_id, canon_id) per union-find over (id_a, id_b, score)."""
+    nodes = sorted({x for a, b, _ in pairs for x in (a, b)})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {(n, find(n)) for n in nodes}
+
+
 def test_cli_incremental_lifecycle(spark, crawl):
     root, paths, frames = crawl
     idx = str(root / "idx")
@@ -153,6 +198,26 @@ def test_cli_incremental_lifecycle(spark, crawl):
     # emb re-merge is a no-op too (dedupe on vec id)
     assert stages_re["emb_index_merge"]["rows"] == \
         stages["emb_index_merge"]["rows"]
+
+    # the merge also rolled the persisted dup-cluster labels forward:
+    # labels must equal a union-find over increment 1's pairs
+    labels1 = {
+        (r.doc_id, r.canon_id)
+        for r in spark.read.parquet(
+            os.path.join(idx, "dup_labels", "data")).collect()
+    }
+    assert labels1 == _uf_labels(got1)
+    assert stages["dup_labels"]["rows"] == len(labels1) > 0
+
+    # compact: fold the merge deltas into the base snapshots (explicit
+    # O(corpus) maintenance); increment 2 below then reads the
+    # compacted index — its exactness doubles as the reader-invariance
+    # check through the CLI path
+    lines_c = _run_cli([*argv1, "--compact-index"])
+    stages_c = {m["stage"]: m for m in lines_c if "stage" in m}
+    assert stages_c["lsh_index_compact"]["deltas_folded"] >= 1
+    assert stages_c["emb_index_compact"]["deltas_folded"] >= 1
+    assert stages_c["lsh_index_compact"]["rows"] == merged_rows
 
     # increment 2: fresh warehouse, same index — batch2 pairs against
     # corpus AND batch1 (through the merged index)
