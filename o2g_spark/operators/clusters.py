@@ -81,6 +81,7 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(doc_id, canon_id) for every id in ``pairs``: canon_id is the
     MINIMUM id of the node's connected component (roots map to
@@ -91,6 +92,10 @@ def dup_clusters(
     the default 25 covers corpora far beyond 2^25 docs — hitting it
     means a logic bug, not a big input, and raises rather than
     returning a partially-contracted (wrong) clustering.
+
+    ``stats``: pass a dict to receive {"rounds": <alternations run>}
+    — measurement hook for the O(log n)-vs-diameter evidence
+    (scripts/bench_clusters.py); no effect on the result.
     """
     e = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -103,13 +108,15 @@ def dup_clusters(
         .distinct().localCheckpoint()
     )
     prev = _edge_digest(e)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # localCheckpoint per round: truncates the doubling lineage
         # AND materializes the round exactly once (digest + next round
         # both read it; without it each reads recompute the chain)
         e = _small_star(_large_star(e)).localCheckpoint()
         cur = _edge_digest(e)
         if cur == prev:
+            if stats is not None:
+                stats["rounds"] = it + 1
             break
         prev = cur
     else:

@@ -50,6 +50,20 @@ def test_chain_worst_diameter(spark):
     _check(spark, [(i, i + 1) for i in range(60)])
 
 
+def test_stats_hook_reports_sublinear_rounds(spark):
+    # the measurement hook (bench_clusters.py) must see rounds ≪
+    # diameter on a worst-case path, and not perturb the labels
+    stats: dict = {}
+    lab = {
+        (r["doc_id"], r["canon_id"])
+        for r in clusters.dup_clusters(
+            _pairs_df(spark, [(i, i + 1) for i in range(60)]), stats=stats
+        ).collect()
+    }
+    assert lab == {(i, 0) for i in range(61)}
+    assert 1 <= stats["rounds"] < 20  # 60-hop diameter, log-ish rounds
+
+
 def test_shapes(spark):
     edges = (
         [(1, 2), (2, 3), (3, 1)]          # cycle
