@@ -50,6 +50,35 @@ def test_chain_worst_diameter(spark):
     _check(spark, [(i, i + 1) for i in range(60)])
 
 
+def test_min_strategy_equivalence(spark):
+    # window (default, measured 1.7× faster) and join (the
+    # AQE-skew-splittable fallback) must produce identical labels on
+    # a shape mixing chains, a hub, and disjoint components
+    edges = (
+        [(i, i + 1) for i in range(40)]          # chain
+        + [(500, 500 + i) for i in range(1, 30)]  # hub
+        + [(900, 901), (903, 902)]                # small components
+    )
+    lab_w = {
+        (r["doc_id"], r["canon_id"])
+        for r in clusters.dup_clusters(
+            _pairs_df(spark, edges), min_strategy="window"
+        ).collect()
+    }
+    lab_j = {
+        (r["doc_id"], r["canon_id"])
+        for r in clusters.dup_clusters(
+            _pairs_df(spark, edges), min_strategy="join"
+        ).collect()
+    }
+    assert lab_w == lab_j
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        clusters.dup_clusters(
+            _pairs_df(spark, edges), min_strategy="bogus"
+        ).collect()
+
+
 def test_stats_hook_reports_sublinear_rounds(spark):
     # the measurement hook (bench_clusters.py) must see rounds ≪
     # diameter on a worst-case path, and not perturb the labels
