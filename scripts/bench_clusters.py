@@ -43,7 +43,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from o2g_spark.operators.clusters import dup_clusters  # noqa: E402
+from o2g_spark.operators.clusters import (  # noqa: E402
+    dup_clusters,
+    dup_clusters_incremental,
+)
 from o2g_spark.session import get_spark  # noqa: E402
 
 BEGIN = "<!-- clusters:begin -->"
@@ -52,6 +55,7 @@ END = "<!-- clusters:end -->"
 # disjoint node-id spaces so invariants are checkable per family
 HUB_BASE = 1_000_000_000
 RAND_BASE = 2_000_000_000
+NEW_BASE = 3_000_000_000
 
 
 def build_edges(spark, args):
@@ -87,6 +91,9 @@ def main() -> int:
     ap.add_argument("--hub-edges", type=int, default=2_000_000)
     ap.add_argument("--rand-edges", type=int, default=8_000_000)
     ap.add_argument("--rand-nodes", type=int, default=30_000_000)
+    ap.add_argument("--inc-edges", type=int, default=2_000_000,
+                    help="size of the incremental batch (0 disables "
+                         "the incremental-vs-recluster comparison)")
     ap.add_argument("--master", default="local[32]")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
@@ -146,12 +153,82 @@ def main() -> int:
     }
     print(json.dumps(result), flush=True)
 
+    inc = None
+    if ok and args.inc_edges > 0:
+        inc = run_incremental(spark, args, edges, labels)
+        print(json.dumps(inc), flush=True)
+        ok = ok and inc["labels_identical"]
+
     if args.update_baseline and ok:
-        update_baseline(args, result)
+        update_baseline(args, result, inc)
     return 0 if ok else 1
 
 
-def update_baseline(args, r) -> None:
+def run_incremental(spark, args, edges, labels):
+    """Next crawl batch arrives: half its pairs live among brand-new
+    ids, half link new ids into EXISTING components (forced merges).
+    The incremental fold works over labels ∪ batch — O(corpus pairs
+    ever seen) never appears — and must label-match a full recluster
+    of edges ∪ batch exactly."""
+    half = args.inc_edges // 2
+    fresh = spark.range(half).select(
+        (F.lit(NEW_BASE)
+         + F.pmod(F.xxhash64("id", F.lit(3)), F.lit(args.inc_edges))
+         ).alias("id_a"),
+        (F.lit(NEW_BASE)
+         + F.pmod(F.xxhash64("id", F.lit(4)), F.lit(args.inc_edges))
+         ).alias("id_b"),
+    )
+    cross = spark.range(half).select(
+        (F.lit(RAND_BASE)
+         + F.pmod(F.xxhash64("id", F.lit(5)), F.lit(args.rand_nodes))
+         ).alias("id_a"),
+        (F.lit(NEW_BASE)
+         + F.pmod(F.xxhash64("id", F.lit(6)), F.lit(args.inc_edges))
+         ).alias("id_b"),
+    )
+    batch = (
+        fresh.unionByName(cross)
+        .where(F.col("id_a") != F.col("id_b"))
+        .localCheckpoint(eager=True)
+    )
+    n_batch = batch.count()
+
+    t0 = time.time()
+    # incremental path sees ONLY committed labels + the new batch
+    lab_inc = dup_clusters_incremental(labels, batch).localCheckpoint(
+        eager=True
+    )
+    n_inc = lab_inc.count()
+    t_inc = time.time() - t0
+
+    t0 = time.time()
+    full_stats: dict = {}
+    lab_full = dup_clusters(
+        edges.unionByName(batch), stats=full_stats
+    ).localCheckpoint(eager=True)
+    n_full = lab_full.count()
+    t_full = time.time() - t0
+
+    def digest(df):
+        r = df.agg(
+            F.count("*"),
+            F.expr("bit_xor(xxhash64(doc_id, canon_id))"),
+        ).collect()[0]
+        return int(r[0]), int(r[1])
+
+    return {
+        "inc_batch_edges": n_batch,
+        "inc_sec": round(t_inc, 2),
+        "inc_labels": n_inc,
+        "recluster_sec": round(t_full, 2),
+        "recluster_rounds": full_stats.get("rounds"),
+        "recluster_labels": n_full,
+        "labels_identical": digest(lab_inc) == digest(lab_full),
+    }
+
+
+def update_baseline(args, r, inc=None) -> None:
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH", "BASELINE.md",
@@ -185,6 +262,36 @@ def update_baseline(args, r) -> None:
         "- The hub contracts geometrically (large-star emits edges "
         "toward the neighborhood min only) — no round re-shuffles "
         "the full adjacency of the hot node.",
+    ]
+    if inc:
+        lines += [
+            "",
+            f"Incremental fold (`dup_clusters_incremental`): next "
+            f"crawl batch of {inc['inc_batch_edges']:,} pairs (half "
+            "among brand-new ids, half merging into existing "
+            "components), folded into the committed labels vs "
+            "re-clustering every pair ever seen:",
+            "",
+            "| path | wall s | input |",
+            "|---|---|---|",
+            f"| incremental (labels ∪ batch) | **{inc['inc_sec']}** | "
+            f"{r['labels']:,} committed labels + batch |",
+            f"| full recluster (all pairs ∪ batch, "
+            f"{inc['recluster_rounds']} rounds) | "
+            f"{inc['recluster_sec']} | "
+            f"{r['edges'] + inc['inc_batch_edges']:,} edges |",
+            "",
+            "- Labels bit-identical both paths (digest-compared) — "
+            "the committed labels are a spanning star set, and "
+            "connected components are invariant under swapping one "
+            "spanning structure for another. The star edges are "
+            "depth-1, so the incremental fold converges in a few "
+            "rounds regardless of the old pair set's shape; at 100 "
+            "TB the pair HISTORY keeps growing while the label table "
+            "stays ≤ corpus size — the recluster column is the cost "
+            "that stops existing.",
+        ]
+    lines += [
         "",
         END,
     ]
