@@ -606,6 +606,21 @@ def _q_dup_clusters(spark, sf_dir):
     return clusters.dup_clusters(pairs)
 
 
+def _q_dup_stats(spark, sf_dir):
+    """Cluster-size histogram over the dup_clusters labeling with the
+    full documents table counted in (unpaired docs = size-1
+    clusters): (cluster_size, n_clusters, n_docs, n_droppable) — the
+    dedup job's published report; sum(n_droppable) is exactly what
+    dedup_canonical would remove."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.4,
+    )
+    return clusters.dup_stats(
+        clusters.dup_clusters(pairs), corpus=docs, id_col="doc_id"
+    )
+
+
 def _q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
@@ -1515,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "lsh_incremental": _q_lsh_incremental,
         "dup_clusters": _q_dup_clusters,
+        "dup_stats": _q_dup_stats,
         "emb_incremental": _q_emb_incremental,
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
@@ -1862,6 +1878,11 @@ FROM documents
         # (exact at gate scale; the star contraction is the scale path)
         "dup_clusters": clusters.dup_clusters_sql(
             dedup.minhash_lsh_pairs_sql("documents", "doc_id", "text", 32, 16, 0.4)
+        ),
+        # histogram over the same closure, corpus singletons included
+        "dup_stats": clusters.dup_stats_sql(
+            dedup.minhash_lsh_pairs_sql("documents", "doc_id", "text", 32, 16, 0.4),
+            corpus_table="documents",
         ),
         "simhash_pairs": dedup.simhash_pairs_sql("documents", "doc_id", "text", 3),
         "embedding_near_dup": _near_dup_oracle_sql(),

@@ -245,6 +245,80 @@ def dedup_canonical(
     )
 
 
+def dup_stats(
+    labels: DataFrame,
+    corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The report every corpus-dedup job publishes: cluster-size
+    histogram over a (doc_id, canon_id) labeling — one row per
+    cluster size with ``n_clusters``, ``n_docs`` (docs living in
+    clusters of that size) and ``n_droppable`` (docs a
+    keep-one-per-cluster policy removes). Pass ``corpus`` to count
+    docs that never appeared in any pair as size-1 clusters, making
+    the histogram total the corpus and ``sum(n_droppable)`` the
+    exact row count ``dedup_canonical`` would remove.
+
+    Scale shape: one shuffle keyed by canon_id (groups = cluster
+    sizes, bounded by the biggest dup cluster), then an aggregation
+    over |distinct sizes| rows — nothing O(corpus) leaves the first
+    aggregate."""
+    full = labels.select("doc_id", "canon_id")
+    if corpus is not None:
+        singles = (
+            corpus.select(F.col(id_col).alias("doc_id"))
+            .join(labels.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.col("doc_id").alias("canon_id"))
+        )
+        full = full.unionByName(singles)
+    sizes = full.groupBy("canon_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "n_droppable"
+            ),
+        )
+    )
+
+
+def dup_stats_sql(
+    pairs_sql: str,
+    corpus_table: str | None = None,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> str:
+    """DuckDB twin of ``dup_stats`` over ``dup_clusters_sql``'s
+    closure (labels as a parenthesized subquery — DuckDB allows a
+    WITH RECURSIVE inside a derived table)."""
+    lab = dup_clusters_sql(pairs_sql, id_a, id_b)
+    if corpus_table is None:
+        full = f"SELECT doc_id, canon_id FROM ({lab}) __lab"
+    else:
+        full = f"""
+SELECT doc_id, canon_id FROM ({lab}) __lab
+UNION ALL
+SELECT c.{id_col} AS doc_id, c.{id_col} AS canon_id
+FROM {corpus_table} c
+WHERE c.{id_col} NOT IN (SELECT doc_id FROM ({lab}) __lab2)
+"""
+    return f"""
+WITH __sz AS (
+  SELECT canon_id, COUNT(*) AS cluster_size FROM ({full}) __full
+  GROUP BY canon_id
+)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       cluster_size * COUNT(*) AS n_docs,
+       (cluster_size - 1) * COUNT(*) AS n_droppable
+FROM __sz GROUP BY cluster_size
+"""
+
+
 def dup_clusters_sql(
     pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b"
 ) -> str:

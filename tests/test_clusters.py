@@ -50,6 +50,38 @@ def test_chain_worst_diameter(spark):
     _check(spark, [(i, i + 1) for i in range(60)])
 
 
+def test_dup_stats_histogram(spark):
+    # clusters: {0,1,2} (size 3), {10,11} (size 2); corpus adds
+    # singletons 20, 21 -> histogram rows for sizes 1, 2, 3
+    lab = clusters.dup_clusters(
+        _pairs_df(spark, [(0, 1), (1, 2), (10, 11)])
+    )
+    corpus = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 10, 11, 20, 21)], "doc_id long"
+    )
+    rows = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"], r["n_droppable"])
+        for r in clusters.dup_stats(lab, corpus=corpus).collect()
+    }
+    assert rows == {1: (2, 2, 0), 2: (1, 2, 1), 3: (1, 3, 2)}
+    # droppable total == what dedup_canonical actually removes
+    kept = clusters.dedup_canonical(
+        corpus, _pairs_df(spark, [(0, 1), (1, 2), (10, 11)]), "doc_id"
+    ).count()
+    dropped = sum(n_drop for _, _, n_drop in rows.values())
+    assert corpus.count() - kept == dropped
+
+
+def test_dup_stats_without_corpus(spark):
+    # labels only: no singleton row unless a component is a singleton
+    lab = clusters.dup_clusters(_pairs_df(spark, [(5, 6)]))
+    rows = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in clusters.dup_stats(lab).collect()
+    }
+    assert rows == {2: 1}
+
+
 def test_min_strategy_equivalence(spark):
     # window (default, measured 1.7× faster) and join (the
     # AQE-skew-splittable fallback) must produce identical labels on
