@@ -26,8 +26,10 @@ and rerun the same command):
     dedup   df-capped n-gram jaccard near-dup pairs over page text,
             then dedup_clusters — the transitive closure that turns
             pairs into one canonical url per near-dup cluster
-            (operators/clusters.py); with --embeddings also
-            banded-LSH embedding near-dups
+            (operators/clusters.py) — and dedup_stats, the published
+            job report (cluster-size histogram over the whole corpus
+            + droppable counts); with --embeddings also banded-LSH
+            embedding near-dups
     dedup-incremental  (OPT-IN) rolling-crawl dedup against the
             persisted LSH index (operators/lsh_index.py): builds or
             resumes the index at --index-dir, pairs ONLY the new
@@ -282,6 +284,24 @@ def main(argv=None):
                 "clusters": lambda: int(
                     ckpt.read_snapshot("dedup_clusters")
                     .select("canon_id").distinct().count()
+                ),
+            },
+        )
+        # the job report: cluster-size histogram over the WHOLE page
+        # corpus (unpaired pages = size-1 clusters); sum(n_droppable)
+        # is exactly what a keep-one-per-cluster policy removes
+        run(
+            "dedup_stats",
+            lambda: clusters.dup_stats(
+                ckpt.read_snapshot("dedup_clusters"),
+                corpus=pages, id_col="url",
+            ),
+            key_col="cluster_size",
+            extra={
+                "droppable": lambda: int(
+                    ckpt.read_snapshot("dedup_stats")
+                    .agg(F.coalesce(F.sum("n_droppable"), F.lit(0)))
+                    .collect()[0][0]
                 ),
             },
         )

@@ -129,6 +129,24 @@ def test_cli_batch_dedup_emits_clusters(spark, crawl, tmp_path):
     assert labels == _uf_labels(pairs) and len(labels) >= 10
     assert stages["dedup_clusters"]["clusters"] == len(
         {c for _, c in labels})
+    # the dedup_stats report must be the exact histogram of the
+    # labels with unpaired corpus urls counted as size-1 clusters
+    from collections import Counter
+    stats = {
+        r.cluster_size: (r.n_clusters, r.n_docs, r.n_droppable)
+        for r in spark.read.parquet(
+            os.path.join(wh, "dedup_stats", "data")).collect()
+    }
+    expected = Counter(Counter(c for _, c in labels).values())
+    expected[1] += len(set(allp["url"])) - len({d for d, _ in labels})
+    assert {k: v[0] for k, v in stats.items()} == {
+        k: v for k, v in expected.items() if v}
+    assert all(
+        v == (expected[k], k * expected[k], (k - 1) * expected[k])
+        for k, v in stats.items()
+    )
+    assert stages["dedup_stats"]["droppable"] == sum(
+        (k - 1) * v for k, v in expected.items())
 
 
 def _uf_labels(pairs):
