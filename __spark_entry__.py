@@ -621,6 +621,24 @@ def _q_dup_stats(spark, sf_dir):
     )
 
 
+def _q_dedup_keep_best(spark, sf_dir):
+    """Quality-policy corpus dedup (operators/clusters.py): per
+    near-dup cluster keep the LONGEST-text member (ties → min
+    doc_id), plus every unpaired doc — the keep-best twin of
+    dedup_canonical's keep-min-id. Returns (doc_id, text_len) of the
+    kept set; the DuckDB twin ranks the closure's components with
+    ROW_NUMBER over (LENGTH(text) DESC, doc_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.4,
+    )
+    kept = clusters.dedup_keep_best(
+        docs.withColumn("__len", F.length("text")),
+        pairs, "doc_id", "__len",
+    )
+    return kept.select("doc_id", F.length("text").alias("text_len"))
+
+
 def _q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
@@ -1531,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_incremental": _q_lsh_incremental,
         "dup_clusters": _q_dup_clusters,
         "dup_stats": _q_dup_stats,
+        "dedup_keep_best": _q_dedup_keep_best,
         "emb_incremental": _q_emb_incremental,
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
@@ -1878,6 +1897,18 @@ FROM documents
         # (exact at gate scale; the star contraction is the scale path)
         "dup_clusters": clusters.dup_clusters_sql(
             dedup.minhash_lsh_pairs_sql("documents", "doc_id", "text", 32, 16, 0.4)
+        ),
+        # keep-best policy over the same closure (longest text wins)
+        "dedup_keep_best": (
+            "SELECT doc_id, LENGTH(text) AS text_len FROM ("
+            + clusters.dedup_keep_best_sql(
+                dedup.minhash_lsh_pairs_sql(
+                    "documents", "doc_id", "text", 32, 16, 0.4),
+                corpus_table="documents",
+                id_col="doc_id",
+                score_sql="LENGTH(c.text)",
+            )
+            + ") __kept"
         ),
         # histogram over the same closure, corpus singletons included
         "dup_stats": clusters.dup_stats_sql(

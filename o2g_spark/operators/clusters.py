@@ -245,6 +245,73 @@ def dedup_canonical(
     )
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """``dedup_canonical`` with a QUALITY keep policy: per near-dup
+    cluster keep the member with the highest ``order_col`` (ties
+    broken by ascending id — fully deterministic), plus every
+    unpaired row. This is what a training-data pipeline actually
+    wants — keep the longest / highest-quality duplicate, not the
+    lexicographically-smallest id.
+
+    Scale shape mirrors ``dedup_canonical``: the ranking window runs
+    over PAIRED rows only (|paired| ≪ corpus at real dup rates), and
+    the corpus pays one anti join against the drop set — it is never
+    shuffled or ranked itself."""
+    lab = dup_clusters(pairs, id_a, id_b, max_iter)
+    paired = df.select(
+        F.col(id_col).alias("__id"), F.col(order_col).alias("__ord")
+    ).join(lab, F.col("__id") == F.col("doc_id"), "inner")
+    w = Window.partitionBy("canon_id").orderBy(
+        F.desc("__ord"), F.asc("__id")
+    )
+    drop = (
+        paired.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(F.col("__id").alias("__drop_id"))
+    )
+    return df.join(
+        drop, F.col(id_col) == F.col("__drop_id"), "left_anti"
+    )
+
+
+def dedup_keep_best_sql(
+    pairs_sql: str,
+    corpus_table: str,
+    id_col: str,
+    score_sql: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> str:
+    """DuckDB twin of ``dedup_keep_best``: recursive-CTE closure →
+    rank paired rows per component by (score DESC, id ASC) → keep
+    rank 1 plus every unpaired row. ``score_sql`` is an expression
+    over ``corpus_table``'s columns (e.g. ``LENGTH(text)``)."""
+    lab = dup_clusters_sql(pairs_sql, id_a, id_b)
+    return f"""
+WITH __paired AS (
+  SELECT c.{id_col} AS __id, {score_sql} AS __ord, l.canon_id
+  FROM {corpus_table} c JOIN ({lab}) l ON c.{id_col} = l.doc_id
+),
+__drop AS (
+  SELECT __id FROM (
+    SELECT __id, ROW_NUMBER() OVER (
+      PARTITION BY canon_id ORDER BY __ord DESC, __id ASC
+    ) AS __rn FROM __paired
+  ) WHERE __rn > 1
+)
+SELECT * FROM {corpus_table}
+WHERE {id_col} NOT IN (SELECT __id FROM __drop)
+"""
+
+
 def dup_stats(
     labels: DataFrame,
     corpus: DataFrame | None = None,

@@ -50,6 +50,43 @@ def test_chain_worst_diameter(spark):
     _check(spark, [(i, i + 1) for i in range(60)])
 
 
+def test_dedup_keep_best_policy(spark):
+    # clusters {0,1,2} and {10,11}; scores pick 1 (highest in its
+    # cluster) and tie 10/11 at 5 -> min id 10 wins; 20 unpaired
+    corpus = spark.createDataFrame(
+        [(0, 3), (1, 9), (2, 7), (10, 5), (11, 5), (20, 1)],
+        "doc_id long, score long",
+    )
+    kept = {
+        r["doc_id"]
+        for r in clusters.dedup_keep_best(
+            corpus, _pairs_df(spark, [(0, 1), (1, 2), (10, 11)]),
+            "doc_id", "score",
+        ).collect()
+    }
+    assert kept == {1, 10, 20}
+
+
+def test_dedup_keep_best_constant_score_equals_canonical(spark):
+    # constant score -> tiebreak keeps the min id per cluster, which
+    # is exactly dedup_canonical's policy
+    corpus = spark.createDataFrame(
+        [(i, 1) for i in range(8)], "doc_id long, score long"
+    )
+    pairs = _pairs_df(spark, [(3, 4), (4, 5), (6, 7)])
+    best = {
+        r["doc_id"]
+        for r in clusters.dedup_keep_best(
+            corpus, pairs, "doc_id", "score"
+        ).collect()
+    }
+    canon = {
+        r["doc_id"]
+        for r in clusters.dedup_canonical(corpus, pairs, "doc_id").collect()
+    }
+    assert best == canon
+
+
 def test_dup_stats_histogram(spark):
     # clusters: {0,1,2} (size 3), {10,11} (size 2); corpus adds
     # singletons 20, 21 -> histogram rows for sizes 1, 2, 3
