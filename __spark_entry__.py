@@ -39,6 +39,7 @@ from o2g_spark.functions import text as X
 from o2g_spark.kernels import cells as cellk
 from o2g_spark.operators import (
     clusters,
+    corpus,
     dedup,
     gtfs,
     knn,
@@ -46,6 +47,8 @@ from o2g_spark.operators import (
     pip,
     similarity,
     skew,
+    sketches,
+    temporal,
     tiles,
 )
 from o2g_spark.sources import synth, tables
@@ -637,6 +640,160 @@ def _q_dedup_keep_best(spark, sf_dir):
         pairs, "doc_id", "__len",
     )
     return kept.select("doc_id", F.length("text").alias("text_len"))
+
+
+# --------------------------------------------- corpus curation family
+
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+STRAT_FRACTIONS = {"en": 0.25, "de": 0.5, "zh": 1.0}
+
+
+def _q_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/corpus.py
+    hash_split): membership is a pure function of (seed, doc_id) — a
+    map-side CASE over the shared 60-bit hash, stable under any
+    partitioning/cluster size (unlike randomSplit's per-partition
+    RNG). Output: every doc with its split label."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.hash_split(docs, "doc_id", SPLIT_WEIGHTS).select(
+        "doc_id", "lang", "split"
+    )
+
+
+def _q_strat_sample(spark, sf_dir):
+    """Per-language deterministic downsampling (stratified_sample):
+    keep-mask = hash bucket < per-stratum micro-threshold; strata
+    absent from the map drop to 0 (fr/es filtered out here). A
+    pushdown-friendly filter, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.stratified_sample(
+        docs, "doc_id", "lang", STRAT_FRACTIONS
+    ).select("doc_id", "lang")
+
+
+def _q_weighted_sample(spark, sf_dir):
+    """Weighted sample without replacement, k=50 (Efraimidis–Spirakis
+    A-Res with the RNG replaced by the row hash): priority ln(u)/w,
+    distributed top-k (TakeOrderedAndProject — per-partition heaps,
+    no global sort). Weight = n_chars, so long docs are
+    proportionally likelier."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.weighted_sample_topk(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", k=50
+    )
+
+
+def _gate_urls(docs):
+    """Deterministic synthetic URLs over documents (the driver tables
+    carry no url column): subdomain varies by doc_id mod 7, the
+    registered domain by source — 20 distinct domains, reproduced
+    verbatim in the oracle."""
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://w"),
+            F.pmod("doc_id", F.lit(7)).cast(T.StringType()),
+            F.lit("."),
+            F.col("source"),
+            F.lit(".org/p/"),
+            F.col("doc_id").cast(T.StringType()),
+        ).alias("url"),
+    )
+
+
+_GATE_URL_SQL = (
+    "concat('https://w', CAST(doc_id % 7 AS VARCHAR), '.', source, "
+    "'.org/p/', CAST(doc_id AS VARCHAR))"
+)
+
+
+def _q_domain_cap(spark, sf_dir):
+    """Per-registered-domain diversity cap (operators/corpus.py
+    domain_cap): top 5 docs per domain by n_chars (ties → min
+    doc_id). Host/domain parse via engine-neutral regex; one domain
+    shuffle + a rank window that is itself the hot-host skew bound."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.domain_cap(
+        _gate_urls(docs), "url", "n_chars", "doc_id", max_per_domain=5
+    ).select("doc_id", "domain", "n_chars")
+
+
+def _q_doc_chunks(spark, sf_dir):
+    """Token-window chunking for training-sequence prep (doc_chunks):
+    32-token chunks, 8-token overlap, over every 10th doc; arrays
+    materialized before the explode (CLAUDE.md rule 1)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return corpus.doc_chunks(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    """Top-3 rarity-weighted terms per doc (tfidf_topk): integer
+    score (tf * 1e6) // df — the TF-IDF ranking with idf as an exact
+    rational so both engines agree to the bit (ln's last ulp is not
+    contractual cross-engine)."""
+    return corpus.tfidf_topk(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+def _q_hll_words(spark, sf_dir):
+    """Per-language HLL distinct estimate of (doc_id, word) pairs
+    (operators/sketches.py): registers from the shared 60-bit hash,
+    harmonic mean in scaled-integer space, ONE float division — the
+    sketch AND estimate are bit-identical to the DuckDB twin. p=9
+    keeps every sf0.01 stratum above the raw estimator's 2.5·m
+    regime floor."""
+    docs = _t(spark, sf_dir, "documents")
+    # materialize the word array, then explode (CLAUDE.md rule 1)
+    exploded = (
+        docs.withColumn("__ws", X.words("text"))
+        .select("lang", "doc_id", F.explode("__ws").alias("w"))
+        .select(
+            "lang",
+            F.concat(
+                F.col("doc_id").cast(T.StringType()), F.lit(":"), F.col("w")
+            ).alias("v"),
+        )
+    )
+    return sketches.hll_distinct(exploded, ["lang"], "v", p=9)
+
+
+def _q_asof_join(spark, sf_dir):
+    """As-of join (operators/temporal.py): every click event picks up
+    the latest prior-or-equal 'view' by the same user — union +
+    ordered window (ONE key shuffle, no join fan-out), vs DuckDB's
+    rank-form theta join. Ties on ts resolve to max view id."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), "user_id", "ts", "value"
+    )
+    return temporal.asof_join(
+        clicks, views, "user_id", "ts", "ts", ["v_id", "value"], tie_col="v_id"
+    )
+
+
+def _q_interval_join(spark, sf_dir):
+    """Bucketed interval join: clicks landing inside the 1-hour window
+    after every 10th signup. Intervals explode to covered hour
+    buckets (materialized array), points map to one bucket, equi-join
+    + exact refine — the scale-safe range join vs DuckDB's native
+    range predicate."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.where(
+        (F.col("event_type") == "signup") & (F.col("event_id") % 10 == 0)
+    ).select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+    )
+    pts = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("t")
+    )
+    return temporal.interval_join(
+        pts, iv, "t", "s", "e", bucket_seconds=3600
+    ).select("signup_id", "p_click_id")
 
 
 def _q_simhash_pairs(spark, sf_dir):
@@ -1551,6 +1708,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_stats": _q_dup_stats,
         "dedup_keep_best": _q_dedup_keep_best,
         "emb_incremental": _q_emb_incremental,
+        # corpus curation / temporal / sketches
+        "train_split": _q_train_split,
+        "strat_sample": _q_strat_sample,
+        "weighted_sample": _q_weighted_sample,
+        "domain_cap": _q_domain_cap,
+        "doc_chunks": _q_doc_chunks,
+        "tfidf_topk": _q_tfidf_topk,
+        "hll_words": _q_hll_words,
+        "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
@@ -1940,6 +2107,63 @@ FROM documents
             "SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10",
             k=5,
         ),
+        # ---- corpus curation / temporal / sketches
+        "train_split": (
+            "SELECT doc_id, lang, "
+            + corpus.split_assign_sql("doc_id", SPLIT_WEIGHTS)
+            + " AS split FROM documents"
+        ),
+        "strat_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            + corpus.stratified_keep_sql("doc_id", "lang", STRAT_FRACTIONS)
+        ),
+        "weighted_sample": corpus.weighted_sample_topk_sql(
+            "(SELECT doc_id, n_chars FROM documents)", "doc_id", "n_chars", 50
+        ),
+        "domain_cap": f"""
+WITH u AS (SELECT doc_id, n_chars, {_GATE_URL_SQL} AS url FROM documents),
+ d AS (SELECT doc_id, n_chars,
+              {corpus.registered_domain_sql('url')} AS domain FROM u)
+SELECT doc_id, domain, n_chars FROM d
+QUALIFY row_number() OVER (
+  PARTITION BY domain ORDER BY n_chars DESC, doc_id ASC) <= 5
+""",
+        "doc_chunks": corpus.doc_chunks_sql(
+            "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)",
+            "doc_id",
+            "text",
+            chunk_tokens=32,
+            overlap=8,
+        ),
+        "tfidf_topk": corpus.tfidf_topk_sql("documents", "doc_id", "text", k=3),
+        "hll_words": sketches.hll_distinct_sql(
+            "(SELECT lang, concat(CAST(doc_id AS VARCHAR), ':', w) AS v FROM "
+            "(SELECT lang, doc_id, unnest("
+            + X.words_sql("text")
+            + ") AS w FROM documents))",
+            ["lang"],
+            "v",
+            p=9,
+        ),
+        "asof_join": temporal.asof_join_sql(
+            "SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'",
+            "SELECT event_id AS v_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'view'",
+            "user_id",
+            "ts",
+            "ts",
+            ["event_id", "user_id", "ts"],
+            ["v_id", "value"],
+            "v_id",
+        ),
+        "interval_join": """
+SELECT i.signup_id, p.click_id AS p_click_id
+FROM (SELECT event_id AS signup_id, ts AS s, ts + INTERVAL 1 HOUR AS e
+      FROM events WHERE event_type = 'signup' AND event_id % 10 = 0) i
+JOIN (SELECT event_id AS click_id, ts AS t
+      FROM events WHERE event_type = 'click') p
+  ON p.t >= i.s AND p.t <= i.e
+""",
         # every queries() entry has a value-hash oracle: iterative /
         # Arrow-kernel ops use literal-constant twins (hyperplanes,
         # k-means centroids, raw fixtures) rather than rows-only checks

@@ -1,0 +1,468 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+train/val/test splits, stratified + weighted sampling, per-domain
+quality caps, and token-window document chunking.
+
+These are the selection/partitioning ops a 100-TB crawl corpus needs
+between dedup and training: every one is a **pure Column expression**
+(whole-stage codegen, no Python in the hot path) and every one is
+DETERMINISTIC — membership is a function of the row alone (a 60-bit
+md5 hash, see functions/text.py), never of RNG state or partitioning.
+That matters at scale for three reasons:
+
+* reproducibility: the same corpus + seed yields the same split on any
+  cluster size, any partition layout, any retry (Spark's built-in
+  ``df.sample``/``randomSplit`` are per-partition-RNG and change under
+  repartitioning);
+* resumability: a killed job re-derives the identical assignment, so
+  split/sample stages compose with the checkpoint layer without
+  persisting membership;
+* no-leakage audits: train/test membership can be re-checked row-wise
+  downstream (the hash is the proof), instead of trusting a frozen
+  file.
+
+Each builder has a ``*_sql`` twin producing the bit-identical DuckDB
+expression, so all of these ops carry full value-hash oracles in the
+driver contract.
+
+Scale notes (the 100-TB audit, per op):
+
+* ``hash_split`` / ``stratified_sample`` — narrow (no shuffle at all):
+  a map-side CASE over a hash. Filters compose with parquet scan
+  pushdown on the id column.
+* ``weighted_sample_topk`` — one global top-k. Spark plans
+  ``TakeOrderedAndProject`` (per-partition heap + driver merge of k
+  rows), NOT a full sort: safe at any corpus size for serving-sized k.
+* ``domain_cap`` — one hash shuffle on the registered domain + a
+  rank window. Domains are the natural skew axis of a crawl (a few
+  giant hosts); the cap itself is the mitigation — the window scans a
+  skewed partition once but emits ≤ max_per_domain rows from it.
+* ``doc_chunks`` — narrow per-row explode; output rows ≈ tokens/step
+  per doc. The chunk array is materialized via ``withColumn`` BEFORE
+  the explode (CLAUDE.md rule 1: GenerateExec evaluates generator
+  expressions interpreted, so exploding a computed array re-evaluates
+  the tokenizer per output row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import text as X
+
+_MICRO = 1_000_000
+
+
+def _c(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+# ----------------------------------------------------------- hash bucket
+
+def hash_bucket_micro(key: Column | str, seed: str) -> Column:
+    """Deterministic uniform bucket in [0, 1e6): 60-bit md5 hash of
+    ``seed || ':' || key``, mod 1e6. The micro-fraction grid keeps all
+    threshold comparisons in exact integer space (no float fractions
+    to diverge across engines)."""
+    tagged = F.concat(F.lit(seed + ":"), _c(key).cast(T.StringType()))
+    return F.pmod(X.md5_hash60(tagged), F.lit(_MICRO)).cast(T.LongType())
+
+
+def hash_bucket_micro_sql(key: str, seed: str) -> str:
+    # integer % (NOT fmod): the 60-bit hash exceeds the double mantissa,
+    # so a float modulus would corrupt the bucket. The hash is
+    # non-negative, so Spark pmod == Spark % == DuckDB %.
+    h = X.md5_hash60_sql(f"concat('{seed}:', CAST({key} AS VARCHAR))")
+    return f"({h} % {_MICRO})"
+
+
+def _micro_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative integer thresholds on the micro grid. All but the
+    last split get floor(w * 1e6) micro-slots; the last absorbs the
+    rounding remainder so the thresholds always cover [0, 1e6)."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    names = list(weights)
+    cuts: list[tuple[str, int]] = []
+    acc = 0
+    for name in names[:-1]:
+        acc += int(weights[name] / total * _MICRO)
+        cuts.append((name, acc))
+    cuts.append((names[-1], _MICRO))
+    return cuts
+
+
+# ------------------------------------------------------------ hash split
+
+def split_assign(
+    key: Column | str, weights: dict[str, float], seed: str = "split"
+) -> Column:
+    """Split label ('train'/'val'/'test'/...) for a row, as a pure
+    column: deterministic in (seed, key) alone — stable under
+    repartitioning, retries, and cluster size, unlike
+    ``DataFrame.randomSplit`` (per-partition RNG)."""
+    bucket = hash_bucket_micro(key, seed)
+    cuts = _micro_thresholds(weights)
+    # build innermost-out so the FIRST (smallest) matching threshold wins
+    expr = F.lit(cuts[-1][0])
+    for name, cut in cuts[:-1][::-1]:
+        expr = F.when(bucket < cut, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def split_assign_sql(key: str, weights: dict[str, float], seed: str = "split") -> str:
+    bucket = hash_bucket_micro_sql(key, seed)
+    cuts = _micro_thresholds(weights)
+    expr = f"'{cuts[-1][0]}'"
+    for name, cut in cuts[:-1][::-1]:
+        expr = f"CASE WHEN {bucket} < {cut} THEN '{name}' ELSE {expr} END"
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Attach a deterministic split column. Narrow op — no shuffle."""
+    return df.withColumn(out_col, split_assign(id_col, weights, seed))
+
+
+# ---------------------------------------------------- stratified sample
+
+def stratified_keep(
+    key: Column | str,
+    stratum: Column | str,
+    fractions: dict[str, float],
+    seed: str = "strat",
+    default: float = 0.0,
+) -> Column:
+    """Boolean keep-mask for per-stratum deterministic sampling: a row
+    survives iff hash_bucket < fraction[stratum] * 1e6. Strata absent
+    from ``fractions`` use ``default``. Pure column — the sample is a
+    pushdown-friendly filter, not a shuffle."""
+    bucket = hash_bucket_micro(key, seed)
+    thr = F.lit(int(default * _MICRO))
+    for name in sorted(fractions, reverse=True):
+        thr = F.when(
+            _c(stratum) == name, F.lit(int(fractions[name] * _MICRO))
+        ).otherwise(thr)
+    return bucket < thr
+
+
+def stratified_keep_sql(
+    key: str,
+    stratum: str,
+    fractions: dict[str, float],
+    seed: str = "strat",
+    default: float = 0.0,
+) -> str:
+    bucket = hash_bucket_micro_sql(key, seed)
+    thr = str(int(default * _MICRO))
+    for name in sorted(fractions, reverse=True):
+        thr = (
+            f"CASE WHEN {stratum} = '{name}' THEN {int(fractions[name] * _MICRO)} "
+            f"ELSE {thr} END"
+        )
+    return f"({bucket} < {thr})"
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: str = "strat",
+    default: float = 0.0,
+) -> DataFrame:
+    return df.where(stratified_keep(id_col, strata_col, fractions, seed, default))
+
+
+# ------------------------------------------------- weighted reservoir
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wres",
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of size k (Efraimidis–
+    Spirakis A-Res), deterministic: each row draws u = hash-uniform in
+    (0, 1] and takes priority ln(u)/w; the k largest priorities win —
+    P(selection) proportional to weight, exactly the reservoir scheme,
+    but with the RNG replaced by the row hash so the "reservoir" is a
+    plain distributed top-k (TakeOrderedAndProject: per-partition
+    heaps, no global sort, no driver collect of the corpus).
+
+    Weights must be > 0. Output keeps the input columns plus the
+    priority (``__wkey``) dropped; rows ordered by priority descending
+    with id tiebreak.
+    """
+    # u in (0,1]: (h mod 2^52 + 1) / 2^52 — 52 bits keeps the integer
+    # exactly representable in the double mantissa, so the division is
+    # a single correctly-rounded IEEE op in both engines.
+    h52 = F.pmod(
+        X.md5_hash60(
+            F.concat(F.lit(seed + ":"), _c(id_col).cast(T.StringType()))
+        ),
+        F.lit(1 << 52),
+    )
+    u = (h52 + F.lit(1)).cast(T.DoubleType()) / F.lit(float(1 << 52))
+    key = F.log(u) / _c(weight_col)
+    ranked = df.withColumn("__wkey", key)
+    return (
+        ranked.orderBy(F.col("__wkey").desc(), _c(id_col).asc())
+        .limit(k)
+        .drop("__wkey")
+    )
+
+
+def weighted_sample_topk_sql(
+    table_sql: str, id_col: str, weight_col: str, k: int, seed: str = "wres"
+) -> str:
+    h = X.md5_hash60_sql(f"concat('{seed}:', CAST({id_col} AS VARCHAR))")
+    u = f"((({h} % {1 << 52}) + 1) / {float(1 << 52)})"
+    return (
+        f"SELECT * EXCLUDE (__wkey) FROM ("
+        f"SELECT *, ln({u}) / {weight_col} AS __wkey FROM {table_sql}"
+        f") ORDER BY __wkey DESC, {id_col} ASC LIMIT {k}"
+    )
+
+
+# ------------------------------------------------------------ domain cap
+
+# scheme://host[:port]/...  — capture the authority, then strip
+# userinfo and port. The pattern parses identically in Java regex and
+# RE2/DuckDB (no lookarounds, no engine-specific classes).
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased hostname of a URL (authority minus userinfo/port);
+    '' when the input has no scheme://authority shape."""
+    auth = F.regexp_extract(_c(url), _HOST_RE, 1)
+    no_user = F.element_at(F.split(auth, "@"), -1)
+    host = F.element_at(F.split(no_user, ":"), 1)
+    return F.lower(host)
+
+
+def url_host_sql(url: str) -> str:
+    auth = f"regexp_extract({url}, '{_HOST_RE}', 1)"
+    no_user = f"list_extract(string_split({auth}, '@'), -1)"
+    host = f"list_extract(string_split({no_user}, ':'), 1)"
+    return f"lower({host})"
+
+
+def registered_domain(url: Column | str) -> Column:
+    """Last two dot-labels of the host (example.com for
+    www.example.com) — the crawl-dedup grouping key. Hosts with fewer
+    than two labels pass through unchanged."""
+    host = url_host(url)
+    dom = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(dom == "", host).otherwise(dom)
+
+
+def registered_domain_sql(url: str) -> str:
+    host = url_host_sql(url)
+    dom = f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
+    return f"CASE WHEN {dom} = '' THEN {host} ELSE {dom} END"
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str,
+    score_col: str,
+    id_col: str,
+    max_per_domain: int,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Keep the top ``max_per_domain`` rows per registered domain by
+    score (ties → min id). The standard crawl-corpus diversity cap:
+    one hash shuffle on the domain, and the rank window is itself the
+    skew mitigation — a mega-host's partition is scanned once and
+    emits at most the cap."""
+    dom = registered_domain(url_col)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn(domain_col, dom)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= max_per_domain)
+        .drop("__rk")
+    )
+
+
+# ------------------------------------------------------------ chunking
+
+def doc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Token-window chunking for training-sequence prep: tokenize with
+    the engine-neutral BPE-ish pattern (functions/text.TOKEN_RE),
+    window into chunks of ``chunk_tokens`` with ``overlap`` tokens of
+    context between consecutive chunks, and emit one row per chunk
+    (chunk_idx, n_tokens, chunk_text — tokens re-joined with single
+    spaces). Docs with zero tokens produce zero chunks.
+
+    Narrow op: tokenize → start-offset array → posexplode → slice.
+    Both arrays are MATERIALIZED columns before the explode
+    (CLAUDE.md rule 1 — Generate evaluates its child interpreted and
+    without subexpression elimination, so exploding a computed regex
+    array re-runs the tokenizer per emitted row: measured 20× on the
+    Morton analog)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.regexp_extract_all(_c(text_col), F.lit(X.TOKEN_RE), 0)
+    out = (
+        df.withColumn("__toks", toks)
+        .withColumn("__n", F.size("__toks"))
+        .withColumn(
+            "__starts",
+            F.when(F.col("__n") <= 0, F.array().cast(T.ArrayType(T.IntegerType())))
+            .otherwise(
+                F.sequence(F.lit(0), F.col("__n") - 1, F.lit(step))
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.posexplode(F.col("__starts")).alias("chunk_idx", "__start"),
+        )
+        .withColumn("__chunk", F.slice("__toks", F.col("__start") + 1, chunk_tokens))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast(T.LongType()).alias("chunk_idx"),
+            F.size("__chunk").cast(T.LongType()).alias("n_tokens"),
+            F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+        )
+    )
+    return out
+
+
+# ------------------------------------------------------------- tf-idf
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k rarity-weighted terms per document: tf from the doc's
+    word multiset, df from the corpus (docs containing the term),
+    score = (tf * scale) // df — the TF-IDF ranking shape with the
+    idf kept as an EXACT integer rational (scale/df) instead of a
+    logarithm, so the score is bit-identical across engines (ln()'s
+    last ulp is not contractual; see CLAUDE.md). Monotonic in tf and
+    in 1/df, which is what the ranking consumes. Ties → lexicographic
+    term.
+
+    Output: id, term, tf, df, score_ppm — k rows per doc (fewer for
+    short docs).
+
+    Scale shape: one (doc, term) partial-agg groupBy, one term-level
+    df agg (vocab-sized), an equi-join on term (AQE decides broadcast
+    vs shuffle by actual vocab size), and a per-doc top-k window.
+    The hot-term skew axis (stopwords appear in every doc) is bounded:
+    the join's build side is one row per distinct term, never per
+    occurrence."""
+    from ..session import cache_latest
+
+    # materialize the word array before exploding (CLAUDE.md rule 1 —
+    # Generate evaluates its child interpreted, per emitted row)
+    tf = (
+        df.withColumn("__ws", X.words(_c(text_col)))
+        .select(F.col(id_col), F.explode("__ws").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # tf feeds BOTH join sides; Spark has no common-subplan reuse for
+    # DataFrame lineage, so without this the tokenize+agg runs twice
+    # (measured as 2 Generates in the uncached plan)
+    tf = cache_latest("corpus.tfidf_topk.tf", tf)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score_ppm",
+        F.expr(f"(tf * CAST({scale} AS BIGINT)) DIV df"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_ppm").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            F.col("tf").cast(T.LongType()).alias("tf"),
+            F.col("df").cast(T.LongType()).alias("df"),
+            F.col("score_ppm").cast(T.LongType()).alias("score_ppm"),
+        )
+    )
+
+
+def tfidf_topk_sql(
+    table: str, id_col: str, text_col: str, k: int = 5, scale: int = 1_000_000
+) -> str:
+    wds = X.words_sql(text_col)
+    return f"""
+WITH tf AS (
+  SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT {id_col}, unnest({wds}) AS term FROM {table})
+  GROUP BY {id_col}, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+)
+SELECT {id_col}, tf.term AS term, tf, df,
+       (tf * CAST({scale} AS BIGINT)) // df AS score_ppm
+FROM tf JOIN dfreq ON tf.term = dfreq.term
+QUALIFY row_number() OVER (
+  PARTITION BY {id_col} ORDER BY score_ppm DESC, tf.term ASC) <= {k}
+"""
+
+
+def doc_chunks_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+) -> str:
+    """DuckDB twin of :func:`doc_chunks` (1-based list slicing, range()
+    end-exclusive; chunk_idx is the 0-based window ordinal)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = f"regexp_extract_all({text_col}, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')"
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {toks} AS toks FROM {table}
+), starts AS (
+  SELECT {id_col}, toks,
+         unnest(range(0, greatest(len(toks), 0), {step})) AS start
+  FROM base
+)
+SELECT {id_col},
+       CAST(start // {step} AS BIGINT) AS chunk_idx,
+       CAST(len(toks[start + 1 : start + {chunk_tokens}]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[start + 1 : start + {chunk_tokens}], ' ') AS chunk_text
+FROM starts
+"""

@@ -1,0 +1,99 @@
+"""HyperLogLog distinct sketch (operators/sketches.py): accuracy
+bounds, merge-invariance under partitioning, and the scaled-integer
+exactness property."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from o2g_spark.operators import sketches as SK
+
+
+def _ids(spark, n, groups=1):
+    return spark.range(n).select(
+        (F.col("id") % groups).alias("g"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("v"),
+    )
+
+
+def test_hll_within_error_bound(spark):
+    """Relative error within 5 sigma of the 1.04/sqrt(m) bound at a
+    cardinality safely above the raw estimator's small-range floor."""
+    for p in (8, 10, 12):
+        n = 200_000
+        est = SK.hll_distinct(_ids(spark, n), ["g"], "v", p=p).collect()[0]["hll_est"]
+        rel = abs(est - n) / n
+        assert rel < 5 * SK.hll_error_bound(p), (p, est, rel)
+
+
+def test_hll_partition_invariance(spark):
+    """The sketch is a commutative fold: any physical layout yields
+    the bit-identical registers and estimate."""
+    df = _ids(spark, 50_000, groups=3)
+    a = sorted(tuple(r) for r in SK.hll_distinct(df, ["g"], "v", p=10).collect())
+    b = sorted(
+        tuple(r)
+        for r in SK.hll_distinct(df.repartition(17, "v"), ["g"], "v", p=10).collect()
+    )
+    assert a == b
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    """Cardinality, not multiplicity: unioning the corpus with itself
+    leaves every register — hence the estimate — unchanged."""
+    df = _ids(spark, 30_000)
+    once = SK.hll_distinct(df, ["g"], "v", p=10).collect()[0]
+    twice = SK.hll_distinct(df.unionAll(df), ["g"], "v", p=10).collect()[0]
+    assert once["hll_est"] == twice["hll_est"]
+    assert once["n_regs"] == twice["n_regs"]
+
+
+def test_hll_groups_are_independent(spark):
+    """Per-group estimates equal the same data sketched alone."""
+    df = _ids(spark, 40_000, groups=4)
+    grouped = {
+        r["g"]: (r["n_regs"], r["hll_est"])
+        for r in SK.hll_distinct(df, ["g"], "v", p=10).collect()
+    }
+    for g in range(4):
+        alone = SK.hll_distinct(
+            df.where(F.col("g") == g), ["g"], "v", p=10
+        ).collect()[0]
+        assert grouped[g] == (alone["n_regs"], alone["hll_est"])
+
+
+def test_hll_nulls_ignored(spark):
+    df = spark.createDataFrame(
+        [(0, "a"), (0, None), (0, "b"), (0, None)], "g LONG, v STRING"
+    )
+    r = SK.hll_distinct(df, ["g"], "v", p=8).collect()[0]
+    assert r["n_regs"] == 2  # two distinct non-null values, two registers
+
+
+def test_hll_p_validation():
+    with pytest.raises(ValueError):
+        SK.hll_register(F.lit("x"), p=3)
+    with pytest.raises(ValueError):
+        SK.hll_register(F.lit("x"), p=19)
+
+
+def test_hll_registers_match_python_reference(spark):
+    """Pin the register derivation against an independent pure-python
+    md5 computation (same 60-bit hash contract as functions/text)."""
+    import hashlib
+
+    p = 10
+    vals = [f"v{i}" for i in range(500)]
+    expect = {}
+    width = 60 - p
+    for v in vals:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        reg = h % (1 << p)
+        rem = h >> p
+        rho = (width + 1) if rem == 0 else width + 1 - rem.bit_length()
+        expect[reg] = max(expect.get(reg, 0), rho)
+    df = spark.createDataFrame([(v,) for v in vals], "v STRING")
+    reg, rho = SK.hll_register("v", p=p)
+    got = {}
+    for r in df.select(reg.alias("reg"), rho.alias("rho")).collect():
+        got[r["reg"]] = max(got.get(r["reg"], 0), r["rho"])
+    assert got == expect
