@@ -44,6 +44,7 @@ from o2g_spark.operators import (
     gtfs,
     knn,
     multimodal,
+    packing,
     pip,
     similarity,
     skew,
@@ -775,25 +776,40 @@ def _q_asof_join(spark, sf_dir):
 
 
 def _q_interval_join(spark, sf_dir):
-    """Bucketed interval join: clicks landing inside the 1-hour window
-    after every 10th signup. Intervals explode to covered hour
-    buckets (materialized array), points map to one bucket, equi-join
-    + exact refine — the scale-safe range join vs DuckDB's native
-    range predicate."""
+    """Bucketed interval join, KEYED per entity: each user's clicks
+    landing inside the 1-hour window after that user's signups.
+    Intervals explode to covered hour buckets (materialized array),
+    points map to one bucket, equi-join on (user, bucket) + exact
+    refine — the scale-safe range join vs DuckDB's native range
+    predicate. The key is the output-size bound: an unkeyed interval
+    join is a cross-join in disguise at crawl scale."""
     ev = _t(spark, sf_dir, "events")
-    iv = ev.where(
-        (F.col("event_type") == "signup") & (F.col("event_id") % 10 == 0)
-    ).select(
+    iv = ev.where(F.col("event_type") == "signup").select(
         F.col("event_id").alias("signup_id"),
+        "user_id",
         F.col("ts").alias("s"),
         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
     )
     pts = ev.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), F.col("ts").alias("t")
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("t")
     )
     return temporal.interval_join(
-        pts, iv, "t", "s", "e", bucket_seconds=3600
-    ).select("signup_id", "p_click_id")
+        pts, iv, "t", "s", "e", bucket_seconds=3600, keys=["user_id"]
+    ).select("signup_id", "user_id", "p_click_id")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Greedy next-fit sequence packing (operators/packing.py): docs
+    shard by the 60-bit hash (one shuffle), each shard packs its
+    id-ordered docs into 1024-token bins inside one applyInPandas
+    group — the inherently-sequential discipline kept small per task.
+    The DuckDB twin replays the identical walk as a recursive CTE
+    advancing all shards one doc per iteration. Token counts come
+    from n_chars so the twin needs no tokenizer."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("toks")
+    )
+    return packing.pack_sequences(docs, "doc_id", "toks", budget=1024, shards=8)
 
 
 def _q_simhash_pairs(spark, sf_dir):
@@ -1718,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_words": _q_hll_words,
         "asof_join": _q_asof_join,
         "interval_join": _q_interval_join,
+        "pack_sequences": _q_pack_sequences,
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
@@ -2156,13 +2173,20 @@ QUALIFY row_number() OVER (
             ["v_id", "value"],
             "v_id",
         ),
+        "pack_sequences": packing.pack_sequences_sql(
+            "(SELECT doc_id, n_chars AS toks FROM documents)",
+            "doc_id",
+            "toks",
+            budget=1024,
+            shards=8,
+        ),
         "interval_join": """
-SELECT i.signup_id, p.click_id AS p_click_id
-FROM (SELECT event_id AS signup_id, ts AS s, ts + INTERVAL 1 HOUR AS e
-      FROM events WHERE event_type = 'signup' AND event_id % 10 = 0) i
-JOIN (SELECT event_id AS click_id, ts AS t
+SELECT i.signup_id, i.user_id, p.click_id AS p_click_id
+FROM (SELECT event_id AS signup_id, user_id, ts AS s, ts + INTERVAL 1 HOUR AS e
+      FROM events WHERE event_type = 'signup') i
+JOIN (SELECT event_id AS click_id, user_id, ts AS t
       FROM events WHERE event_type = 'click') p
-  ON p.t >= i.s AND p.t <= i.e
+  ON p.user_id = i.user_id AND p.t >= i.s AND p.t <= i.e
 """,
         # every queries() entry has a value-hash oracle: iterative /
         # Arrow-kernel ops use literal-constant twins (hyperplanes,

@@ -163,23 +163,33 @@ def interval_join(
     start_col: str,
     end_col: str,
     bucket_seconds: int = 3600,
+    keys: list[str] | None = None,
     inclusive_end: bool = True,
     max_buckets_per_interval: int = 1024,
     point_prefix: str = "p_",
 ) -> DataFrame:
     """Join each point row to every interval row containing its
     timestamp (``start <= t <= end``; end-exclusive when
-    ``inclusive_end=False``). Output: all interval columns + prefixed
-    point columns.
+    ``inclusive_end=False``), optionally per entity: ``keys`` columns
+    (present on BOTH inputs under the same names) become part of the
+    equi-join, so a point only meets its own entity's intervals — the
+    usual shape (events × their user's sessions), and the output-size
+    bound: an UNKEYED interval join's output grows as
+    |points| · |intervals| · (interval length / time range), which at
+    crawl scale is a cross-join in disguise.
+    Output: all interval columns + prefixed point columns.
 
     Scale plan: intervals explode to covered fixed-width buckets
     (bounded fan-out, guarded), points map to one bucket, equi-join on
-    the bucket, exact refine after. The bucket column is the shuffle
-    key — pick ``bucket_seconds`` near the typical interval length so
-    most intervals cover 1-2 buckets.
+    (keys…, bucket), exact refine after. Pick ``bucket_seconds`` near
+    the typical interval length so most intervals cover 1-2 buckets.
     """
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
+    keys = list(keys or [])
+    for k in keys:
+        if k not in points.columns or k not in intervals.columns:
+            raise ValueError(f"join key {k} must exist on both inputs")
     w_us = bucket_seconds * 1_000_000
     for c in points.columns:
         if point_prefix + c in intervals.columns:
@@ -188,7 +198,7 @@ def interval_join(
     p = points.select(
         *[F.col(c).alias(point_prefix + c) for c in points.columns],
         _epoch_us(points, point_ts).alias("__t_us"),
-    ).withColumn("__bkt", F.floor(F.col("__t_us") / F.lit(w_us)))
+    ).withColumn("__pbkt", F.floor(F.col("__t_us") / F.lit(w_us)))
 
     iv = (
         intervals.withColumn("__s_us", _epoch_us(intervals, start_col))
@@ -221,7 +231,10 @@ def interval_join(
     refine = (t >= F.col("__s_us")) & (
         (t <= F.col("__e_us")) if inclusive_end else (t < F.col("__e_us"))
     )
-    joined = iv.join(p, "__bkt").where(refine)
+    cond = F.col("__bkt") == F.col("__pbkt")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(point_prefix + k))
+    joined = iv.join(p, cond).where(refine)
     return joined.select(
         *intervals.columns, *[point_prefix + c for c in points.columns]
     )

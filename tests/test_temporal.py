@@ -126,6 +126,37 @@ def test_interval_join_matches_theta_join(spark, events, bucket_seconds):
     assert got == exp and len(got) > 0
 
 
+def test_interval_join_keyed_matches_theta(spark, events):
+    """keys=[user_id]: a point only meets its own entity's intervals."""
+    from o2g_spark.operators import temporal as TP
+
+    iv = events.where("event_type = 'signup'").select(
+        F.col("event_id").alias("iid"), "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+    )
+    pts = events.where("event_type = 'click'").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("t")
+    )
+    got = sorted(
+        (r["iid"], r["p_pid"])
+        for r in TP.interval_join(
+            pts, iv, "t", "s", "e", bucket_seconds=1800, keys=["user_id"]
+        ).select("iid", "p_pid").collect()
+    )
+    exp = sorted(
+        (r["iid"], r["pid"])
+        for r in iv.alias("i").join(
+            pts.alias("p"),
+            (F.col("i.user_id") == F.col("p.user_id"))
+            & (F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e")),
+        ).select("iid", "pid").collect()
+    )
+    assert got == exp and len(got) > 0
+    with pytest.raises(ValueError, match="join key"):
+        TP.interval_join(pts, iv.drop("user_id"), "t", "s", "e", keys=["user_id"])
+
+
 def test_interval_join_end_exclusive(spark):
     from o2g_spark.operators import temporal as TP
 
