@@ -58,6 +58,11 @@ def _c(x: Column | str) -> Column:
     return F.col(x) if isinstance(x, str) else x
 
 
+def _sq(s: str) -> str:
+    """Escape a python string for embedding as a SQL literal."""
+    return s.replace("'", "''")
+
+
 # ----------------------------------------------------------- hash bucket
 
 def hash_bucket_micro(key: Column | str, seed: str) -> Column:
@@ -73,7 +78,7 @@ def hash_bucket_micro_sql(key: str, seed: str) -> str:
     # integer % (NOT fmod): the 60-bit hash exceeds the double mantissa,
     # so a float modulus would corrupt the bucket. The hash is
     # non-negative, so Spark pmod == Spark % == DuckDB %.
-    h = X.md5_hash60_sql(f"concat('{seed}:', CAST({key} AS VARCHAR))")
+    h = X.md5_hash60_sql(f"concat('{_sq(seed)}:', CAST({key} AS VARCHAR))")
     return f"({h} % {_MICRO})"
 
 
@@ -83,6 +88,8 @@ def _micro_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
     rounding remainder so the thresholds always cover [0, 1e6)."""
     if not weights:
         raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
@@ -117,9 +124,9 @@ def split_assign(
 def split_assign_sql(key: str, weights: dict[str, float], seed: str = "split") -> str:
     bucket = hash_bucket_micro_sql(key, seed)
     cuts = _micro_thresholds(weights)
-    expr = f"'{cuts[-1][0]}'"
+    expr = f"'{_sq(cuts[-1][0])}'"
     for name, cut in cuts[:-1][::-1]:
-        expr = f"CASE WHEN {bucket} < {cut} THEN '{name}' ELSE {expr} END"
+        expr = f"CASE WHEN {bucket} < {cut} THEN '{_sq(name)}' ELSE {expr} END"
     return expr
 
 
@@ -167,8 +174,8 @@ def stratified_keep_sql(
     thr = str(int(default * _MICRO))
     for name in sorted(fractions, reverse=True):
         thr = (
-            f"CASE WHEN {stratum} = '{name}' THEN {int(fractions[name] * _MICRO)} "
-            f"ELSE {thr} END"
+            f"CASE WHEN {stratum} = '{_sq(name)}' "
+            f"THEN {int(fractions[name] * _MICRO)} ELSE {thr} END"
         )
     return f"({bucket} < {thr})"
 
@@ -215,7 +222,15 @@ def weighted_sample_topk(
         F.lit(1 << 52),
     )
     u = (h52 + F.lit(1)).cast(T.DoubleType()) / F.lit(float(1 << 52))
-    key = F.log(u) / _c(weight_col)
+    w = _c(weight_col)
+    # non-positive weights silently invert the priority — fail loudly
+    # (runtime, codegen-side; no extra job)
+    key = F.when(
+        w <= 0,
+        F.raise_error(
+            F.lit("weighted_sample_topk: weights must be > 0")
+        ).cast(T.DoubleType()),
+    ).otherwise(F.log(u) / w)
     ranked = df.withColumn("__wkey", key)
     return (
         ranked.orderBy(F.col("__wkey").desc(), _c(id_col).asc())
@@ -263,7 +278,13 @@ def url_host_sql(url: str) -> str:
 def registered_domain(url: Column | str) -> Column:
     """Last two dot-labels of the host (example.com for
     www.example.com) — the crawl-dedup grouping key. Hosts with fewer
-    than two labels pass through unchanged."""
+    than two labels pass through unchanged.
+
+    Known approximation (no public-suffix list offline): multi-label
+    registries group one level too coarse (foo.co.uk → co.uk), and
+    bracketed IPv6 authorities are not special-cased. For a corpus cap
+    both errors are conservative — they merge more pages under one
+    cap, never split a real domain into many."""
     host = url_host(url)
     dom = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     return F.when(dom == "", host).otherwise(dom)

@@ -56,6 +56,10 @@ def pack_sequences(
     ``offset = 0`` + ``n_tokens > budget`` — callers chunk oversize
     docs first via doc_chunks if that is not acceptable).
 
+    ``id_col`` must be UNIQUE: it is both the within-shard packing
+    order and the tiebreak, so duplicate ids would make the assignment
+    depend on physical row order.
+
     Output: (id, shard, bin_id, offset, n_tokens) — one row per doc;
     ``offset`` is the doc's token start inside its bin.
     """

@@ -79,6 +79,12 @@ def asof_join(
 
     Output: all left columns + ``prefix + c`` for each requested right
     column (NULL when no prior right row exists).
+
+    Null keys: the window partitions NULL keys together, so a
+    null-key left row CAN pick up a null-key right row — "null ==
+    null" grouping semantics, unlike a SQL equi-join (which matches
+    nothing on NULL). Filter nulls upstream if join semantics are
+    required.
     """
     for c in right_cols:
         if prefix + c in left.columns:

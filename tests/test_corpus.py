@@ -137,6 +137,12 @@ def test_weighted_topk_bias(spark):
     assert heavy_hits / total > 0.2, heavy_hits / total
 
 
+def test_weighted_topk_rejects_nonpositive_weight(spark):
+    df = spark.createDataFrame([(1, 2.0), (2, 0.0)], "id LONG, w DOUBLE")
+    with pytest.raises(Exception, match="weights must be > 0"):
+        C.weighted_sample_topk(df, "id", "w", k=1).collect()
+
+
 # ------------------------------------------------------------ domain cap
 
 def test_url_host_and_domain(spark):
