@@ -775,6 +775,26 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_asof_skew(spark, sf_dir):
+    """The SAME as-of join through the hot-key escape plan
+    (time_bucket_seconds: (key, time-bucket) windows + per-key bucket
+    carry — the strategy for entities whose history AQE's skew
+    handling can't split, since WindowExec partitions are unsplittable).
+    Shares asof_join's oracle: the two plans are row-identical by
+    contract (also pinned across widths in tests/test_temporal.py)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), "user_id", "ts", "value"
+    )
+    return temporal.asof_join(
+        clicks, views, "user_id", "ts", "ts", ["v_id", "value"],
+        tie_col="v_id", time_bucket_seconds=6 * 3600,
+    )
+
+
 def _q_interval_join(spark, sf_dir):
     """Bucketed interval join, KEYED per entity: each user's clicks
     landing inside the 1-hour window after that user's signups.
@@ -1733,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "hll_words": _q_hll_words,
         "asof_join": _q_asof_join,
+        "asof_skew": _q_asof_skew,
         "interval_join": _q_interval_join,
         "pack_sequences": _q_pack_sequences,
         "simhash_pairs": _q_simhash_pairs,
@@ -2161,6 +2182,19 @@ QUALIFY row_number() OVER (
             ["lang"],
             "v",
             p=9,
+        ),
+        # asof_skew runs the identical semantics through the
+        # (key, time-bucket) skew-split plan — same oracle
+        "asof_skew": temporal.asof_join_sql(
+            "SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'",
+            "SELECT event_id AS v_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'view'",
+            "user_id",
+            "ts",
+            "ts",
+            ["event_id", "user_id", "ts"],
+            ["v_id", "value"],
+            "v_id",
         ),
         "asof_join": temporal.asof_join_sql(
             "SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'",

@@ -69,6 +69,7 @@ def asof_join(
     tie_col: str | None = None,
     prefix: str = "r_",
     inclusive: bool = True,
+    time_bucket_seconds: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the right row with the greatest
     ``right_ts`` <= ``left_ts`` (same key); strict < when
@@ -85,6 +86,18 @@ def asof_join(
     null" grouping semantics, unlike a SQL equi-join (which matches
     nothing on NULL). Filter nulls upstream if join semantics are
     required.
+
+    ``time_bucket_seconds`` is the HOT-KEY escape (CLAUDE.md rule 12:
+    AQE cannot skew-split a window partition, so one entity with a
+    near-executor-memory history stalls the default plan). When set,
+    the per-key window is split into (key, time-bucket) partitions —
+    each bounded by the key's event rate × the bucket width — plus a
+    per-key carry window over BUCKETS (rows = buckets per key, tiny)
+    that forwards the last right-side state into buckets whose match
+    lies further back. Output is row-identical to the default plan
+    (pinned by test); cost is two extra co-partitioned shuffles.
+    Requires timestamp or numeric ts columns (bucketing needs
+    arithmetic; the default plan only needs ordering).
     """
     for c in right_cols:
         if prefix + c in left.columns:
@@ -96,43 +109,121 @@ def asof_join(
     l_side, r_side = (1, 0) if inclusive else (0, 1)
     tie = _c(tie_col) if tie_col is not None else F.lit(0)
 
+    # the right payload travels as ONE struct so the window carry picks
+    # whole rows atomically — per-column last(ignorenulls) would mix
+    # fields from different right rows when a payload value is NULL
+    r_struct = F.struct(*[F.col(c) for c in right_cols])
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        _c(right_ts).alias("__ts"),
+        F.lit(r_side).alias("__side"),
+        tie.cast("long").alias("__tie"),
+        r_struct.alias("__r"),
+    )
     l_tagged = left.select(
         F.col(key).alias("__k"),
         _c(left_ts).alias("__ts"),
         F.lit(l_side).alias("__side"),
         F.lit(None).cast("long").alias("__tie"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(r_tagged.schema["__r"].dataType).alias("__r"),
     )
-    r_tagged = right.select(
-        F.col(key).alias("__k"),
-        _c(right_ts).alias("__ts"),
-        F.lit(r_side).alias("__side"),
-        tie.cast("long").alias("__tie"),
-        F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-    )
-    # RANGE frame (default with orderBy): a row's frame ends at its
-    # full peer group, so equal-sort-key rows see identical state —
-    # deterministic regardless of physical tie order.
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc_nulls_first())
-    )
+    r_tagged = r_tagged.withColumn(
+        "__l", F.lit(None).cast(l_tagged.schema["__l"].dataType)
+    ).select(*l_tagged.columns)
     u = l_tagged.unionByName(r_tagged)
-    carried = u.select(
+
+    if time_bucket_seconds is None:
+        # RANGE frame (default with orderBy): a row's frame ends at its
+        # full peer group, so equal-sort-key rows see identical state —
+        # deterministic regardless of physical tie order.
+        w = Window.partitionBy("__k").orderBy(
+            F.col("__ts").asc(),
+            F.col("__side").asc(),
+            F.col("__tie").asc_nulls_first(),
+        )
+        carried = u.select(
+            "__side",
+            "__l",
+            F.last("__r", ignorenulls=True).over(w).alias("__rv"),
+        )
+        return carried.where(F.col("__side") == l_side).select(
+            *[F.col("__l").getField(c).alias(c) for c in left.columns],
+            *[F.col("__rv").getField(c).alias(prefix + c) for c in right_cols],
+        )
+
+    # ---- skew-split plan: (key, time bucket) windows + bucket carry
+    if time_bucket_seconds <= 0:
+        raise ValueError("time_bucket_seconds must be positive")
+    ts_type = u.schema["__ts"].dataType
+    from pyspark.sql.types import NumericType, TimestampNTZType, TimestampType
+
+    if isinstance(ts_type, TimestampNTZType):
+        epoch = F.expr(
+            "timestampdiff(MICROSECOND, "
+            "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), __ts)"
+        )
+        w_units = time_bucket_seconds * 1_000_000
+    elif isinstance(ts_type, TimestampType):
+        epoch = F.unix_micros(F.col("__ts"))
+        w_units = time_bucket_seconds * 1_000_000
+    elif isinstance(ts_type, NumericType):
+        epoch = F.col("__ts")
+        w_units = time_bucket_seconds
+    else:
+        raise ValueError(
+            "time_bucket_seconds needs a timestamp or numeric ts column"
+        )
+    u = u.withColumn("__b", F.floor(epoch / F.lit(w_units)))
+
+    # 1) within-bucket pass: same discipline, bounded partitions.
+    #    Equal timestamps always share a bucket, so the inclusive /
+    #    strict tie ordering is fully decided here; the carry below
+    #    only ever crosses strictly-earlier timestamps.
+    w1 = Window.partitionBy("__k", "__b").orderBy(
+        F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc_nulls_first()
+    )
+    within = u.select(
+        "__k",
+        "__b",
         "__side",
         "__l",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}")
-            for c in right_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w1).alias("__rv"),
     )
-    out = carried.where(F.col("__side") == l_side).select(
+
+    # 2) per-(key, bucket) last right payload, then a carry window over
+    #    the key's BUCKET LIST (rows per partition = buckets per key):
+    #    carry-in(b) = last right payload of any earlier bucket.
+    bucket_last = (
+        u.where(F.col("__side") == r_side)
+        .groupBy("__k", "__b")
+        .agg(
+            F.max_by(
+                F.col("__r"),
+                F.struct(F.col("__ts").alias("t"), F.col("__tie").alias("tie")),
+            ).alias("__bl")
+        )
+    )
+    all_buckets = u.select("__k", "__b").distinct()
+    cw = (
+        Window.partitionBy("__k")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = all_buckets.join(bucket_last, ["__k", "__b"], "left").select(
+        "__k",
+        "__b",
+        F.last("__bl", ignorenulls=True).over(cw).alias("__carry"),
+    )
+
+    # 3) rows whose match is not in their own bucket take the carry-in
+    #    (whole-struct coalesce: no cross-row field mixing).
+    joined = within.join(carry, ["__k", "__b"])
+    final = F.coalesce(F.col("__rv"), F.col("__carry"))
+    return joined.where(F.col("__side") == l_side).select(
         *[F.col("__l").getField(c).alias(c) for c in left.columns],
-        *[F.col(f"__rv_{c}").alias(prefix + c) for c in right_cols],
+        *[final.getField(c).alias(prefix + c) for c in right_cols],
     )
-    return out
 
 
 def asof_join_sql(

@@ -135,6 +135,52 @@ def bench_asof(spark, scale):
     return out
 
 
+def bench_asof_skew(spark, scale):
+    """Planted hot entity: 50% of both sides on ONE key. The default
+    plan sorts that key's whole timeline in one window partition; the
+    time-bucketed plan splits it into bounded (key, bucket) partitions
+    + a tiny bucket-carry. Digest-checked identical."""
+    out = {}
+    n = int(5_000_000 * scale)
+    keys = max(int(10_000 * scale), 2)
+    hot = F.when(
+        F.pmod(F.xxhash64("id", F.lit(70)), F.lit(2)) == 0, F.lit(0)
+    ).otherwise(F.pmod(F.xxhash64("id", F.lit(71)), F.lit(keys)))
+
+    def mk(tag, idcol):
+        return spark.range(n).select(
+            F.col("id").alias(idcol),
+            hot.alias("k"),
+            F.timestamp_seconds(
+                F.lit(EPOCH0)
+                + F.pmod(F.xxhash64("id", F.lit(tag)), F.lit(30 * 86400))
+            ).alias("ts"),
+        ).localCheckpoint(eager=True)
+
+    left, right = mk(80, "eid"), mk(90, "rid")
+    # warm both plans once
+    TP.asof_join(left, right, "k", "ts", "ts", ["rid"], tie_col="rid").count()
+
+    t0 = time.time()
+    d_plain = _digest(
+        TP.asof_join(left, right, "k", "ts", "ts", ["rid"], tie_col="rid")
+    )
+    out["asof_hot_plain_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    d_skew = _digest(
+        TP.asof_join(
+            left, right, "k", "ts", "ts", ["rid"], tie_col="rid",
+            time_bucket_seconds=6 * 3600,
+        )
+    )
+    out["asof_hot_skew_sec"] = round(time.time() - t0, 2)
+    out["asof_hot_rows"] = n
+    out["asof_hot_identical"] = bool(
+        d_plain["n"] == d_skew["n"] and d_plain["h"] == d_skew["h"]
+    )
+    return out
+
+
 def bench_hll(spark, scale):
     out = {}
     n = int(100_000_000 * scale)
@@ -286,6 +332,11 @@ def update_baseline(r) -> None:
         f"(~40k pairs/key naive) | **{r['asof_union_small_sec']}** vs "
         f"{r['asof_naive_small_sec']} | — | "
         f"row-identical: {r['asof_identical']} |",
+        f"| asof_join hot-key escape (6h buckets) | "
+        f"{r['asof_hot_rows']:,}+same, 50% on ONE key | "
+        f"**{r['asof_hot_skew_sec']}** vs {r['asof_hot_plain_sec']} "
+        f"(single-window) | — | digest-identical: "
+        f"{r['asof_hot_identical']} |",
         f"| hll_distinct (p={r['hll_p']}) vs count(DISTINCT) | "
         f"{r['hll_rows']:,} rows, 5 groups | {r['hll_sec']} vs "
         f"{r['exact_sec']} | — | max relerr {r['hll_max_relerr']} "
@@ -340,6 +391,7 @@ def main() -> int:
     r = {}
     for name, fn in (
         ("asof", bench_asof),
+        ("asof_skew", bench_asof_skew),
         ("hll", bench_hll),
         ("chunks", bench_chunks),
         ("domain_cap", bench_domain_cap),
@@ -350,6 +402,7 @@ def main() -> int:
 
     ok = (
         r["asof_identical"]
+        and r["asof_hot_identical"]
         and r["hll_within_bound"]
         and r["chunks_exact"]
         and r["domain_cap_bound_held"]

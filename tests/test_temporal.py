@@ -73,6 +73,60 @@ def test_asof_equal_ts_tie_and_inclusivity(spark):
     assert (exc["r_rid"], exc["r_v"]) == (5, "c")  # equal ts excluded
 
 
+@pytest.mark.parametrize("bucket", [60, 3600, 86400])
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_asof_skew_plan_row_identical(spark, events, bucket, inclusive):
+    """time_bucket_seconds engages the (key, bucket) split + carry —
+    output must be row-identical to the default single-window plan."""
+    from o2g_spark.operators import temporal as TP
+
+    clicks = events.where("event_type = 'click'").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.where("event_type = 'view'").select(
+        F.col("event_id").alias("v_id"), "user_id", "ts", "value"
+    )
+    base = sorted(
+        tuple(r)
+        for r in TP.asof_join(
+            clicks, views, "user_id", "ts", "ts", ["v_id", "value"],
+            tie_col="v_id", inclusive=inclusive,
+        ).collect()
+    )
+    skew = sorted(
+        tuple(r)
+        for r in TP.asof_join(
+            clicks, views, "user_id", "ts", "ts", ["v_id", "value"],
+            tie_col="v_id", inclusive=inclusive,
+            time_bucket_seconds=bucket,
+        ).collect()
+    )
+    assert base == skew
+
+
+def test_asof_null_payload_row_is_atomic(spark):
+    """A right row whose payload VALUE is null must still win as a
+    whole row — per-column carries would mix it with older rows."""
+    import datetime as dt
+
+    from o2g_spark.operators import temporal as TP
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 7, t0 + dt.timedelta(hours=3))], "lid LONG, k LONG, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [(10, 7, t0, 5.0), (11, 7, t0 + dt.timedelta(hours=1), None)],
+        "rid LONG, k LONG, ts TIMESTAMP, v DOUBLE",
+    )
+    for tbs in (None, 1800):
+        r = TP.asof_join(
+            left, right, "k", "ts", "ts", ["rid", "v"],
+            tie_col="rid", time_bucket_seconds=tbs,
+        ).collect()[0]
+        assert (r["r_rid"], r["r_v"]) == (11, None), tbs
+
+
 def test_asof_no_prior_row_is_null(spark):
     from o2g_spark.operators import temporal as TP
 
