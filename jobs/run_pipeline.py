@@ -37,6 +37,13 @@ and rerun the same command):
             --merge-index folds the batch in as an O(batch) LSM delta
             AND rolls the persisted dup-cluster labels forward;
             --compact-index pays the explicit O(corpus) delta fold
+    curate  (OPT-IN) the post-dedup corpus-curation path a training
+            pipeline runs (operators/corpus.py + packing.py): keep
+            the highest-quality member per dup cluster →
+            deterministic train/val/test split → per-domain cap →
+            token-window chunking → next-fit sequence packing; every
+            step checkpointed, metrics carry split counts and the
+            packing fill ratio
     report  per-zone/lang + per-tile rollups (B9-B11)
 
 Prints one JSON metrics line per stage: rows, seconds, pages/sec. The
@@ -58,9 +65,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from o2g_spark.functions import cellfns, geotag  # noqa: E402
+from o2g_spark.functions import text as X  # noqa: E402
 from o2g_spark.operators import (  # noqa: E402
-    clusters, dedup, knn, multimodal, pip, similarity, skew, tiles,
+    clusters, dedup, knn, multimodal, packing, pip, similarity,
+    skew, tiles,
 )
+from o2g_spark.operators import corpus as corpus_ops  # noqa: E402
 from o2g_spark.plans.checkpoint import CheckpointManager  # noqa: E402
 from o2g_spark.session import get_spark  # noqa: E402
 from o2g_spark.sources import synth, synth_dist, tables  # noqa: E402
@@ -70,7 +80,7 @@ STAGES = ("geotag", "pip", "knn", "tiles", "dedup", "report")
 # (extract doubles the page-scan cost; dedup-incremental maintains a
 # persistent index across invocations; keep `all` timings comparable
 # across rounds)
-OPT_STAGES = ("extract", "dedup-incremental")
+OPT_STAGES = ("extract", "dedup-incremental", "curate")
 
 
 def main(argv=None):
@@ -117,6 +127,16 @@ def main(argv=None):
                          "explicit O(corpus) maintenance op — run on "
                          "your schedule, e.g. when deltas approach the "
                          "base's size; readers are unchanged)")
+    ap.add_argument("--max-per-domain", type=int, default=1000,
+                    help="curate: per-registered-domain page cap")
+    ap.add_argument("--chunk-tokens", type=int, default=256,
+                    help="curate: tokens per training chunk")
+    ap.add_argument("--chunk-overlap", type=int, default=16,
+                    help="curate: overlap tokens between chunks")
+    ap.add_argument("--pack-budget", type=int, default=2048,
+                    help="curate: tokens per packed training sequence")
+    ap.add_argument("--pack-shards", type=int, default=64,
+                    help="curate: parallel packing shards")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -477,6 +497,104 @@ def main(argv=None):
                 }
                 metrics.append(m)
                 print(json.dumps(m), flush=True)
+
+    if "curate" in want:
+        # the post-dedup corpus-curation path (operators/corpus.py +
+        # packing.py): cluster labels → keep-best → split → domain cap
+        # → chunking → sequence packing, each a checkpointed stage.
+        if "text" not in pages.columns:
+            raise SystemExit(
+                "--stage curate needs a `text` column on the pages "
+                "input (run --stage extract first on raw crawls)")
+        # the dup-cluster labels: resume from the dedup stage's
+        # snapshots when present, build them (uncounted) otherwise
+        jpairs_c = ckpt.run_stage(
+            "jaccard_dedup",
+            lambda: dedup.jaccard_pairs(
+                pages.select("url", "text"), "url", "text",
+                n=3, threshold=0.7, max_df=args.jaccard_max_df,
+            ),
+            key_col="id_a",
+        )
+        labels = ckpt.run_stage(
+            "dedup_clusters",
+            lambda: clusters.dup_clusters(jpairs_c),
+            key_col="doc_id",
+        )
+
+        def build_kept():
+            scored = pages.select(
+                "url", "lang", X.quality_score("text").alias("q")
+            )
+            kept = clusters.dedup_keep_best(
+                scored, None, "url", "q", labels=labels
+            )
+            kept = corpus_ops.hash_split(
+                kept, "url", {"train": 0.98, "val": 0.01, "test": 0.01}
+            )
+            return corpus_ops.domain_cap(
+                kept, "url", "q", "url", args.max_per_domain
+            ).select("url", "lang", "q", "split", "domain")
+
+        def _split_count(name):
+            return lambda: int(
+                ckpt.read_snapshot("curate_kept")
+                .where(F.col("split") == name).count()
+            )
+
+        run(
+            "curate_kept", build_kept, key_col="url",
+            extra={
+                "max_per_domain": args.max_per_domain,
+                "train_rows": _split_count("train"),
+                "val_rows": _split_count("val"),
+                "test_rows": _split_count("test"),
+            },
+        )
+
+        def build_chunks():
+            kept = ckpt.read_snapshot("curate_kept").select("url", "split")
+            src = pages.select("url", "text").join(kept, "url")
+            return corpus_ops.doc_chunks(
+                src, "url", "text", args.chunk_tokens, args.chunk_overlap
+            ).join(kept, "url")
+
+        run("curate_chunks", build_chunks, key_col="url")
+
+        def build_packed():
+            # pack TRAIN chunks only (eval splits stay unpacked); the
+            # chunk id is url#idx — unique by construction
+            ch = (
+                ckpt.read_snapshot("curate_chunks")
+                .where(F.col("split") == "train")
+                .select(
+                    F.concat_ws(
+                        "#", "url", F.col("chunk_idx").cast("string")
+                    ).alias("cid"),
+                    "n_tokens",
+                )
+            )
+            return packing.pack_sequences(
+                ch, "cid", "n_tokens",
+                budget=args.pack_budget, shards=args.pack_shards,
+            )
+
+        run(
+            "curate_packed", build_packed, key_col="id",
+            extra={
+                "pack_budget": args.pack_budget,
+                "bins_used": lambda: int(
+                    packing.pack_stats(
+                        ckpt.read_snapshot("curate_packed"), args.pack_budget
+                    ).collect()[0]["bins_used"]
+                ),
+                "fill_ratio": lambda: float(
+                    packing.pack_stats(
+                        ckpt.read_snapshot("curate_packed"), args.pack_budget
+                    ).collect()[0]["fill_ratio"]
+                ),
+            },
+        )
 
     if "report" in want:
         def build_report():

@@ -247,12 +247,13 @@ def dedup_canonical(
 
 def dedup_keep_best(
     df: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     id_col: str,
     order_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """``dedup_canonical`` with a QUALITY keep policy: per near-dup
     cluster keep the member with the highest ``order_col`` (ties
@@ -264,8 +265,14 @@ def dedup_keep_best(
     Scale shape mirrors ``dedup_canonical``: the ranking window runs
     over PAIRED rows only (|paired| ≪ corpus at real dup rates), and
     the corpus pays one anti join against the drop set — it is never
-    shuffled or ranked itself."""
-    lab = dup_clusters(pairs, id_a, id_b, max_iter)
+    shuffled or ranked itself.
+
+    Pass ``labels`` (a committed (doc_id, canon_id) table, e.g. the
+    pipeline's dedup_clusters snapshot) to reuse an existing
+    clustering instead of re-contracting ``pairs``."""
+    if labels is None and pairs is None:
+        raise ValueError("one of pairs or labels is required")
+    lab = labels if labels is not None else dup_clusters(pairs, id_a, id_b, max_iter)
     paired = df.select(
         F.col(id_col).alias("__id"), F.col(order_col).alias("__ord")
     ).join(lab, F.col("__id") == F.col("doc_id"), "inner")

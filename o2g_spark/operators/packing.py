@@ -68,9 +68,13 @@ def pack_sequences(
     if shards <= 0:
         raise ValueError("shards must be positive")
 
+    # string ids (urls) keep their type; everything else rides as long
+    id_type = df.schema[id_col].dataType
+    id_is_str = isinstance(id_type, T.StringType)
+    out_id_type = T.StringType() if id_is_str else T.LongType()
     out_schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            T.StructField("id", out_id_type),
             T.StructField("shard", T.IntegerType()),
             T.StructField("bin_id", T.LongType()),
             T.StructField("offset", T.LongType()),
@@ -104,7 +108,7 @@ def pack_sequences(
         )
 
     prepared = df.select(
-        F.col(id_col).cast(T.LongType()).alias("id"),
+        F.col(id_col).cast(out_id_type).alias("id"),
         F.pmod(X.md5_hash60(F.col(id_col).cast(T.StringType())), F.lit(shards))
         .cast(T.IntegerType())
         .alias("shard"),
