@@ -758,6 +758,20 @@ def _q_hll_words(spark, sf_dir):
     return sketches.hll_distinct(exploded, ["lang"], "v", p=9)
 
 
+def _q_hll_window(spark, sf_dir):
+    """Tumbling-window HLL distinct users per event type
+    (sketches.hll_window_batch) — the batch twin of
+    streaming.stateful.hll_window_stream (bounded 2^p-byte state per
+    open window vs dropDuplicates' cardinality-sized state); the
+    stream is pinned bit-identical to this twin in
+    tests/test_sketches.py. Window start rides as epoch seconds so
+    stream, batch, and DuckDB agree without timezone coupling."""
+    return sketches.hll_window_batch(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id", "ts",
+        window_seconds=6 * 3600, p=9,
+    )
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py): every click event picks up
     the latest prior-or-equal 'view' by the same user — union +
@@ -1752,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "tfidf_topk": _q_tfidf_topk,
         "hll_words": _q_hll_words,
+        "hll_window": _q_hll_window,
         "asof_join": _q_asof_join,
         "asof_skew": _q_asof_skew,
         "interval_join": _q_interval_join,
@@ -2182,6 +2197,10 @@ QUALIFY row_number() OVER (
             ["lang"],
             "v",
             p=9,
+        ),
+        "hll_window": sketches.hll_window_batch_sql(
+            "events", ["event_type"], "user_id", "ts",
+            window_seconds=6 * 3600, p=9,
         ),
         # asof_skew runs the identical semantics through the
         # (key, time-bucket) skew-split plan — same oracle

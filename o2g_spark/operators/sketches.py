@@ -56,10 +56,12 @@ def _c(x: Column | str) -> Column:
 
 
 def hll_register(value: Column | str, p: int = 10) -> tuple[Column, Column]:
-    """(register, rho) columns for one value under precision ``p``."""
+    """(register, rho) columns for one value under precision ``p``.
+    Values hash via their canonical STRING form (cross-engine: Spark's
+    long→string rendering matches DuckDB's VARCHAR cast)."""
     if not 4 <= p <= 18:
         raise ValueError("p must be in [4, 18]")
-    h = X.md5_hash60(_c(value))
+    h = X.md5_hash60(_c(value).cast(T.StringType()))
     reg = (h % F.lit(1 << p)).cast(T.IntegerType())
     rem = F.shiftright(h, p)
     width = 60 - p
@@ -71,6 +73,44 @@ def hll_register(value: Column | str, p: int = 10) -> tuple[Column, Column]:
     return reg, rho
 
 
+def hll_est_expr(n_regs: Column, present: Column, p: int) -> Column:
+    """The estimate from (registers hit, scaled-integer harmonic of
+    present registers): alpha·m²·2^K / total as ONE float division +
+    one rounding — shared by the batch fold and the streaming wrapper
+    so every path produces the bit-identical double."""
+    m = 1 << p
+    k = 60 - p + 1
+    numerator = _alpha(m) * m * m * float(1 << k)  # one literal, no float chain
+    total = present + (F.lit(m) - n_regs) * F.lit(1 << k)
+    return F.round(F.lit(numerator) / total.cast(T.DoubleType()), 3)
+
+
+def _hll_fold(
+    regs: DataFrame, group_cols: list[str], p: int, est_col: str
+) -> DataFrame:
+    """Fold a (group..., __reg, __rho) table into per-group estimates.
+    Two-level aggregation: (group, register) → max rho runs with
+    map-side partial agg, so shuffle volume is bounded by 2^p rows per
+    group per task regardless of input size; the per-group fold is
+    over ≤ 2^p rows."""
+    k = 60 - p + 1
+    agg = (
+        regs.groupBy(*group_cols, "__reg")
+        .agg(F.max("__rho").alias("__mx"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n_regs"),
+            # SQL-form shiftleft: the python wrapper only takes a literal
+            # bit count, the SQL function takes a column
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {k} - __mx)")
+            ).alias("__present"),
+        )
+    )
+    est = hll_est_expr(F.col("n_regs"), F.col("__present"), p)
+    return agg.select(*group_cols, F.col("n_regs"), est.alias(est_col))
+
+
 def hll_distinct(
     df: DataFrame,
     group_cols: list[str],
@@ -80,34 +120,82 @@ def hll_distinct(
 ) -> DataFrame:
     """Per-group HLL distinct estimate of ``value_col`` (nulls
     ignored). Output: group cols + ``n_regs`` (registers hit, exact
-    BIGINT) + ``est_col`` (double, rounded once to 3 dp).
-
-    Two-level aggregation: (group, register) → max rho runs with
-    map-side partial agg, so shuffle volume is bounded by 2^p rows per
-    group per task regardless of input size; the per-group fold is
-    over ≤ 2^p rows.
-    """
-    m = 1 << p
-    k = 60 - p + 1
+    BIGINT) + ``est_col`` (double, rounded once to 3 dp)."""
     reg, rho = hll_register(value_col, p)
     regs = (
         df.where(_c(value_col).isNotNull())
         .select(*group_cols, reg.alias("__reg"), rho.alias("__rho"))
-        .groupBy(*group_cols, "__reg")
-        .agg(F.max("__rho").alias("__mx"))
     )
-    # scaled harmonic: present registers contribute 2^(K-mx); the
-    # (m - n_regs) empty registers contribute 2^K each. All integer.
-    numerator = _alpha(m) * m * m * float(1 << k)  # one literal, no float chain
-    agg = regs.groupBy(*group_cols).agg(
-        F.count("*").alias("n_regs"),
-        # SQL-form shiftleft: the python wrapper only takes a literal
-        # bit count, the SQL function takes a column
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {k} - __mx)")).alias("__present"),
+    return _hll_fold(regs, group_cols, p, est_col)
+
+
+def hll_window_batch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ts_col: str,
+    window_seconds: int,
+    p: int = 10,
+    est_col: str = "hll_est",
+) -> DataFrame:
+    """Tumbling-window HLL distinct counts: one estimate per (group…,
+    window). The window start rides as epoch SECONDS (``ws_s``,
+    BIGINT) — timezone-free, so stream/batch/DuckDB agree bit-for-bit.
+    This is the batch twin of
+    ``streaming.stateful.hll_window_stream`` (same registers, same
+    fold, same estimate expression)."""
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    reg, rho = hll_register(value_col, p)
+    ws = (
+        F.floor(_epoch_seconds(df, ts_col) / F.lit(window_seconds))
+        * F.lit(window_seconds)
+    ).cast(T.LongType())
+    regs = (
+        df.where(_c(value_col).isNotNull())
+        .select(
+            *group_cols, ws.alias("ws_s"), reg.alias("__reg"), rho.alias("__rho")
+        )
     )
-    total = F.col("__present") + (F.lit(m) - F.col("n_regs")) * F.lit(1 << k)
-    est = F.round(F.lit(numerator) / total.cast(T.DoubleType()), 3)
-    return agg.select(*group_cols, F.col("n_regs"), est.alias(est_col))
+    return _hll_fold(regs, [*group_cols, "ws_s"], p, est_col)
+
+
+def _epoch_seconds(df: DataFrame, ts_col: str) -> Column:
+    """Timezone-independent epoch seconds (NTZ-safe, like
+    temporal._epoch_us)."""
+    from pyspark.sql.types import NumericType, TimestampNTZType
+
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(SECOND, "
+            f"CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), {ts_col})"
+        )
+    if isinstance(dt, NumericType):
+        return F.col(ts_col)
+    return F.unix_timestamp(F.col(ts_col))
+
+
+def hll_window_batch_sql(
+    table_sql: str,
+    group_cols: list[str],
+    value_expr: str,
+    ts_col: str,
+    window_seconds: int,
+    p: int = 10,
+    est_col: str = "hll_est",
+) -> str:
+    """DuckDB twin of :func:`hll_window_batch` (epoch() is
+    naive-as-UTC, matching the NTZ timestampdiff)."""
+    ws = (
+        f"CAST(floor(epoch({ts_col}) / {window_seconds}) "
+        f"* {window_seconds} AS BIGINT)"
+    )
+    inner = (
+        f"(SELECT {', '.join(group_cols)}, {ws} AS ws_s, "
+        f"{value_expr} AS __v FROM {table_sql})"
+    )
+    return hll_distinct_sql(inner, [*group_cols, "ws_s"], "__v", p, est_col)
 
 
 def hll_distinct_sql(
@@ -122,7 +210,7 @@ def hll_distinct_sql(
     m = 1 << p
     k = 60 - p + 1
     width = 60 - p
-    h = X.md5_hash60_sql(value_expr)
+    h = X.md5_hash60_sql(f"CAST({value_expr} AS VARCHAR)")
     gcols = ", ".join(group_cols)
     numerator = repr(_alpha(m) * m * m * float(1 << k))
     return f"""

@@ -882,3 +882,145 @@ def near_dup_embedding_stream(
         stream, id_col, vec_col, ts_col, bands, bits_per_band, dim, seed
     )
     return _bucket_candidates_stream(banded, timeout_ms, time_mode, shards)
+
+
+# --------------------------------------------------------- windowed HLL
+
+_HLL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("grp", T.StringType()),
+        T.StructField("ws_s", T.LongType()),
+        T.StructField("n_regs", T.LongType()),
+        T.StructField("__present", T.LongType()),
+    ]
+)
+_HLL_STATE_SCHEMA = T.StructType(
+    [T.StructField("regs", T.BinaryType(), False)]
+)
+
+
+def hll_window_stream(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    p: int = 10,
+    grace_ms: int = 0,
+    time_mode: str = "event",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Streaming tumbling-window distinct-count sketch: one HLL
+    estimate per (group, window), emitted exactly once when the
+    watermark passes the window's end (+ ``grace_ms``). The
+    BOUNDED-STATE alternative to streaming ``dropDuplicates`` +
+    count — that op's state grows with the number of distinct values
+    seen (unusable for "distinct urls per hour" on an endless crawl),
+    while this op's state is exactly 2^p BYTES per open (group,
+    window), independent of cardinality.
+
+    Cross-path exactness: registers and rho are computed JVM-SIDE
+    (operators.sketches.hll_register — the shared 60-bit md5 hash)
+    before the state op; the Python state function only byte-maxes
+    registers and returns EXACT integers (registers hit + the
+    scaled-integer harmonic); the final estimate is applied as the
+    same JVM expression the batch fold uses (sketches.hll_est_expr).
+    So stream output ≡ ``sketches.hll_window_batch`` bit-for-bit —
+    the batch twin is the oracle (pinned by test).
+
+    ``time_mode="event"`` (default) closes windows in DATA time —
+    replay-deterministic like the other stateful ops here.
+    Output: (grp string, ws_s epoch-seconds, n_regs, hll_est).
+    """
+    from ..operators import sketches
+
+    if not stream.isStreaming:
+        raise ValueError("hll_window_stream expects a streaming DataFrame; "
+                         "use sketches.hll_window_batch for backfill")
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    _check_time_mode(time_mode)
+    if time_mode == "event" and watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+
+    m = 1 << p
+    k = 60 - p + 1
+    reg, rho = sketches.hll_register(value_col, p)
+    ws = (
+        F.floor(
+            sketches._epoch_seconds(stream, ts_col) / F.lit(window_seconds)
+        )
+        * F.lit(window_seconds)
+    ).cast(T.LongType())
+    pre = stream.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast(T.StringType()).alias("grp"),
+        ws.alias("ws_s"),
+        reg.alias("__reg"),
+        rho.alias("__rho"),
+        F.col(ts_col).alias("__ts"),
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        grp, ws_s = key
+        ws_s = int(ws_s)  # numpy int64 breaks GroupState's JSON layer
+        if state.hasTimedOut:
+            (buf,) = state.get
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            present_mask = arr > 0
+            n_regs = int(present_mask.sum())
+            # exact python ints — no float touches the harmonic
+            present = sum(
+                1 << (k - int(r)) for r in arr[present_mask]
+            )
+            state.remove()
+            yield pd.DataFrame(
+                [(grp, ws_s, n_regs, present)],
+                columns=["grp", "ws_s", "n_regs", "__present"],
+            )
+            return
+        arr = (
+            np.frombuffer(state.get[0], dtype=np.uint8).copy()
+            if state.exists
+            else np.zeros(m, dtype=np.uint8)
+        )
+        for pdf in pdfs:
+            np.maximum.at(
+                arr,
+                pdf["__reg"].to_numpy(dtype=np.int64),
+                pdf["__rho"].to_numpy(dtype=np.uint8),
+            )
+        state.update((arr.tobytes(),))
+        # close when the time domain passes the window END (+ grace):
+        # window membership is fixed by ws_s, so unlike the idle-
+        # eviction ops the deadline never moves with new rows
+        _arm_timeout(
+            state, time_mode,
+            window_seconds * 1000 + grace_ms, ws_s * 1000,
+        )
+        yield pd.DataFrame(
+            [], columns=["grp", "ws_s", "n_regs", "__present"]
+        )
+
+    timeout_conf = (
+        GroupStateTimeout.EventTimeTimeout
+        if time_mode == "event"
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    folded = (
+        pre.groupBy("grp", "ws_s")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_HLL_OUT_SCHEMA,
+            stateStructType=_HLL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
+    )
+    est = sketches.hll_est_expr(F.col("n_regs"), F.col("__present"), p)
+    return folded.select("grp", "ws_s", "n_regs", est.alias("hll_est"))

@@ -97,3 +97,81 @@ def test_hll_registers_match_python_reference(spark):
     for r in df.select(reg.alias("reg"), rho.alias("rho")).collect():
         got[r["reg"]] = max(got.get(r["reg"], 0), r["rho"])
     assert got == expect
+
+
+# ------------------------------------------------------ windowed HLL
+
+def test_hll_window_batch_equals_per_window_sketch(spark):
+    """Windowed fold == hll_distinct run on each window's slice."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(minutes=7 * i), f"g{i % 2}", f"v{i % 97}")
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, g STRING, v STRING")
+    win = SK.hll_window_batch(df, ["g"], "v", "ts", 3600, p=8)
+    got = {(r["g"], r["ws_s"]): (r["n_regs"], r["hll_est"]) for r in win.collect()}
+    ws = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    slices = df.withColumn("ws_s", ws)
+    for (g, w), (n, est) in got.items():
+        alone = SK.hll_distinct(
+            slices.where((F.col("g") == g) & (F.col("ws_s") == w)),
+            ["g"], "v", p=8,
+        ).collect()[0]
+        assert (alone["n_regs"], alone["hll_est"]) == (n, est)
+
+
+def test_hll_window_stream_matches_batch_twin(spark, tmp_path):
+    """The streaming sketch (bounded 2^p-byte state per open window)
+    must equal sketches.hll_window_batch bit-for-bit on every CLOSED
+    window; only the final (never-watermarked-past) windows stay open."""
+    import time
+
+    from o2g_spark.streaming import stateful
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src)
+    batch = {
+        (r["event_type"], r["ws_s"]): (r["n_regs"], r["hll_est"])
+        for r in SK.hll_window_batch(
+            ev, ["event_type"], "user_id", "ts", 6 * 3600, p=8
+        ).collect()
+    }
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful.hll_window_stream(
+        stream, "event_type", "user_id", "ts", 6 * 3600, p=8,
+        watermark="0 seconds",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_window_test")
+        .outputMode("append")
+        .start()
+    )
+    n_groups = ev.select("event_type").distinct().count()
+    want = len(batch) - n_groups  # last window per group stays open
+    try:
+        deadline = time.time() + 120
+        got = []
+        while time.time() < deadline:
+            got = spark.sql("SELECT * FROM hll_window_test").collect()
+            if len(got) >= want:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert len(got) >= want
+    for r in got:
+        assert batch[(r["grp"], r["ws_s"])] == (r["n_regs"], r["hll_est"])
