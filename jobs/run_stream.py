@@ -12,6 +12,9 @@ manifest — evidence protocol in scripts/stream_resume_demo.py):
                (doc_id, text, ts) — minhash-LSH candidate funnel
   neardup-emb  near_dup_embedding_stream over a vector stream
                (vec_id, embedding array<float>, ts) — hyperplane funnel
+  hll          hll_window_stream over an event stream
+               (grp string, v string, ts) — tumbling-window distinct
+               sketch, 2^p bytes of state per open window
 
 Run (spark-submit so the JVM gets its memory BEFORE get_spark; see
 CLAUDE.md — the flag is mandatory past toy scale):
@@ -51,6 +54,7 @@ SCHEMAS = {
     "visits": "user_id long, event_id long, ts timestamp, cell long",
     "neardup": "doc_id string, text string, ts timestamp",
     "neardup-emb": "vec_id string, embedding array<float>, ts timestamp",
+    "hll": "grp string, v string, ts timestamp",
 }
 
 
@@ -81,6 +85,12 @@ def build_query(spark, args):
                              "(a stream cannot be sampled for vector width)")
         return stateful.near_dup_embedding_stream(
             stream, dim=args.dim, shards=args.shards or 1024, **common
+        )
+    if args.op == "hll":
+        return stateful.hll_window_stream(
+            stream, "grp", "v", "ts",
+            window_seconds=args.window_seconds, p=args.hll_p,
+            time_mode=args.time_mode, watermark=args.watermark,
         )
     raise SystemExit(f"unknown --op {args.op!r}")
 
@@ -133,7 +143,7 @@ def drain(q, ckpt: str, timeout_s: int) -> None:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--op", required=True,
-                    choices=["visits", "neardup", "neardup-emb"])
+                    choices=["visits", "neardup", "neardup-emb", "hll"])
     ap.add_argument("--src", required=True,
                     help="parquet directory consumed as a file stream")
     ap.add_argument("--sink", required=True, help="parquet output path")
@@ -150,6 +160,10 @@ def main(argv=None) -> int:
     ap.add_argument("--shards", type=int, default=None,
                     help="state-shard count (default: op's own default; "
                          "visits defaults to per-user keying)")
+    ap.add_argument("--window-seconds", type=int, default=3600,
+                    help="hll: tumbling window width")
+    ap.add_argument("--hll-p", type=int, default=10,
+                    help="hll: sketch precision (state = 2^p bytes)")
     ap.add_argument("--dim", type=int, default=None,
                     help="embedding width (neardup-emb only)")
     ap.add_argument("--state-store", default="hdfs",

@@ -969,6 +969,26 @@ def hll_window_stream(
 
         grp, ws_s = key
         ws_s = int(ws_s)  # numpy int64 breaks GroupState's JSON layer
+        # LATE-ROW GUARD: applyInPandasWithState does NOT drop
+        # below-watermark rows itself — without this, a row arriving
+        # after its window was closed re-creates the key with fresh
+        # state and emits a DUPLICATE partial sketch (observed: 867
+        # emissions for 477 windows on an out-of-order replay).
+        # Matching Spark's own windowed-agg semantics: once the
+        # watermark passes the window end (+ grace), its rows drop.
+        if (
+            time_mode == "event"
+            and not state.exists
+            and not state.hasTimedOut
+            and state.getCurrentWatermarkMs()
+            >= (ws_s + window_seconds) * 1000 + grace_ms
+        ):
+            for _ in pdfs:
+                pass  # drain the iterator; rows are late, window closed
+            yield pd.DataFrame(
+                [], columns=["grp", "ws_s", "n_regs", "__present"]
+            )
+            return
         if state.hasTimedOut:
             (buf,) = state.get
             arr = np.frombuffer(buf, dtype=np.uint8)

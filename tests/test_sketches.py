@@ -175,3 +175,62 @@ def test_hll_window_stream_matches_batch_twin(spark, tmp_path):
     assert len(got) >= want
     for r in got:
         assert batch[(r["grp"], r["ws_s"])] == (r["n_regs"], r["hll_est"])
+
+
+def test_hll_window_stream_no_duplicate_emissions_on_disorder(spark, tmp_path):
+    """Late rows arriving after their window closed must be DROPPED,
+    not re-create the key: without the guard a replayed out-of-order
+    stream emitted duplicate partial sketches (867 rows for 477
+    windows). Every window appears at most once, and its registers
+    are a subset of the batch twin's (the on-time portion)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from o2g_spark.streaming import stateful
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            F.col("event_type").alias("grp"),
+            F.col("user_id").cast("string").alias("v"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    src = str(tmp_path / "shuffled")
+    # deliberately time-shuffled files → heavy cross-file disorder
+    ev.orderBy(F.xxhash64("v", "ts")).repartition(4).write.parquet(src)
+    twin = {
+        (r["grp"], r["ws_s"]): r["n_regs"]
+        for r in SK.hll_window_batch(ev, ["grp"], "v", "ts", 6 * 3600, p=8)
+        .collect()
+    }
+    stream = (
+        spark.readStream.schema("grp string, v string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful.hll_window_stream(
+        stream, "grp", "v", "ts", 6 * 3600, p=8, watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_disorder_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        time.sleep(3)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM hll_disorder_test").collect()
+    finally:
+        q.stop()
+    seen = set()
+    for r in rows:
+        k = (r["grp"], r["ws_s"])
+        assert k not in seen, f"duplicate emission for window {k}"
+        seen.add(k)
+        assert k in twin
+        assert r["n_regs"] <= twin[k]  # on-time subset of the full sketch
+    assert rows  # disorder must not suppress everything
