@@ -860,6 +860,20 @@ def _q_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, q, k=5)
 
 
+def _q_cosine_topk_q8(spark, sf_dir):
+    """cosine_topk over int8-quantized codes (similarity.py): 4×
+    smaller vectors on the shuffle/index path; the dot product and
+    norms are EXACT integers, so even the cosine float is
+    bit-identical cross-engine (mul/div/sqrt are correctly-rounded
+    IEEE ops — unlike ln/pow). Recall vs exact cosine pinned in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return similarity.cosine_topk_quantized(emb, q, k=5)
+
+
 def _q_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     dim = emb.select(F.size("embedding").alias("d")).first()["d"]
@@ -1773,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
+        "cosine_topk_q8": _q_cosine_topk_q8,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -2155,6 +2170,11 @@ FROM documents
         "near_dup_stream": _near_dup_stream_oracle_sql(),
         "near_dup_emb_stream": _near_dup_emb_stream_oracle_sql(),
         "gtfs_resolve": _gtfs_resolve_oracle_sql(),
+        "cosine_topk_q8": similarity.cosine_topk_quantized_sql(
+            "embeddings",
+            "SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10",
+            k=5,
+        ),
         "cosine_topk": similarity.cosine_topk_sql(
             "embeddings",
             "SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10",

@@ -206,3 +206,70 @@ def test_ivf_centroids_local_replica_bit_identical(spark, tmp_path):
         path + "/*.parquet", n_centroids=8, train_sample=100
     )
     assert np.array_equal(c_spark, c_local)
+
+
+# --------------------------------------------------- int8 quantization
+
+def test_quantized_roundtrip_error_bounded(spark):
+    """Dequantized values sit within half a grid step of the input."""
+    from pyspark.sql import functions as F
+
+    from o2g_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    scale, q = SIM.quantized_embedding(F.col("embedding"))
+    bad = (
+        emb.select(
+            F.col("embedding"), scale.alias("s"), q.alias("q")
+        )
+        .withColumn(
+            "max_err",
+            F.array_max(
+                F.zip_with(
+                    "embedding",
+                    "q",
+                    lambda v, code: F.abs(v.cast("double") - code * F.col("s")),
+                )
+            ),
+        )
+        .where(F.col("max_err") > F.col("s") * 0.5 + 1e-12)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_quantized_zero_vector_safe(spark):
+    from pyspark.sql import functions as F
+
+    from o2g_spark.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    scale, q = SIM.quantized_embedding(F.col("embedding"))
+    rows = {r["vec_id"]: (r["s"], r["q"]) for r in
+            df.select("vec_id", scale.alias("s"), q.alias("q")).collect()}
+    assert rows[1] == (0.0, [0, 0, 0])
+    assert rows[2][1][1] == -127  # absmax component hits the grid edge
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    from pyspark.sql import functions as F
+
+    from o2g_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in SIM.cosine_topk(emb, q, k=10).collect()
+    }
+    quant = {
+        (r["qid"], r["vec_id"])
+        for r in SIM.cosine_topk_quantized(emb, q, k=10).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, recall  # int8 grid barely moves the ordering
