@@ -520,6 +520,25 @@ def _q_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_containment(spark, sf_dir):
+    """Asymmetric containment pairs (dedup.containment_pairs): the
+    quote/subset detector symmetric Jaccard misses. Same df-capped
+    candidate machinery and the same data-property precondition as
+    the jaccard gate (0 dropped shingles ⇒ capped Spark path == exact
+    DuckDB twin)."""
+    docs = _t(spark, sf_dir, "documents")
+    dropped = dedup.jaccard_dropped_shingles(docs, "doc_id", "text",
+                                             n=3, max_df=200)
+    if dropped != 0:
+        raise RuntimeError(
+            f"containment gate precondition broken: {dropped} shingles "
+            "exceed max_df=200 at gate scale — regenerate oracle or raise cap"
+        )
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=200
+    )
+
+
 def _q_minhash_sig(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     sig = dedup.minhash_signature("text", 16)
@@ -1765,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
+        "containment_pairs": _q_containment,
         "minhash_sig": _q_minhash_sig,
         "minhash_lsh": _q_minhash_lsh,
         "lsh_incremental": _q_lsh_incremental,
@@ -2111,6 +2131,9 @@ FROM lineitem GROUP BY l_orderkey
 """,
         "dedup_exact": dedup.dedup_exact_sql("documents", "doc_id", "text"),
         "jaccard_pairs": dedup.jaccard_pairs_sql("documents", "doc_id", "text", 3, 0.4),
+        "containment_pairs": dedup.containment_pairs_sql(
+            "documents", "doc_id", "text", 3, 0.5
+        ),
         "minhash_sig": f"""
 SELECT doc_id,
        ({dedup.minhash_signature_sql('text', 16)})[1] AS sig_0,

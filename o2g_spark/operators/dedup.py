@@ -311,6 +311,92 @@ def jaccard_dropped_shingles(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: "int | None | _UnsetType" = _USE_DEFAULT_CAP,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs: containment(A in B) = |A∩B| / |A|
+    over n-gram shingle sets. The quote/subset detector — a short doc
+    fully embedded in a long one scores containment ≈ 1 while its
+    Jaccard (inter/union) stays tiny, so symmetric dedup never
+    surfaces it; training corpora care because quoted boilerplate and
+    wrapper pages are exactly this shape.
+
+    Same scale machinery as :func:`jaccard_pairs`: hashed-shingle
+    inverted-index candidates (df-capped by default — the cap warning
+    and semantics are shared), exact string-set verification. Output:
+    one row per candidate pair (id_a < id_b) with BOTH directions —
+    (id_a, id_b, cont_a_in_b, cont_b_in_a), kept when either side
+    ≥ threshold, rounded 6dp."""
+    if max_df is _USE_DEFAULT_CAP:
+        _warn_default_cap()
+        max_df = _DEFAULT_MAX_DF
+    sh_full = cache_latest(
+        "dedup.containment.sh_full", _shingle_sets(df, id_col, text_col, n)
+    )
+    sh = sh_full.select("__id", F.explode("__hset").alias("__sh"))
+    if max_df is not None:
+        dfreq = sh.groupBy("__sh").agg(F.count("*").alias("__df"))
+        hot = dfreq.filter(F.col("__df") > max_df).select("__sh")
+        sh = sh.join(F.broadcast(hot), "__sh", "left_anti")
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.__sh") == F.col("b.__sh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sh_full.select(F.col("__id").alias("id_a"), F.col("__shset").alias("__sha"))
+    sb = sh_full.select(F.col("__id").alias("id_b"), F.col("__shset").alias("__shb"))
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    c_ab = F.round(inter / F.greatest(F.size("__sha"), F.lit(1)), 6)
+    c_ba = F.round(inter / F.greatest(F.size("__shb"), F.lit(1)), 6)
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("cont_a_in_b", c_ab)
+        .withColumn("cont_b_in_a", c_ba)
+        .filter(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+        .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+    )
+
+
+def containment_pairs_sql(
+    table: str, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> str:
+    """DuckDB twin of the EXACT path (gate pins dropped-shingles == 0,
+    mirroring the jaccard gate's precondition)."""
+    sh_expr = X.shingles_sql(text_col, n)
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id, unnest({sh_expr}) AS sh FROM {table}
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(c / greatest(sa.sz, 1), 6) AS cont_a_in_b,
+       round(c / greatest(sb.sz, 1), 6) AS cont_b_in_a
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(c / greatest(sa.sz, 1), 6) >= {threshold}
+   OR round(c / greatest(sb.sz, 1), 6) >= {threshold}
+"""
+
+
 def jaccard_pairs_sql(
     table: str, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> str:

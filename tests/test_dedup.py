@@ -263,3 +263,45 @@ def test_jaccard_candidate_strategies_equal(corpus):
     with pytest.raises(ValueError, match="bucket"):
         dedup.jaccard_pairs(corpus, "doc_id", "text", n=3, max_df=None,
                             candidate_strategy="bucket")
+
+
+# ------------------------------------------------------- containment
+
+def test_containment_finds_embedded_quote_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment ≈ 1,
+    jaccard tiny — the asymmetric op must surface what the symmetric
+    one (at any sane threshold) cannot."""
+    from o2g_spark.operators import dedup
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id LONG, text STRING",
+    )
+    cont = dedup.containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9, max_df=None
+    ).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["cont_a_in_b"] == 1.0  # every quote shingle is in the host
+    assert r["cont_b_in_a"] < 0.1
+    jac = dedup.jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5, max_df=None
+    ).collect()
+    assert jac == []  # symmetric jaccard cannot see the quote
+
+
+def test_containment_direction_and_threshold(spark):
+    from o2g_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=None
+    ).collect()
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert max(r["cont_a_in_b"], r["cont_b_in_a"]) >= 0.5
+        assert 0.0 <= r["cont_a_in_b"] <= 1.0
+        assert 0.0 <= r["cont_b_in_a"] <= 1.0
