@@ -247,6 +247,63 @@ def bench_chunks(spark, scale):
     return out
 
 
+def bench_tfidf(spark, scale):
+    """Corpus-df join + per-doc top-k at millions of docs: the
+    rarity-weighted term ranking whose build side is one row per
+    distinct term (never per occurrence)."""
+    out = {}
+    n = int(1_000_000 * scale)
+    tokens_per_doc = 60
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(tokens_per_doc - 1)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("id") * tokens_per_doc + i), F.lit(20000))
+            .cast("string"),
+        ),
+    )
+    docs = (
+        spark.range(n)
+        .withColumn("__ws", words)
+        .select(F.col("id").alias("doc_id"),
+                F.concat_ws(" ", F.col("__ws")).alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    rows = C.tfidf_topk(docs, "doc_id", "text", k=5).count()
+    out["tfidf_sec"] = round(time.time() - t0, 2)
+    out["tfidf_docs"] = n
+    out["tfidf_rows"] = rows
+    out["tfidf_ok"] = bool(rows == n * 5)  # every doc gets its top-5
+    out["tfidf_docs_per_sec"] = int(n / max(out["tfidf_sec"], 1e-9))
+    return out
+
+
+def bench_pack(spark, scale):
+    """Next-fit packing at chunk-table scale: one shard shuffle + an
+    O(rows/shard) python pass per shard."""
+    from o2g_spark.operators import packing as P
+
+    out = {}
+    n = int(10_000_000 * scale)
+    shards = 256
+    chunks = spark.range(n).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(400)) + 32).alias("toks"),
+    ).localCheckpoint(eager=True)
+    t0 = time.time()
+    packed = P.pack_sequences(chunks, "id", "toks", budget=2048, shards=shards)
+    rows = packed.count()
+    out["pack_sec"] = round(time.time() - t0, 2)
+    st = P.pack_stats(packed, 2048).collect()[0]
+    out["pack_rows"] = rows
+    out["pack_ok"] = bool(rows == n)
+    out["pack_fill"] = float(st["fill_ratio"])
+    out["pack_bins"] = int(st["bins_used"])
+    out["pack_rows_per_sec"] = int(n / max(out["pack_sec"], 1e-9))
+    return out
+
+
 def bench_domain_cap(spark, scale):
     out = {}
     n = int(20_000_000 * scale)
@@ -345,6 +402,13 @@ def update_baseline(r) -> None:
         f"× 120 tok | {r['chunks_sec']} | "
         f"{r['chunks_docs_per_sec']:,} docs/s | chunk count exact: "
         f"{r['chunks_exact']} |",
+        f"| tfidf_topk (k=5, 20k vocab) | {r['tfidf_docs']:,} docs "
+        f"× 60 tok | {r['tfidf_sec']} | {r['tfidf_docs_per_sec']:,} docs/s "
+        f"| rows == 5·docs: {r['tfidf_ok']} |",
+        f"| pack_sequences (2048 budget, 256 shards) | "
+        f"{r['pack_rows']:,} chunks | {r['pack_sec']} | "
+        f"{r['pack_rows_per_sec']:,} rows/s | every chunk placed; fill "
+        f"{r['pack_fill']:.3f} over {r['pack_bins']:,} bins |",
         f"| domain_cap (planted 50% megahost) | "
         f"{r['domain_cap_rows_in']:,} urls, cap 10 | {r['domain_cap_sec']} | "
         f"{r['domain_cap_rows_per_sec']:,} rows/s | max/domain = "
@@ -394,6 +458,8 @@ def main() -> int:
         ("asof_skew", bench_asof_skew),
         ("hll", bench_hll),
         ("chunks", bench_chunks),
+        ("tfidf", bench_tfidf),
+        ("pack", bench_pack),
         ("domain_cap", bench_domain_cap),
         ("interval", bench_interval),
     ):
@@ -405,6 +471,8 @@ def main() -> int:
         and r["asof_hot_identical"]
         and r["hll_within_bound"]
         and r["chunks_exact"]
+        and r["tfidf_ok"]
+        and r["pack_ok"]
         and r["domain_cap_bound_held"]
     )
     print(json.dumps({"ok": ok}), flush=True)
