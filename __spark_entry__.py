@@ -539,6 +539,70 @@ def _q_containment(spark, sf_dir):
     )
 
 
+# bloom_params(2500, 0.01) — sized for the LARGEST gate SF's member
+# count (sf0.1: 2,500 even ids) so the filter is never saturated;
+# frozen as literals so the DuckDB twin rebuilds the identical filter
+BLOOM_M, BLOOM_K = 23994, 7
+
+
+def _q_bloom_probe(spark, sf_dir):
+    """Bloom membership probe (operators/membership.py): filter built
+    over even doc ids, ALL docs probed — (doc_id, maybe_seen). The
+    filter's 62-bit words and every probe bit are exact integer math
+    off the shared 60-bit hash, so the DuckDB twin rebuilds the same
+    filter and re-checks every position (no-false-negative property
+    pinned in tests/test_membership.py)."""
+    from o2g_spark.operators import membership
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = docs.select(F.col("doc_id").cast(T.StringType()).alias("u"), "doc_id")
+    seen = keys.where(F.col("doc_id") % 2 == 0).select("u")
+    bl = membership.bloom_build(seen, "u", BLOOM_M, BLOOM_K)
+    return membership.bloom_probe(keys, "u", bl, BLOOM_M, BLOOM_K).select(
+        "doc_id", "maybe_seen"
+    )
+
+
+def _q_bloom_anti(spark, sf_dir):
+    """bloom_prefilter_anti_join: EXACT anti-join semantics where the
+    bloom pass routes only the maybe-seen sliver to the exact join —
+    the crawl-frontier dedup primitive. The oracle is the plain anti
+    join (the filter can add work, never drop a row)."""
+    from o2g_spark.operators import membership
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.select(F.col("doc_id").cast(T.StringType()).alias("u"))
+    seen = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast(T.StringType()).alias("u")
+    )
+    return membership.bloom_prefilter_anti_join(new, seen, "u", fp_rate=0.01)
+
+
+def _bloom_probe_oracle_sql() -> str:
+    """DuckDB twin of _q_bloom_probe: rebuild the identical filter
+    (62-bit words, bit_or fold) and AND together every position's
+    bit check per doc."""
+    from o2g_spark.operators import membership
+
+    build = membership.bloom_build_sql(
+        "(SELECT CAST(doc_id AS VARCHAR) AS u FROM documents "
+        "WHERE doc_id % 2 = 0)",
+        "u", BLOOM_M, BLOOM_K,
+    )
+    pos = membership._positions_sql("u", BLOOM_M, BLOOM_K, "bloom")
+    checks = " AND ".join(
+        f"EXISTS (SELECT 1 FROM bloom b WHERE b.word_idx = {p} // 62 "
+        f"AND (b.word & (CAST(1 AS BIGINT) << CAST({p} % 62 AS INTEGER)))"
+        f" <> 0)"
+        for p in pos
+    )
+    return f"""
+WITH bloom AS ({build}),
+keys AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS u FROM documents)
+SELECT doc_id, ({checks}) AS maybe_seen FROM keys
+"""
+
+
 def _q_minhash_sig(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     sig = dedup.minhash_signature("text", 16)
@@ -1785,6 +1849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "containment_pairs": _q_containment,
+        "bloom_probe": _q_bloom_probe,
+        "bloom_anti": _q_bloom_anti,
         "minhash_sig": _q_minhash_sig,
         "minhash_lsh": _q_minhash_lsh,
         "lsh_incremental": _q_lsh_incremental,
@@ -2134,6 +2200,13 @@ FROM lineitem GROUP BY l_orderkey
         "containment_pairs": dedup.containment_pairs_sql(
             "documents", "doc_id", "text", 3, 0.5
         ),
+        "bloom_probe": _bloom_probe_oracle_sql(),
+        "bloom_anti": """
+SELECT CAST(doc_id AS VARCHAR) AS u FROM documents n
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents d
+  WHERE d.doc_id % 3 = 0 AND d.doc_id = n.doc_id)
+""",
         "minhash_sig": f"""
 SELECT doc_id,
        ({dedup.minhash_signature_sql('text', 16)})[1] AS sig_0,
