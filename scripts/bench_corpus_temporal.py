@@ -304,6 +304,63 @@ def bench_pack(spark, scale):
     return out
 
 
+def bench_bloom(spark, scale):
+    """Frontier dedup at crawl shape: 20M seen urls, a 10M new batch
+    with 10% true overlap. Headline metric: rows that still reach the
+    EXACT anti join (the 100-TB cost driver) — the bloom pass routes
+    only the maybe-seen sliver there. Wall times are single-box; on a
+    cluster the seen table is the thing that doesn't fit, and the
+    exact join's probe side shrinking ~10x is the win."""
+    from o2g_spark.operators import membership as MB
+
+    out = {}
+    n_seen = int(20_000_000 * scale)
+    n_new = int(10_000_000 * scale)
+    seen = spark.range(n_seen).select(
+        F.concat(F.lit("https://h"), F.col("id").cast("string"),
+                 F.lit(".org/")).alias("u")
+    ).localCheckpoint(eager=True)
+    # 10% of new overlap seen; the rest are fresh ids past the range
+    new = spark.range(n_new).select(
+        F.when(
+            F.pmod(F.xxhash64("id"), F.lit(10)) == 0,
+            F.concat(F.lit("https://h"),
+                     F.pmod(F.xxhash64("id", F.lit(5)), F.lit(n_seen))
+                     .cast("string"), F.lit(".org/")),
+        ).otherwise(
+            F.concat(F.lit("https://h"), (F.col("id") + n_seen).cast("string"),
+                     F.lit(".org/"))
+        ).alias("u")
+    ).localCheckpoint(eager=True)
+
+    m_bits, k = MB.bloom_params(n_seen, 0.01)
+    t0 = time.time()
+    bloom = MB.bloom_build(seen, "u", m_bits, k).localCheckpoint(eager=True)
+    out["bloom_build_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    probed = MB.bloom_probe(new, "u", bloom, m_bits, k)
+    maybe = probed.where(F.col("maybe_seen")).count()
+    out["bloom_probe_sec"] = round(time.time() - t0, 2)
+    out["bloom_seen"] = n_seen
+    out["bloom_new"] = n_new
+    out["bloom_maybe_rows"] = maybe
+    out["bloom_exact_join_fraction"] = round(maybe / n_new, 4)
+
+    t0 = time.time()
+    n_pre = MB.bloom_prefilter_anti_join(
+        new, seen, "u", fp_rate=0.01, n_seen=n_seen
+    ).count()
+    out["bloom_prefilter_anti_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    n_plain = new.join(
+        seen.withColumnRenamed("u", "v"), F.col("u") == F.col("v"), "left_anti"
+    ).count()
+    out["plain_anti_sec"] = round(time.time() - t0, 2)
+    out["bloom_anti_rows"] = n_pre
+    out["bloom_anti_identical"] = bool(n_pre == n_plain)
+    return out
+
+
 def bench_domain_cap(spark, scale):
     out = {}
     n = int(20_000_000 * scale)
@@ -409,6 +466,13 @@ def update_baseline(r) -> None:
         f"{r['pack_rows']:,} chunks | {r['pack_sec']} | "
         f"{r['pack_rows_per_sec']:,} rows/s | every chunk placed; fill "
         f"{r['pack_fill']:.3f} over {r['pack_bins']:,} bins |",
+        f"| bloom_prefilter_anti_join (fp 1%) | {r['bloom_new']:,} new vs "
+        f"{r['bloom_seen']:,} seen urls, 10% true overlap | "
+        f"{r['bloom_prefilter_anti_sec']} vs {r['plain_anti_sec']} plain "
+        f"anti | exact-join probe side shrunk to "
+        f"{r['bloom_exact_join_fraction']:.1%} of new "
+        f"({r['bloom_maybe_rows']:,} rows; build {r['bloom_build_sec']} s) "
+        f"| rows == plain anti-join: {r['bloom_anti_identical']} |",
         f"| domain_cap (planted 50% megahost) | "
         f"{r['domain_cap_rows_in']:,} urls, cap 10 | {r['domain_cap_sec']} | "
         f"{r['domain_cap_rows_per_sec']:,} rows/s | max/domain = "
@@ -430,6 +494,10 @@ def update_baseline(r) -> None:
         "does not; wall times here are single-box.",
         "- domain_cap's megahost partition is scanned once and emits "
         "10 rows — the window IS the skew mitigation.",
+        "- bloom_prefilter's wall time is single-box overhead-bound "
+        "(the plain anti wins locally); the cluster win is the exact "
+        "join's probe side shrinking ~10x — only the maybe-seen "
+        "sliver shuffles against the 100-TB seen table.",
         "",
         END,
     ]
@@ -460,6 +528,7 @@ def main() -> int:
         ("chunks", bench_chunks),
         ("tfidf", bench_tfidf),
         ("pack", bench_pack),
+        ("bloom", bench_bloom),
         ("domain_cap", bench_domain_cap),
         ("interval", bench_interval),
     ):
@@ -473,6 +542,7 @@ def main() -> int:
         and r["chunks_exact"]
         and r["tfidf_ok"]
         and r["pack_ok"]
+        and r["bloom_anti_identical"]
         and r["domain_cap_bound_held"]
     )
     print(json.dumps({"ok": ok}), flush=True)
