@@ -40,6 +40,7 @@ from o2g_spark.kernels import cells as cellk
 from o2g_spark.operators import (
     clusters,
     corpus,
+    decontam,
     dedup,
     gtfs,
     knn,
@@ -536,6 +537,22 @@ def _q_containment(spark, sf_dir):
         )
     return dedup.containment_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, max_df=200
+    )
+
+
+def _q_decontam(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): GPT-3-style
+    n-gram-overlap report of corpus docs sharing shingles with a
+    benchmark set. Gate shape: bench = every 37th doc, corpus = the
+    rest, n=4 (the synthetic vocab is ~30 words, so 4-grams give a
+    non-trivial overlap set — planted near-dups of bench docs surface
+    at ~0.98 contamination, chance collisions at ~0.02). Broadcast
+    probe side pinned (eval suites are tiny next to the corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    return decontam.contamination_report(
+        docs.where(F.col("doc_id") % 37 != 0),
+        docs.where(F.col("doc_id") % 37 == 0),
+        "doc_id", "text", n=4,
     )
 
 
@@ -1849,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "containment_pairs": _q_containment,
+        "decontam": _q_decontam,
         "bloom_probe": _q_bloom_probe,
         "bloom_anti": _q_bloom_anti,
         "minhash_sig": _q_minhash_sig,
@@ -2199,6 +2217,11 @@ FROM lineitem GROUP BY l_orderkey
         "jaccard_pairs": dedup.jaccard_pairs_sql("documents", "doc_id", "text", 3, 0.4),
         "containment_pairs": dedup.containment_pairs_sql(
             "documents", "doc_id", "text", 3, 0.5
+        ),
+        "decontam": decontam.contamination_report_sql(
+            "SELECT * FROM documents WHERE doc_id % 37 <> 0",
+            "SELECT * FROM documents WHERE doc_id % 37 = 0",
+            "doc_id", "text", 4,
         ),
         "bloom_probe": _bloom_probe_oracle_sql(),
         "bloom_anti": """
