@@ -540,6 +540,54 @@ def _q_containment(spark, sf_dir):
     )
 
 
+def _multiline_docs(docs):
+    """Documents wrapped in synthetic boilerplate: a universal cookie
+    banner + nav footer (df = 1.0) and an even-doc-only subscribe
+    prompt (df = 0.5) around the original single-line body —
+    deterministic in both engines (concat_ws skips the NULL branch in
+    Spark AND DuckDB)."""
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("cookie notice accept all"),
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("subscribe to our newsletter")),
+            F.lit("nav home about contact"),
+        ).alias("text"),
+    )
+
+
+_MULTILINE_DOCS_SQL = """SELECT doc_id, concat_ws(chr(10),
+  'cookie notice accept all', text,
+  CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter' END,
+  'nav home about contact') AS text FROM documents"""
+
+
+def _strip_boilerplate_oracle_sql() -> str:
+    from o2g_spark.operators import boilerplate
+
+    return boilerplate.strip_boilerplate_sql(
+        _MULTILINE_DOCS_SQL, "doc_id", "text",
+        boilerplate.min_frac_df_sql(_MULTILINE_DOCS_SQL, 0.6),
+    )
+
+
+def _q_strip_boilerplate(spark, sf_dir):
+    """CCNet-style corpus-frequency line removal (operators/
+    boilerplate.py) over synthetic boilerplate wrapping. min_frac=0.6
+    is scale-portable: the universal banner/footer (df 1.0) strip at
+    every SF while the half-corpus subscribe line (df 0.5) survives —
+    so even docs keep an embedded newline, exercising order-preserving
+    rebuild, not just single-line passthrough."""
+    from o2g_spark.operators import boilerplate
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate.strip_boilerplate(
+        _multiline_docs(docs), "doc_id", "text", min_frac=0.6
+    )
+
+
 def _q_decontam(spark, sf_dir):
     """Benchmark decontamination (operators/decontam.py): GPT-3-style
     n-gram-overlap report of corpus docs sharing shingles with a
@@ -1867,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "containment_pairs": _q_containment,
         "decontam": _q_decontam,
+        "strip_boilerplate": _q_strip_boilerplate,
         "bloom_probe": _q_bloom_probe,
         "bloom_anti": _q_bloom_anti,
         "minhash_sig": _q_minhash_sig,
@@ -2223,6 +2272,7 @@ FROM lineitem GROUP BY l_orderkey
             "SELECT * FROM documents WHERE doc_id % 37 = 0",
             "doc_id", "text", 4,
         ),
+        "strip_boilerplate": _strip_boilerplate_oracle_sql(),
         "bloom_probe": _bloom_probe_oracle_sql(),
         "bloom_anti": """
 SELECT CAST(doc_id AS VARCHAR) AS u FROM documents n
