@@ -588,6 +588,36 @@ def _q_strip_boilerplate(spark, sf_dir):
     )
 
 
+def _q_repetition(spark, sf_dir):
+    """Gopher repetition signals (operators/repetition.py). Every 3rd
+    doc gets a twice-repeated trailing line so the dup-line features
+    fire (the synthetic corpus is single-line); word-level dup/top-gram
+    features are non-trivial everywhere (the ~30-word vocab repeats)."""
+    from o2g_spark.operators import repetition
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("repeat promo line")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("repeat promo line")),
+        ).alias("text"),
+    )
+    return repetition.repetition_report(planted, "doc_id", "text")
+
+
+def _repetition_oracle_sql() -> str:
+    from o2g_spark.operators import repetition
+
+    planted = """SELECT doc_id, concat_ws(chr(10), text,
+      CASE WHEN doc_id % 3 = 0 THEN 'repeat promo line' END,
+      CASE WHEN doc_id % 3 = 0 THEN 'repeat promo line' END) AS text
+    FROM documents"""
+    return repetition.repetition_report_sql(planted, "doc_id", "text")
+
+
 def _q_decontam(spark, sf_dir):
     """Benchmark decontamination (operators/decontam.py): GPT-3-style
     n-gram-overlap report of corpus docs sharing shingles with a
@@ -1916,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment,
         "decontam": _q_decontam,
         "strip_boilerplate": _q_strip_boilerplate,
+        "repetition": _q_repetition,
         "bloom_probe": _q_bloom_probe,
         "bloom_anti": _q_bloom_anti,
         "minhash_sig": _q_minhash_sig,
@@ -2273,6 +2304,7 @@ FROM lineitem GROUP BY l_orderkey
             "doc_id", "text", 4,
         ),
         "strip_boilerplate": _strip_boilerplate_oracle_sql(),
+        "repetition": _repetition_oracle_sql(),
         "bloom_probe": _bloom_probe_oracle_sql(),
         "bloom_anti": """
 SELECT CAST(doc_id AS VARCHAR) AS u FROM documents n
