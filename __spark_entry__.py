@@ -588,6 +588,52 @@ def _q_strip_boilerplate(spark, sf_dir):
     )
 
 
+def _q_url_canonical(spark, sf_dir):
+    """URL canonicalization (operators/corpus.py url_canonical):
+    messy synthetic URLs — uppercase scheme/host, userinfo, default
+    port, trailing slash, tracking params, fragments — each feature
+    toggled by doc_id residues so every branch of the canonicalizer
+    is exercised. concat_ws('') builds them (Spark's concat
+    null-propagates; concat_ws skips NULLs in both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat_ws(
+        "",
+        F.lit("HTTPS://"),
+        F.when(d % 5 == 0, F.lit("user:pw@")),
+        F.lit("W"),
+        F.pmod(d, F.lit(7)).cast(T.StringType()),
+        F.lit("."),
+        F.upper("source"),
+        F.lit(".ORG"),
+        F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":8443")),
+        F.lit("/p/"),
+        d.cast(T.StringType()),
+        F.when(d % 3 == 0, F.lit("/")),
+        F.when(d % 4 == 0, F.lit("?utm_source=x&z=9&a=1"))
+        .when(d % 4 == 1, F.lit("?gclid=1"))
+        .when(d % 4 == 2, F.lit("?b=2&ref=tw&a=1")),
+        F.lit("#sec"),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        corpus.url_canonical(url).alias("canon_url"),
+    )
+
+
+_GATE_MESSY_URL_SQL = """concat_ws('', 'HTTPS://',
+  CASE WHEN doc_id % 5 = 0 THEN 'user:pw@' END,
+  'W', CAST(doc_id % 7 AS VARCHAR), '.', upper(source), '.ORG',
+  CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8443' END,
+  '/p/', CAST(doc_id AS VARCHAR),
+  CASE WHEN doc_id % 3 = 0 THEN '/' END,
+  CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&z=9&a=1'
+       WHEN doc_id % 4 = 1 THEN '?gclid=1'
+       WHEN doc_id % 4 = 2 THEN '?b=2&ref=tw&a=1' END,
+  '#sec')"""
+
+
 def _q_repetition(spark, sf_dir):
     """Gopher repetition signals (operators/repetition.py). Every 3rd
     doc gets a twice-repeated trailing line so the dup-line features
@@ -1947,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": _q_decontam,
         "strip_boilerplate": _q_strip_boilerplate,
         "repetition": _q_repetition,
+        "url_canonical": _q_url_canonical,
         "bloom_probe": _q_bloom_probe,
         "bloom_anti": _q_bloom_anti,
         "minhash_sig": _q_minhash_sig,
@@ -2305,6 +2352,11 @@ FROM lineitem GROUP BY l_orderkey
         ),
         "strip_boilerplate": _strip_boilerplate_oracle_sql(),
         "repetition": _repetition_oracle_sql(),
+        "url_canonical": (
+            f"SELECT doc_id, {_GATE_MESSY_URL_SQL} AS url, "
+            f"{corpus.url_canonical_sql(_GATE_MESSY_URL_SQL)} AS canon_url "
+            "FROM documents"
+        ),
         "bloom_probe": _bloom_probe_oracle_sql(),
         "bloom_anti": """
 SELECT CAST(doc_id AS VARCHAR) AS u FROM documents n

@@ -275,6 +275,102 @@ def url_host_sql(url: str) -> str:
     return f"lower({host})"
 
 
+# tracking params dropped by url_canonical (name, optionally =value);
+# anchored both ends — rlike/regexp_matches are find-anywhere in both
+# engines, the anchors make it a full-param match
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|igshid|yclid|ref|ref_src)(=.*)?$"
+)
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def url_canonical(url: Column | str) -> Column:
+    """Canonical URL for crawl dedup / frontier keys. Deterministic,
+    engine-neutral column math (regex + list ops — one pass, no UDF):
+
+    - fragment dropped; userinfo dropped
+    - scheme and host lowercased; default ports (:80 http, :443
+      https) stripped, other ports kept
+    - empty path → ``/``; trailing slash stripped off non-root paths
+    - query: tracking params removed (:data:`TRACKING_PARAM_RE`),
+      the rest sorted bytewise (duplicates kept), ``?`` dropped when
+      nothing survives
+
+    Inputs without a ``scheme://authority`` shape pass through
+    trimmed-only — canonicalization must never destroy keys it does
+    not understand.
+    """
+    u = F.trim(_c(url))
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, _SCHEME_RE, 1))
+    base = F.regexp_replace(nofrag, r"\?.*$", "")
+    query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    auth = F.regexp_extract(base, _HOST_RE, 1)
+    no_user = F.element_at(F.split(auth, "@"), -1)
+    hostname = F.lower(F.regexp_replace(no_user, r":[0-9]*$", ""))
+    port = F.regexp_extract(no_user, r":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == "80"))
+        & ~((scheme == F.lit("https")) & (port == "443"))
+    )
+    host_out = F.when(keep_port, F.concat(hostname, F.lit(":"), port)).otherwise(
+        hostname
+    )
+    path = F.regexp_replace(base, _SCHEME_RE + r"[^/?#]*", "")
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(path != "/", F.regexp_replace(path, r"/$", "")).otherwise(path)
+    )
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    q2 = F.array_join(F.array_sort(params), "&")
+    q_out = F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2))
+    canon = F.concat(scheme, F.lit("://"), host_out, path, q_out)
+    return F.when(scheme == "", u).otherwise(canon)
+
+
+def url_canonical_sql(url: str) -> str:
+    """DuckDB twin of :func:`url_canonical` (same regexes; DuckDB's
+    regexp_replace needs the 'g' flag nowhere here — each pattern is
+    anchored or single-match)."""
+    u = f"trim({url})"
+    nofrag = f"regexp_replace({u}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({nofrag}, '{_SCHEME_RE}', 1))"
+    base = f"regexp_replace({nofrag}, '\\?.*$', '')"
+    query = f"regexp_extract({nofrag}, '\\?(.*)$', 1)"
+    auth = f"regexp_extract({base}, '{_HOST_RE}', 1)"
+    no_user = f"list_extract(string_split({auth}, '@'), -1)"
+    hostname = f"lower(regexp_replace({no_user}, ':[0-9]*$', ''))"
+    port = f"regexp_extract({no_user}, ':([0-9]+)$', 1)"
+    keep_port = (
+        f"({port} <> '' AND NOT ({scheme} = 'http' AND {port} = '80') "
+        f"AND NOT ({scheme} = 'https' AND {port} = '443'))"
+    )
+    host_out = (
+        f"CASE WHEN {keep_port} THEN concat({hostname}, ':', {port}) "
+        f"ELSE {hostname} END"
+    )
+    raw_path = f"regexp_replace({base}, '{_SCHEME_RE}[^/?#]*', '')"
+    path = (
+        f"CASE WHEN {raw_path} = '' THEN '/' "
+        f"WHEN {raw_path} <> '/' THEN regexp_replace({raw_path}, '/$', '') "
+        f"ELSE {raw_path} END"
+    )
+    params = (
+        f"list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))"
+    )
+    # coalesce: DuckDB's array_to_string over an EMPTY list is NULL
+    # (Spark's array_join is ''), and concat would then skip it and
+    # leave a stray '?'
+    q2 = f"coalesce(array_to_string(list_sort({params}), '&'), '')"
+    q_out = f"CASE WHEN {q2} = '' THEN '' ELSE concat('?', {q2}) END"
+    canon = f"concat({scheme}, '://', {host_out}, {path}, {q_out})"
+    return f"CASE WHEN {scheme} = '' THEN {u} ELSE {canon} END"
+
+
 def registered_domain(url: Column | str) -> Column:
     """Last two dot-labels of the host (example.com for
     www.example.com) — the crawl-dedup grouping key. Hosts with fewer

@@ -224,3 +224,58 @@ def test_tfidf_topk_ranks_rare_terms_first(spark):
           .where("id = 1").collect()}
     assert d1["rare"]["score_ppm"] == 3 * 1_000_000
     assert d1["common"]["score_ppm"] == 2 * 1_000_000 // 3
+
+
+# ------------------------------------------------------- url_canonical
+
+URL_CASES = [
+    # (input, expected canonical)
+    ("HTTPS://User:pw@WWW.Example.COM:443/Path/To/Page/?utm_source=x&b=2&a=1#frag",
+     "https://www.example.com/Path/To/Page?a=1&b=2"),
+    ("http://example.org:80", "http://example.org/"),
+    ("http://example.org:8080/a//b/?gclid=zzz&z=9&z=1",
+     "http://example.org:8080/a//b?z=1&z=9"),
+    ("https://a.b.c/?utm_campaign=x&utm_medium=y", "https://a.b.c/"),
+    ("not a url at all  ", "not a url at all"),  # pass-through, trimmed
+    ("ftp://Files.Example.net:21/pub/", "ftp://files.example.net:21/pub"),
+    ("https://x.io/p?ref=tw&q=hello%20world&Q=2",
+     "https://x.io/p?Q=2&q=hello%20world"),
+    ("", ""),
+]
+
+
+def test_url_canonical_planted(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(URL_CASES)], "i LONG, url STRING"
+    )
+    got = {r.i: r.c for r in df.select(
+        "i", C.url_canonical("url").alias("c")).collect()}
+    for i, (_, want) in enumerate(URL_CASES):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_canonical_idempotent(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(URL_CASES)], "i LONG, url STRING"
+    )
+    once = df.select("i", C.url_canonical("url").alias("c"))
+    twice = once.select("i", C.url_canonical("c").alias("c2"), "c")
+    for r in twice.collect():
+        assert r.c2 == r.c, (r.c, r.c2)
+
+
+def test_url_canonical_sql_twin(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (i BIGINT, url VARCHAR)")
+    for i, (u, _) in enumerate(URL_CASES):
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, u])
+    want = dict(con.sql(
+        f"SELECT i, {C.url_canonical_sql('url')} FROM t").fetchall())
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(URL_CASES)], "i LONG, url STRING"
+    )
+    got = {r.i: r.c for r in df.select(
+        "i", C.url_canonical("url").alias("c")).collect()}
+    assert got == want
