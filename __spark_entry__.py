@@ -588,6 +588,32 @@ def _q_strip_boilerplate(spark, sf_dir):
     )
 
 
+def _q_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (operators/graph.py) over a synthetic
+    link graph derived from events: 50 nodes, src = user_id mod 50,
+    dst = an affine event_id hash mod 50 — dense enough that 5 rounds
+    differentiate ranks. BIGINT 1/1e12 rank units make the unrolled
+    DuckDB CTE twin bit-identical (no float-sum ordering caveats)."""
+    from o2g_spark.operators import graph
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 50).alias("src"),
+        ((F.col("event_id") * 37 + 11) % 50).alias("dst"),
+    )
+    return graph.pagerank(edges, iterations=5)
+
+
+def _pagerank_oracle_sql() -> str:
+    from o2g_spark.operators import graph
+
+    return graph.pagerank_sql(
+        "SELECT user_id % 50 AS src, (event_id * 37 + 11) % 50 AS dst"
+        " FROM events",
+        iterations=5,
+    )
+
+
 def _q_url_canonical(spark, sf_dir):
     """URL canonicalization (operators/corpus.py url_canonical):
     messy synthetic URLs — uppercase scheme/host, userinfo, default
@@ -1994,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": _q_strip_boilerplate,
         "repetition": _q_repetition,
         "url_canonical": _q_url_canonical,
+        "pagerank": _q_pagerank,
         "bloom_probe": _q_bloom_probe,
         "bloom_anti": _q_bloom_anti,
         "minhash_sig": _q_minhash_sig,
@@ -2357,6 +2384,7 @@ FROM lineitem GROUP BY l_orderkey
             f"{corpus.url_canonical_sql(_GATE_MESSY_URL_SQL)} AS canon_url "
             "FROM documents"
         ),
+        "pagerank": _pagerank_oracle_sql(),
         "bloom_probe": _bloom_probe_oracle_sql(),
         "bloom_anti": """
 SELECT CAST(doc_id AS VARCHAR) AS u FROM documents n
