@@ -67,8 +67,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from o2g_spark.functions import cellfns, geotag  # noqa: E402
 from o2g_spark.functions import text as X  # noqa: E402
 from o2g_spark.operators import (  # noqa: E402
-    clusters, dedup, knn, multimodal, packing, pip, similarity,
-    skew, tiles,
+    boilerplate, clusters, decontam, dedup, knn, multimodal, packing,
+    pip, repetition, similarity, skew, tiles,
 )
 from o2g_spark.operators import corpus as corpus_ops  # noqa: E402
 from o2g_spark.plans.checkpoint import CheckpointManager  # noqa: E402
@@ -80,7 +80,7 @@ STAGES = ("geotag", "pip", "knn", "tiles", "dedup", "report")
 # (extract doubles the page-scan cost; dedup-incremental maintains a
 # persistent index across invocations; keep `all` timings comparable
 # across rounds)
-OPT_STAGES = ("extract", "dedup-incremental", "curate")
+OPT_STAGES = ("extract", "filter", "dedup-incremental", "curate")
 
 
 def main(argv=None):
@@ -137,6 +137,32 @@ def main(argv=None):
                     help="curate: tokens per packed training sequence")
     ap.add_argument("--pack-shards", type=int, default=64,
                     help="curate: parallel packing shards")
+    ap.add_argument("--benchmark", default=None,
+                    help="--stage filter: parquet of benchmark/eval texts "
+                         "(column `text`) to decontaminate against")
+    ap.add_argument("--decontam-n", type=int, default=13,
+                    help="--stage filter: decontamination n-gram size")
+    ap.add_argument("--boiler-min-frac", type=float, default=0.5,
+                    help="--stage filter: strip lines present in >= this "
+                         "fraction of documents")
+    ap.add_argument("--min-words", type=int, default=10,
+                    help="--stage filter: reject docs shorter than this "
+                         "(post-boilerplate)")
+    ap.add_argument("--min-quality", type=float, default=0.2,
+                    help="--stage filter: reject docs under this "
+                         "quality_score")
+    ap.add_argument("--max-dup-line", type=float, default=0.30,
+                    help="--stage filter: Gopher dup-line-fraction cap")
+    ap.add_argument("--max-top2", type=float, default=0.20,
+                    help="--stage filter: Gopher top-2-gram char cap")
+    ap.add_argument("--max-dup10", type=float, default=0.10,
+                    help="--stage filter: Gopher dup-10-gram char cap")
+    ap.add_argument("--rep-min-words", type=int, default=50,
+                    help="--stage filter: apply the n-gram repetition "
+                         "caps only to docs at least this long — a "
+                         "short doc's top-gram fraction is high by "
+                         "pigeonhole, not by spam (Gopher applies its "
+                         "caps alongside a 50-word floor)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -218,6 +244,102 @@ def main(argv=None):
                         "extract", build_extract, key_col="url"
                     ).filter(~F.col("byte_identical")).count()
                 ) if has_canonical_text else None,
+            },
+        )
+
+    if "filter" in want:
+        # pre-dedup hygiene (operators/boilerplate.py, repetition.py,
+        # decontam.py + quality_score): strip corpus-frequency
+        # boilerplate lines, then reject degenerate/contaminated docs.
+        # TWO stages so the reject accounting is committed once and
+        # the per-reason counters read the snapshot instead of
+        # recomputing the feature pass per counter:
+        #   filter_labels: (url, reason) for EVERY input doc
+        #   filter_kept:   the surviving (url, text[, lang]) rows
+        if "text" not in pages.columns:
+            raise SystemExit(
+                "--stage filter needs a `text` column on the pages "
+                "input (run --stage extract first on raw crawls)")
+        lang_cols = ["lang"] if "lang" in pages.columns else []
+
+        def build_filter_labels():
+            src = pages.select("url", "text")
+            stripped = boilerplate.strip_boilerplate(
+                src, "url", "text", min_frac=args.boiler_min_frac
+            )
+            rep = repetition.repetition_report(
+                stripped, "url", "text", top_ns=(2,), dup_ns=(10,)
+            )
+            base = (
+                stripped.select("url", "text", "n_kept")
+                .join(rep, "url")
+                .withColumn("q", X.quality_score("text"))
+            )
+            # the n-gram caps only bind past --rep-min-words: a short
+            # doc's top-gram char fraction is high by pigeonhole
+            long_enough = F.col("n_words") >= args.rep_min_words
+            reason = (
+                F.when(F.col("n_kept") == 0, "boilerplate_empty")
+                .when(F.col("n_words") < args.min_words, "too_short")
+                .when(F.col("dup_line_frac") > args.max_dup_line, "repetition")
+                .when(
+                    long_enough
+                    & (F.col("top2_char_frac") > args.max_top2),
+                    "repetition",
+                )
+                .when(
+                    long_enough
+                    & (F.col("dup10_char_frac") > args.max_dup10),
+                    "repetition",
+                )
+                .when(F.col("q") < args.min_quality, "quality")
+            )
+            labeled = base.withColumn("__r", reason)
+            if args.benchmark:
+                bench = spark.read.parquet(args.benchmark)
+                bad = decontam.contamination_report(
+                    src, bench, "url", "text", n=args.decontam_n,
+                    bench_text_col="text",
+                ).select("url", F.lit("decontam").alias("__d"))
+                labeled = labeled.join(bad, "url", "left").withColumn(
+                    "__r", F.coalesce("__r", "__d")
+                )
+            return labeled.select(
+                "url", F.coalesce("__r", F.lit("kept")).alias("reason")
+            )
+
+        labels_df = ckpt.run_stage(
+            "filter_labels", build_filter_labels, key_col="url"
+        )
+
+        def build_filter_kept():
+            kept = labels_df.where(F.col("reason") == "kept").select("url")
+            # the kept TEXT is the boilerplate-stripped one — the
+            # downstream corpus must not retain banner lines
+            stripped = boilerplate.strip_boilerplate(
+                pages.select("url", "text").join(kept, "url"),
+                "url", "text", min_frac=args.boiler_min_frac,
+            ).select("url", "text")
+            if lang_cols:
+                stripped = stripped.join(
+                    pages.select("url", *lang_cols), "url"
+                )
+            return stripped
+
+        def _reason_count(name):
+            return lambda: int(
+                ckpt.read_snapshot("filter_labels")
+                .where(F.col("reason") == name).count()
+            )
+
+        run(
+            "filter_kept", build_filter_kept, key_col="url",
+            extra={
+                "rejected_boilerplate_empty": _reason_count("boilerplate_empty"),
+                "rejected_too_short": _reason_count("too_short"),
+                "rejected_repetition": _reason_count("repetition"),
+                "rejected_quality": _reason_count("quality"),
+                "rejected_decontam": _reason_count("decontam"),
             },
         )
 
