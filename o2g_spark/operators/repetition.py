@@ -5,8 +5,9 @@ pipeline applies before dedup to drop degenerate pages (keyword stuff,
 nav spam, template echo).
 
 Everything is per-document HOF column math — no shuffle, no Python;
-cost is O(distinct_grams × grams) per doc, bounded by ``max_tokens``
-(the Gopher filters themselves only need the head of a document). The
+cost is O(grams log grams) per doc (sort + one run-length fold; see
+:func:`_run_fold`), bounded by ``max_tokens`` (the Gopher filters
+themselves only need the head of a document). The
 report PROJECTS the token/gram arrays first and places a shuffle
 boundary before the feature projection: CollapseProject would
 otherwise inline each gram array into every consuming HOF lambda and
@@ -122,46 +123,89 @@ def repetition_report(
         .otherwise(frac(lchars - dchars, lchars))
         .alias("dup_line_char_frac"),
     ]
+    folds = {n: _run_fold(F.col(f"__g{n}"), n)
+             for n in sorted(set(top_ns) | set(dup_ns))}
     for n in top_ns:
-        g = F.col(f"__g{n}")
-        counts = F.transform(
-            F.array_distinct(g),
-            lambda d: F.size(F.filter(g, lambda x: x == d)),
-        )
-        mc = F.array_max(counts)
-        # widest coverage among the tied-most-frequent grams
-        cover = F.array_max(
-            F.transform(
-                F.filter(
-                    F.array_distinct(g),
-                    lambda d: F.size(F.filter(g, lambda x: x == d)) == mc,
-                ),
-                lambda d: F.length(d) - F.lit(n - 1),
-            )
-        ) * mc
         cols.append(
-            F.when(F.size(g) == 0, F.lit(0.0))
-            .otherwise(frac(cover, wchars))
+            F.when(F.size(F.col(f"__g{n}")) == 0, F.lit(0.0))
+            .otherwise(frac(folds[n]["best_cov"], wchars))
             .alias(f"top{n}_char_frac")
         )
     for n in dup_ns:
-        g = F.col(f"__g{n}")
-        dup_cover = F.aggregate(
-            F.array_distinct(g),
-            F.lit(0).cast(T.LongType()),
-            lambda acc, d: acc
-            + F.when(
-                F.size(F.filter(g, lambda x: x == d)) > 1,
-                F.size(F.filter(g, lambda x: x == d))
-                * (F.length(d) - F.lit(n - 1)),
-            ).otherwise(F.lit(0)),
-        )
         cols.append(
-            F.when(F.size(g) == 0, F.lit(0.0))
-            .otherwise(F.round(F.least(dup_cover / F.greatest(wchars, F.lit(1)), F.lit(1.0)), 6))
+            F.when(F.size(F.col(f"__g{n}")) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.least(
+                        folds[n]["dup"] / F.greatest(wchars, F.lit(1)),
+                        F.lit(1.0),
+                    ),
+                    6,
+                )
+            )
             .alias(f"dup{n}_char_frac")
         )
     return arrays.select(*cols)
+
+
+def _run_fold(g, n: int):
+    """One O(len log len) pass computing BOTH gram statistics: sort
+    the gram array (equal grams become adjacent runs), append an
+    impossible sentinel gram (''), and fold run lengths:
+
+    - ``best_cov`` — count × chars of the most frequent gram (ties →
+      widest coverage), i.e. the top-n-gram numerator
+    - ``dup``     — Σ over grams occurring >1 of count × chars, the
+      dup-n-gram numerator
+
+    (The first implementation counted each distinct gram with a
+    nested filter — O(distinct × grams) string comparisons per doc,
+    measured unusable past ~100-word docs at millions of rows.)
+
+    chars(gram) = length − (n−1) separator spaces. The empty zero
+    accumulator finalizes harmlessly (run 0 never beats or ties into
+    coverage, never adds dup chars)."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast(T.LongType()).alias("run"),
+        F.lit(0).cast(T.LongType()).alias("best_c"),
+        F.lit(0).cast(T.LongType()).alias("best_cov"),
+        F.lit(0).cast(T.LongType()).alias("dup"),
+    )
+
+    def merge(acc, x):
+        charlen = F.length(acc["prev"]) - F.lit(n - 1)
+        cand = acc["run"] * charlen
+        return F.when(
+            x == acc["prev"],
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["best_c"].alias("best_c"),
+                acc["best_cov"].alias("best_cov"),
+                acc["dup"].alias("dup"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast(T.LongType()).alias("run"),
+                F.greatest(acc["best_c"], acc["run"]).alias("best_c"),
+                F.when(acc["run"] > acc["best_c"], cand)
+                .when(
+                    acc["run"] == acc["best_c"],
+                    F.greatest(acc["best_cov"], cand),
+                )
+                .otherwise(acc["best_cov"])
+                .alias("best_cov"),
+                (
+                    acc["dup"]
+                    + F.when(acc["run"] > 1, cand).otherwise(F.lit(0))
+                ).alias("dup"),
+            )
+        )
+
+    walk = F.concat(F.array_sort(g), F.array(F.lit("")))
+    return F.aggregate(walk, zero, merge)
 
 
 def repetition_report_sql(
@@ -174,7 +218,17 @@ def repetition_report_sql(
     sep_sql: str = "chr(10)",
 ) -> str:
     """DuckDB twin of :func:`repetition_report` (1-based list slicing;
-    nested lambdas capture like Spark's)."""
+    nested lambdas capture like Spark's).
+
+    The twin keeps the O(distinct × grams) per-doc nested-filter
+    formulation on purpose — it only ever runs at oracle scale (≤ a
+    few thousand short docs), and the sort+fold the Spark side uses
+    is NOT safely expressible here: DuckDB 1.0's ``list_reduce``
+    returns batch-composition-dependent results (the same doc folds
+    to different values inside a 500-row scan vs filtered to a single
+    row — verified against a pure-Python ground truth; the filtered /
+    single-row answer is the correct one). Do not rewrite this twin
+    with list_reduce."""
     ns = sorted(set(top_ns) | set(dup_ns))
     gcols = ",\n       ".join(f"{_grams_sql('__w', n)} AS __g{n}" for n in ns)
     arrays = f"""
