@@ -690,6 +690,41 @@ def _repetition_oracle_sql() -> str:
     return repetition.repetition_report_sql(planted, "doc_id", "text")
 
 
+_PASSAGE = "the quick brown fox jumps over the lazy dog every single day"
+
+_PASSAGE_DOCS_SQL = f"""SELECT doc_id, concat_ws(' ', text,
+  CASE WHEN doc_id % 10 = 0 THEN '{_PASSAGE}' END) AS text
+FROM documents"""
+
+
+def _q_passage_dedup(spark, sf_dir):
+    """Cross-doc passage-level exact-substring dedup (operators/
+    passages.py, Lee et al. 2022 semantics): a fixed 12-token passage
+    planted on every 10th doc — the globally-first planted doc keeps
+    it, every later one loses exactly that span; k=8 also lets the
+    ~30-word synthetic vocab produce occasional natural 8-gram
+    repeats, exercising the non-planted path identically in both
+    engines."""
+    from o2g_spark.operators import passages
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.when(F.col("doc_id") % 10 == 0, F.lit(_PASSAGE)),
+        ).alias("text"),
+    )
+    return passages.passage_dedup(planted, "doc_id", "text", k=8)
+
+
+def _passage_dedup_oracle_sql() -> str:
+    from o2g_spark.operators import passages
+
+    return passages.passage_dedup_sql(_PASSAGE_DOCS_SQL, "doc_id", "text", k=8)
+
+
 def _q_decontam(spark, sf_dir):
     """Benchmark decontamination (operators/decontam.py): GPT-3-style
     n-gram-overlap report of corpus docs sharing shingles with a
@@ -2020,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": _q_strip_boilerplate,
         "repetition": _q_repetition,
         "url_canonical": _q_url_canonical,
+        "passage_dedup": _q_passage_dedup,
         "pagerank": _q_pagerank,
         "bloom_probe": _q_bloom_probe,
         "bloom_anti": _q_bloom_anti,
@@ -2384,6 +2420,7 @@ FROM lineitem GROUP BY l_orderkey
             f"{corpus.url_canonical_sql(_GATE_MESSY_URL_SQL)} AS canon_url "
             "FROM documents"
         ),
+        "passage_dedup": _passage_dedup_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
         "bloom_probe": _bloom_probe_oracle_sql(),
         "bloom_anti": """
