@@ -19,6 +19,15 @@ and rerun the same command):
             byte-identity invariant (input_hint: "byte-identical
             extracted text per url") is attested per partition at
             scale and re-checkable after resume
+    filter  (OPT-IN) pre-dedup hygiene: corpus-frequency boilerplate
+            strip, Gopher repetition caps, quality floor, optional
+            benchmark decontamination — (url, reason) labels plus the
+            surviving stripped text
+    passages (OPT-IN) cross-doc exact-substring dedup (operators/
+            passages.py, Lee et al. 2022): every duplicated
+            >= --passage-k token run removed corpus-wide, keeping the
+            globally-first occurrence; metrics carry removed_tokens
+            and docs_touched
     geotag  scan pages → coordinate extraction → cell encode (B1-B4)
     pip     cell-cover + ray-cast point-in-polygon join (B5)
     knn     k-ring kNN against the gazetteer (B6)
@@ -68,7 +77,7 @@ from o2g_spark.functions import cellfns, geotag  # noqa: E402
 from o2g_spark.functions import text as X  # noqa: E402
 from o2g_spark.operators import (  # noqa: E402
     boilerplate, clusters, decontam, dedup, knn, multimodal, packing,
-    pip, repetition, similarity, skew, tiles,
+    passages, pip, repetition, similarity, skew, tiles,
 )
 from o2g_spark.operators import corpus as corpus_ops  # noqa: E402
 from o2g_spark.plans.checkpoint import CheckpointManager  # noqa: E402
@@ -80,7 +89,7 @@ STAGES = ("geotag", "pip", "knn", "tiles", "dedup", "report")
 # (extract doubles the page-scan cost; dedup-incremental maintains a
 # persistent index across invocations; keep `all` timings comparable
 # across rounds)
-OPT_STAGES = ("extract", "filter", "dedup-incremental", "curate")
+OPT_STAGES = ("extract", "filter", "passages", "dedup-incremental", "curate")
 
 
 def main(argv=None):
@@ -163,6 +172,14 @@ def main(argv=None):
                          "short doc's top-gram fraction is high by "
                          "pigeonhole, not by spam (Gopher applies its "
                          "caps alongside a 50-word floor)")
+    ap.add_argument("--passage-k", type=int, default=50,
+                    help="--stage passages: duplicated-run threshold in "
+                         "tokens (Lee et al. 2022 use 50)")
+    ap.add_argument("--passage-strategy", default="window",
+                    choices=("window", "join"),
+                    help="--stage passages: keep-first ranking strategy "
+                         "(join = AQE-skew-splittable escape for corpora "
+                         "with a window key duplicated millions of times)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -340,6 +357,41 @@ def main(argv=None):
                 "rejected_repetition": _reason_count("repetition"),
                 "rejected_quality": _reason_count("quality"),
                 "rejected_decontam": _reason_count("decontam"),
+            },
+        )
+
+    if "passages" in want:
+        # cross-doc exact-substring dedup (operators/passages.py)
+        # through the checkpoint layer: rewrites every doc's text with
+        # duplicated >=k-token passages removed (globally-first
+        # occurrence kept), committed + resumable like every stage.
+        # Opt-in: the window-key exchange is a full-corpus shuffle.
+        if "text" not in pages.columns:
+            raise SystemExit(
+                "--stage passages needs a `text` column on the pages "
+                "input (run --stage extract first on raw crawls)")
+
+        def build_passages():
+            return passages.passage_dedup(
+                pages.select("url", "text"), "url", "text",
+                k=args.passage_k, strategy=args.passage_strategy,
+            )
+
+        def _passage_sum(col):
+            return lambda: int(
+                ckpt.read_snapshot("passages")
+                .agg(F.sum(col)).collect()[0][0] or 0
+            )
+
+        run(
+            "passages", build_passages, key_col="url",
+            extra={
+                "passage_k": args.passage_k,
+                "removed_tokens": _passage_sum("n_removed"),
+                "docs_touched": lambda: int(
+                    ckpt.read_snapshot("passages")
+                    .where(F.col("n_spans") > 0).count()
+                ),
             },
         )
 
