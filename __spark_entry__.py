@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from o2g_spark.functions import cellfns, geo, geotag
+from o2g_spark.functions import cellfns, geo, geotag, pii
 from o2g_spark.functions import text as X
 from o2g_spark.kernels import cells as cellk
 from o2g_spark.operators import (
@@ -489,6 +489,38 @@ def _q_fingerprint(spark, sf_dir):
         F.size(X.fingerprint("text", 3, 16)).cast(T.LongType()).alias("fp_len"),
         _arr_hash(X.fingerprint("text", 3, 16)).alias("fp_hash"),
     )
+
+
+def _pii_seeded(spark, sf_dir):
+    """documents.text with deterministic PII appended (an email, an IPv4,
+    a phone derived from doc_id) so every row exercises all three scrub
+    passes — the raw synthetic corpus contains almost no PII."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10."),
+            F.pmod(F.col("doc_id"), F.lit(200)).cast("string"),
+            F.lit(".0.7 call (555) 123-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+
+
+_PII_SEEDED_SQL = (
+    "SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.0.7 call (555) 123-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text"
+    " FROM documents"
+)
+
+
+def _q_pii_scrub(spark, sf_dir):
+    return pii.scrub_pii(_pii_seeded(spark, sf_dir), "doc_id", "text")
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -2048,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "pii_scrub": _q_pii_scrub,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "containment_pairs": _q_containment,
@@ -2376,6 +2409,7 @@ SELECT doc_id, {X.md5_hash60_sql('text')} AS text_hash,
        {_arr_hash_sql(X.fingerprint_sql('text', 3, 16))} AS fp_hash
 FROM documents
 """,
+        "pii_scrub": pii.scrub_pii_sql(_PII_SEEDED_SQL, "doc_id", "text"),
         # adaptive split: the iterative hot-cell loop is equivalent to
         # "first resolution whose GLOBAL cell count ≤ threshold" (cells
         # split atomically, so a child's count equals its global count)

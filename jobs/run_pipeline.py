@@ -28,6 +28,9 @@ and rerun the same command):
             >= --passage-k token run removed corpus-wide, keeping the
             globally-first occurrence; metrics carry removed_tokens
             and docs_touched
+    pii     (OPT-IN) release-time redaction (functions/pii.py): mask
+            emails / IPv4s / phones in every doc's text; metrics
+            carry per-kind masked counts and docs_touched
     geotag  scan pages → coordinate extraction → cell encode (B1-B4)
     pip     cell-cover + ray-cast point-in-polygon join (B5)
     knn     k-ring kNN against the gazetteer (B6)
@@ -73,7 +76,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from o2g_spark.functions import cellfns, geotag  # noqa: E402
+from o2g_spark.functions import cellfns, geotag, pii  # noqa: E402
 from o2g_spark.functions import text as X  # noqa: E402
 from o2g_spark.operators import (  # noqa: E402
     boilerplate, clusters, decontam, dedup, knn, multimodal, packing,
@@ -89,7 +92,9 @@ STAGES = ("geotag", "pip", "knn", "tiles", "dedup", "report")
 # (extract doubles the page-scan cost; dedup-incremental maintains a
 # persistent index across invocations; keep `all` timings comparable
 # across rounds)
-OPT_STAGES = ("extract", "filter", "passages", "dedup-incremental", "curate")
+OPT_STAGES = (
+    "extract", "filter", "passages", "pii", "dedup-incremental", "curate"
+)
 
 
 def main(argv=None):
@@ -391,6 +396,40 @@ def main(argv=None):
                 "docs_touched": lambda: int(
                     ckpt.read_snapshot("passages")
                     .where(F.col("n_spans") > 0).count()
+                ),
+            },
+        )
+
+    if "pii" in want:
+        # release-time redaction (functions/pii.py): mask emails /
+        # IPv4s / phones in every doc's text, committed + resumable.
+        # Pure codegen regex passes — no shuffle beyond the write.
+        if "text" not in pages.columns:
+            raise SystemExit(
+                "--stage pii needs a `text` column on the pages "
+                "input (run --stage extract first on raw crawls)")
+
+        def build_pii():
+            return pii.scrub_pii(pages.select("url", "text"), "url", "text")
+
+        def _pii_sum(col):
+            return lambda: int(
+                ckpt.read_snapshot("pii")
+                .agg(F.sum(col)).collect()[0][0] or 0
+            )
+
+        run(
+            "pii", build_pii, key_col="url",
+            extra={
+                "masked_email": _pii_sum("n_email"),
+                "masked_ipv4": _pii_sum("n_ipv4"),
+                "masked_phone": _pii_sum("n_phone"),
+                "docs_touched": lambda: int(
+                    ckpt.read_snapshot("pii")
+                    .where(
+                        (F.col("n_email") + F.col("n_ipv4")
+                         + F.col("n_phone")) > 0
+                    ).count()
                 ),
             },
         )

@@ -36,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from o2g_spark.functions import pii as pii_fns  # noqa: E402
 from o2g_spark.operators import boilerplate, decontam, passages, repetition  # noqa: E402
 from o2g_spark.operators import corpus as corpus_ops  # noqa: E402
 from o2g_spark.session import get_spark  # noqa: E402
@@ -233,6 +234,47 @@ def main() -> None:
          exact=(agg4.n == n_docs4
                 and agg4.rm == 24 * (n_planted - 1)
                 and agg4.sp == n_planted - 1))
+
+    # -------------------------------------------------------- pii scrub
+    # planted email / IPv4 / phone on disjoint-period id classes; the
+    # vocab body can't collide with any pattern (no '@', no dotted
+    # quads, no digit-separator runs). sum(length(text)) keeps the
+    # final replace pass alive under column pruning — without it the
+    # agg would prune the masked text and skip the last rewrite.
+    n_docs5 = int(10_000_000 * args.scale)
+    i5 = F.col("id")
+    pii_docs = spark.range(n_docs5).select(
+        i5.alias("doc_id"),
+        F.concat_ws(
+            " ",
+            _body(i5),
+            F.when(i5 % 50 == 0,
+                   F.concat(F.lit("mail z"), i5.cast("string"),
+                            F.lit("@ex.org"))),
+            F.when(i5 % 70 == 0,
+                   F.concat(F.lit("host 10."),
+                            (i5 % 200).cast("string"), F.lit(".3.7"))),
+            F.when(i5 % 110 == 0, F.lit("call (555) 123-4567")),
+        ).alias("text"),
+    )
+    pii_fns.scrub_pii(pii_docs.limit(50_000), "doc_id", "text").agg(
+        F.count(F.lit(1))).collect()
+    t0 = time.time()
+    agg5 = pii_fns.scrub_pii(pii_docs, "doc_id", "text").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_email").alias("e"),
+        F.sum("n_ipv4").alias("ip"),
+        F.sum("n_phone").alias("ph"),
+        F.sum(F.length("text")).alias("chars"),
+    ).collect()[0]
+    dt = time.time() - t0
+    exp = lambda p: (n_docs5 + p - 1) // p  # noqa: E731
+    emit(op="pii_scrub", docs=n_docs5, wall_s=round(dt, 2),
+         docs_per_s=int(n_docs5 / dt),
+         masked_email=int(agg5.e), masked_ipv4=int(agg5.ip),
+         masked_phone=int(agg5.ph),
+         exact=(agg5.n == n_docs5 and agg5.e == exp(50)
+                and agg5.ip == exp(70) and agg5.ph == exp(110)))
 
     # ----------------------------------------------------- url_canonical
     n_urls = int(20_000_000 * args.scale)
