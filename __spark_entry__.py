@@ -1998,6 +1998,109 @@ def _png_media_values() -> str:
     )
 
 
+def _q_gif_decode(spark, sf_dir):
+    """REAL GIF decode under the gate: decode_images over palette-GIF
+    fixtures (multimodal.try_decode_gif — header/descriptor walk +
+    a GENERAL variable-width LZW decoder in pure python/numpy). The
+    fixtures use the canonical literal-only LZW layout (make_gif: 9-bit
+    codes, CLEAR every ≤254 literals, 255-byte sub-blocks), so the
+    DuckDB twin re-derives every pixel with integer bit-shifts +
+    palette byte lookups from the payload hex — no LZW dictionary
+    needed. REAL compressed streams (dictionary hits, width growth,
+    KwKwK, the 12-bit table freeze) are pinned by pytest round-trips
+    against an independent reference encoder
+    (tests/test_multimodal.py)."""
+    media = spark.createDataFrame(
+        multimodal.synth_gif_media_rows(), multimodal.MEDIA_SCHEMA
+    )
+    out = multimodal.decode_images(media)
+    return out.select(
+        "media_id", "width", "height", "n_bytes",
+        F.posexplode("feature").alias("slot", "__f"),
+    ).select(
+        "media_id", "width", "height", "n_bytes", "slot",
+        F.round(F.col("__f").cast(T.DoubleType()), 6).alias("feature_val"),
+    )
+
+
+def _gif_media_values() -> str:
+    return ", ".join(
+        f"({mid}, '{p.hex()}')"
+        for mid, _url, _k, p, _m in multimodal.synth_gif_media_rows()
+    )
+
+
+def _gif_decode_oracle_sql() -> str:
+    """DuckDB twin of _q_gif_decode. Canonical fixture layout (see
+    multimodal.make_gif): image-descriptor width/height little-endian
+    at bytes 786/788; palette bytes at 13 + 3*code + channel; LZW data
+    byte j at file offset 793 + j + j//255 (255-byte sub-block framing);
+    pixel i's 9-bit literal code starts at bit 9*(i + i//254 + 1) (one
+    CLEAR before every 254-literal group freezes the code width at 9).
+    So: o = bit offset, j = o//8, and the code is
+    ((byte(j) | byte(j+1)<<8) >> o%8) & 511 — with the sub-block
+    framing applied to EACH data byte index separately (j and j+1 need
+    not be adjacent in the file). Stats and the 8-slot feature mirror
+    _bmp_decode_oracle_sql exactly (palette order is R,G,B)."""
+    b0 = _hexbyte("793 + (o // 8) + ((o // 8) // 255)")
+    b1 = _hexbyte("793 + (o // 8 + 1) + ((o // 8 + 1) // 255)")
+    feat = """
+           CASE s.slot
+             WHEN 0 THEN sumr / n / 255.0
+             WHEN 1 THEN sumg / n / 255.0
+             WHEN 2 THEN sumb / n / 255.0
+             WHEN 3 THEN maxr / 255.0
+             WHEN 4 THEN maxg / 255.0
+             WHEN 5 THEN maxb / 255.0
+             WHEN 6 THEN minall / 255.0
+             ELSE (sumr + sumg + sumb) / (n * 3) / 255.0
+           END"""
+    return f"""
+WITH media(media_id, ph) AS (VALUES {_gif_media_values()}),
+hdr AS (
+  SELECT media_id, ph,
+         {_le_sql(786, 2)} AS w,
+         {_le_sql(788, 2)} AS h,
+         CAST(length(ph) // 2 AS BIGINT) AS n_bytes
+  FROM media
+),
+bits AS (
+  SELECT media_id, ph, w, h, n_bytes,
+         9 * (xx.i + xx.i // 254 + 1) AS o
+  FROM hdr, LATERAL (SELECT unnest(range(0, w * h)) AS i) xx
+),
+codes AS (
+  SELECT media_id, ph, w, h, n_bytes,
+         (({b0} + 256 * {b1}) >> CAST(o % 8 AS INTEGER)) & 511 AS code
+  FROM bits
+),
+pixv AS (
+  SELECT media_id, w, h, n_bytes, cc.c AS c,
+         {_hexbyte("13 + 3 * code + cc.c")} AS v
+  FROM codes, LATERAL (SELECT unnest(range(0, 3)) AS c) cc
+),
+stats AS (
+  SELECT media_id, w, h, n_bytes, w * h AS n,
+         sum(v) FILTER (c = 0) AS sumr,
+         sum(v) FILTER (c = 1) AS sumg,
+         sum(v) FILTER (c = 2) AS sumb,
+         max(v) FILTER (c = 0) AS maxr,
+         max(v) FILTER (c = 1) AS maxg,
+         max(v) FILTER (c = 2) AS maxb,
+         min(v) AS minall
+  FROM pixv
+  GROUP BY media_id, w, h, n_bytes
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       n_bytes,
+       CAST(s.slot AS INTEGER) AS slot,
+       round(CAST(CAST({feat} AS REAL) AS DOUBLE), 6) AS feature_val
+FROM stats CROSS JOIN (SELECT unnest(range(0, 8)) AS slot) s
+"""
+
+
 def _wav_decode_oracle_sql() -> str:
     """DuckDB twin of _q_wav_decode: canonical-header PCM16 WAV
     re-decode — channels at 22, rate at 24, data length at 40, samples
@@ -2125,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_digest": _q_lineage_digest,
         "bmp_decode": _q_bmp_decode,
         "png_decode": _q_png_decode,
+        "gif_decode": _q_gif_decode,
         "wav_decode": _q_wav_decode,
         "near_dup_stream": _q_near_dup_stream,
         "near_dup_emb_stream": _q_near_dup_emb_stream,
@@ -2518,6 +2622,7 @@ FROM documents
         "lineage_digest": _lineage_oracle_sql(),
         "bmp_decode": _bmp_decode_oracle_sql(),
         "png_decode": _png_decode_oracle_sql(),
+        "gif_decode": _gif_decode_oracle_sql(),
         "wav_decode": _wav_decode_oracle_sql(),
         "near_dup_stream": _near_dup_stream_oracle_sql(),
         "near_dup_emb_stream": _near_dup_emb_stream_oracle_sql(),

@@ -95,12 +95,13 @@ FRAME_SCHEMA = T.StructType(
 
 # ------------------------------------------------- real numpy decoders
 #
-# No PIL/ffmpeg in this container, but BMP (24-bit BI_RGB) and WAV
-# (PCM16) headers are trivially parseable in pure numpy — so those two
-# formats decode FOR REAL inside the existing mapInPandas batches:
+# No PIL/ffmpeg in this container, but BMP (24-bit BI_RGB), PNG (8-bit,
+# stdlib zlib + filter reversal), GIF (palette + a general LZW decoder)
+# and WAV (PCM16) are parseable in pure numpy/stdlib — so those formats
+# decode FOR REAL inside the existing mapInPandas batches:
 # physically-true width/height/pixels and sample-rate/duration/RMS.
-# Formats that need actual codecs (JPEG/PNG/MP3/...) still fall back to
-# the deterministic sha256 stand-in below.
+# Formats that need actual perceptual codecs (JPEG/MP3/video) still
+# fall back to the deterministic sha256 stand-in below.
 
 
 def try_decode_bmp(b: bytes) -> tuple[int, int, np.ndarray] | None:
@@ -277,6 +278,178 @@ def try_decode_png(b: bytes) -> tuple[int, int, np.ndarray] | None:
     return w, h, px[..., :3]  # RGBA → drop alpha; RGB as-is
 
 
+def _lzw_decode(data: bytes, min_code_size: int,
+                max_out: int) -> bytearray | None:
+    """General GIF-flavor LZW decode of a concatenated sub-block stream
+    (variable-width codes, LSB-first packing, CLEAR/EOI handling, the
+    standard bump-at-2^width growth rule, 12-bit cap). Bails to None on
+    truncation, codes past the table, or output beyond ``max_out``
+    (decompression-bomb guard) — the caller treats None as
+    not-a-decodable-GIF, never a crash."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    prev: bytes | None = None
+    out = bytearray()
+    acc = nbits = pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return None  # truncated before EOI
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= clear:
+                return None  # first code after clear must be a literal
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:  # table frozen at the 12-bit cap
+                table.append(prev + entry[:1])
+        elif code == len(table) and code < 4096:  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        if prev is not None and len(table) >= (1 << width) and width < 12:
+            width += 1
+        out += entry
+        if len(out) > max_out:
+            return None
+        prev = entry
+
+
+def try_decode_gif(b: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Parse a non-interlaced GIF87a/89a (first frame) → (width, height,
+    rgb). Pure numpy + a general python LZW decoder (:func:`_lzw_decode`
+    — handles REAL compressed streams, not just the literal-only layout
+    :func:`make_gif` emits): header + logical screen descriptor, global
+    or local color table, extension-block skip, sub-block concat.
+    Interlaced images, missing palettes, indices past the palette, and
+    malformed streams return None (stand-in path). ``rgb`` is uint8
+    (height, width, 3), top row first, R,G,B — the same contract as
+    :func:`try_decode_bmp` / :func:`try_decode_png`."""
+    if len(b) < 14 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed >> 7:
+        sz = 2 ** ((packed & 7) + 1)
+        if pos + 3 * sz > len(b):
+            return None
+        gct = np.frombuffer(b, np.uint8, 3 * sz, offset=pos).reshape(-1, 3)
+        pos += 3 * sz
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x21:  # extension: label byte then sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                return None
+            iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+            ipacked = b[pos + 9]
+            pos += 10
+            if iw <= 0 or ih <= 0 or (ipacked >> 6) & 1:  # interlaced
+                return None
+            pal = gct
+            if ipacked >> 7:  # local color table wins
+                sz = 2 ** ((ipacked & 7) + 1)
+                if pos + 3 * sz > len(b):
+                    return None
+                pal = np.frombuffer(
+                    b, np.uint8, 3 * sz, offset=pos
+                ).reshape(-1, 3)
+                pos += 3 * sz
+            if pal is None or pos >= len(b) or iw * ih > 64 * 1024 * 1024:
+                return None
+            mcs = b[pos]
+            pos += 1
+            if not 2 <= mcs <= 8:
+                return None
+            chunks = []
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                chunks.append(b[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode(b"".join(chunks), mcs, iw * ih)
+            if idx is None or len(idx) < iw * ih:
+                return None
+            a = np.frombuffer(bytes(idx[: iw * ih]), np.uint8)
+            if int(a.max()) >= pal.shape[0]:
+                return None
+            return iw, ih, pal[a].reshape(ih, iw, 3)
+        else:  # trailer (0x3B) before any image, or junk
+            return None
+    return None
+
+
+def make_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Serialize (h, w) uint8 palette indices + a (256, 3) uint8 palette
+    as a CANONICAL single-frame GIF89a: 6-byte header, 7-byte logical
+    screen descriptor (256-entry GCT), 768-byte GCT, 10-byte image
+    descriptor (no local table, no interlace), then a literal-only LZW
+    stream — min code size 8, a CLEAR code before every ≤254-literal
+    group so the code width stays frozen at 9 bits, EOI last, data
+    framed in 255-byte sub-blocks. That fixed layout puts data byte j
+    at file offset 793 + j + j//255 and pixel i's 9-bit code at bit
+    9*(i + i//254 + 1), which is what lets the gate's DuckDB twin reach
+    every pixel with integer shifts — no LZW dictionary. The DECODER
+    (:func:`try_decode_gif`) is general; this canonical form is only
+    the fixture builder (same pattern as :func:`make_png`)."""
+    h, w = indices.shape
+    if palette.shape != (256, 3):
+        raise ValueError("canonical GIF fixture needs a 256-entry palette")
+    flat = indices.reshape(-1).astype(np.uint8)
+    codes: list[int] = []
+    clear, eoi = 256, 257
+    for g in range(0, flat.shape[0], 254):
+        codes.append(clear)
+        codes.extend(int(v) for v in flat[g : g + 254])
+    codes.append(eoi)
+    acc = nbits = 0
+    stream = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    blocks = bytearray()
+    for g in range(0, len(stream), 255):
+        chunk = stream[g : g + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    lsd = (w.to_bytes(2, "little") + h.to_bytes(2, "little")
+           + bytes([0xF7, 0, 0]))  # GCT present, 256 entries
+    desc = (b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little") + b"\x00")
+    return (b"GIF89a" + lsd + palette.astype(np.uint8).tobytes()
+            + desc + bytes([8]) + bytes(blocks) + b"\x3b")
+
+
 def _png_filter_line(line: np.ndarray, prior: np.ndarray, ch: int,
                      f: int) -> np.ndarray:
     """Apply PNG filter ``f`` to a reconstructed scanline (encoder
@@ -409,10 +582,13 @@ def _bmp_feature(rgb: np.ndarray) -> np.ndarray:
 
 def _try_decode_raster(b: bytes) -> tuple[int, int, np.ndarray] | None:
     """Sniff-and-decode the raster formats this container handles for
-    real: 24-bit BMP, then 8-bit PNG. One (w, h, rgb) contract."""
+    real: 24-bit BMP, 8-bit PNG, then palette GIF. One (w, h, rgb)
+    contract."""
     out = try_decode_bmp(b)
     if out is None:
         out = try_decode_png(b)
+    if out is None:
+        out = try_decode_gif(b)
     return out
 
 
@@ -444,9 +620,10 @@ def decode_images(
     bytes never accumulate beyond one batch per worker, which is the
     shape that survives 100 TB of media.
 
-    Payloads are sniffed per row: 24-bit BMP and 8-bit PNG decode FOR
-    REAL (header/chunk + pixel parse in pure numpy + stdlib zlib,
-    :func:`try_decode_bmp` / :func:`try_decode_png`) with physically
+    Payloads are sniffed per row: 24-bit BMP, 8-bit PNG and palette GIF
+    decode FOR REAL (header/chunk + pixel parse in pure numpy + stdlib
+    zlib + a general LZW decoder, :func:`try_decode_bmp` /
+    :func:`try_decode_png` / :func:`try_decode_gif`) with physically
     true width/height and :func:`_bmp_feature` pixel stats; other
     formats fall back to the deterministic sha256 stand-in.
     ``use_real_decoder=True`` demands a real decode for EVERY row, which
@@ -455,8 +632,8 @@ def decode_images(
     """
     if use_real_decoder and not HAVE_PIL:
         raise NotImplementedError(
-            "real decode of the remaining codec formats (JPEG/GIF/...) "
-            "needs PIL/pillow — not in this container; BMP and PNG "
+            "real decode of the remaining codec formats (JPEG/...) "
+            "needs PIL/pillow — not in this container; BMP, PNG and GIF "
             "already decode for real on the default path"
         )
 
@@ -505,14 +682,14 @@ def resize_images(
 ) -> DataFrame:
     """image rows → fixed-size width*height*3 RGB pixel buffers.
 
-    BMP and PNG payloads are resampled FOR REAL: nearest-neighbor via
+    BMP, PNG and GIF payloads are resampled FOR REAL: nearest-neighbor via
     numpy index arrays (``src_y = out_y * in_h // out_h``) over the
     actually decoded pixel grid. Remaining codec formats keep the
     deterministic sha256 stand-in (same schema and byte sizing)."""
     if use_real_decoder and not HAVE_PIL:
         raise NotImplementedError(
             "real resize of the remaining codec formats needs "
-            "PIL/pillow — not in this container; BMP and PNG already "
+            "PIL/pillow — not in this container; BMP, PNG and GIF already "
             "resize for real"
         )
 
@@ -706,6 +883,29 @@ def synth_png_media_rows(n_img: int = 18, seed: int = 29) -> list[tuple]:
         rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         payload = make_png(rgb, filter_type=i % 3, stored=True)
         rows.append((i, f"https://media.example/png/{i}", "image",
+                     payload, {}))
+    return rows
+
+
+def synth_gif_media_rows(n_img: int = 18, seed: int = 31) -> list[tuple]:
+    """Deterministic REAL-GIF media rows for the ``gif_decode`` gate
+    query: canonical literal-only-LZW layout (see :func:`make_gif`) —
+    data byte j at offset 793 + j + j//255, pixel i's 9-bit code at
+    bit 9*(i + i//254 + 1) — so the DuckDB twin re-derives every pixel
+    with integer shifts + palette lookups from the payload hex alone.
+    Sizes include >254-pixel images so the multi-group (interleaved
+    CLEAR) indexing is exercised in SQL, not just in pytest. REAL
+    compressed LZW streams (dictionary hits, width growth, KwKwK) are
+    pinned by pytest round-trips instead (tests/test_multimodal.py)."""
+    rng = np.random.default_rng(seed)
+    dims = [(4, 3), (6, 5), (3, 4), (20, 15), (8, 6), (17, 16)]
+    rows = []
+    for i in range(n_img):
+        w, h = dims[i % len(dims)]
+        palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+        idx = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        payload = make_gif(idx, palette)
+        rows.append((i, f"https://media.example/gif/{i}", "image",
                      payload, {}))
     return rows
 

@@ -317,3 +317,171 @@ def test_mixed_media_real_and_stub_paths(spark):
     assert (rows[1].width, rows[1].height) == (3, 3)
     w, h, _ = mm._fake_decode_image(b"\x89PNG-not-really" * 8)
     assert (rows[2].width, rows[2].height) == (w, h)
+
+
+# ----------------------------------------------------------------- GIF
+
+
+def _lzw_encode_ref(data: bytes, mcs: int) -> bytes:
+    """Independent REFERENCE GIF-LZW encoder (greedy longest-match,
+    late width change, deferred clear at the 12-bit table cap) — the
+    semantics every conformant GIF writer implements. Exists so the
+    general decoder is pinned against real compressed streams, not
+    just the literal-only canonical layout make_gif emits."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    stream = bytearray()
+    acc = nbits = 0
+    width = mcs + 1
+
+    def emit(c):
+        nonlocal acc, nbits
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if nbits:
+        stream.append(acc & 255)
+    return bytes(stream)
+
+
+def test_gif_lzw_general_decode_vs_reference_encoder():
+    """Random, repetitive (dictionary hits), and constant-run (maximal
+    KwKwK) streams at mcs 2/4/8 and sizes through the 12-bit table
+    freeze all round-trip through the general decoder."""
+    rng = np.random.default_rng(3)
+    for mcs in (2, 4, 8):
+        for n in (1, 10, 500, 5000, 40000):
+            data = bytes(rng.integers(0, 1 << mcs, n, dtype=np.uint8))
+            for probe in (data, (data[:7] * (n // 7 + 1))[:n],
+                          bytes([data[0]]) * n):
+                dec = mm._lzw_decode(_lzw_encode_ref(probe, mcs), mcs, n)
+                assert dec is not None and bytes(dec) == probe, (mcs, n)
+
+
+def test_gif_lzw_rejects_malformed():
+    stream = _lzw_encode_ref(b"abcabcabc", 8)
+    assert mm._lzw_decode(stream[:-2], 8, 100) is None  # truncated, no EOI
+    assert mm._lzw_decode(stream, 8, 4) is None          # output bomb guard
+    # code far past the table
+    assert mm._lzw_decode(bytes([0x00, 0x01, 0xFF, 0xFF]), 8, 100) is None
+
+
+def test_gif_canonical_roundtrip_multi_group():
+    """make_gif → try_decode_gif is pixel-exact, including >254-pixel
+    images (multiple CLEAR groups) and >255-byte streams (sub-block
+    framing)."""
+    rng = np.random.default_rng(5)
+    for (w, h) in [(1, 1), (4, 3), (20, 15), (255, 4)]:
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        idx = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        got = mm.try_decode_gif(mm.make_gif(idx, pal))
+        assert got is not None, (w, h)
+        gw, gh, rgb = got
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(rgb, pal[idx.reshape(-1)].reshape(h, w, 3))
+
+
+def test_gif_real_compressed_file_decodes():
+    """A hand-assembled GIF with a REAL compressed LZW stream (not the
+    canonical literal-only layout) decodes through try_decode_gif —
+    proving the production path handles what real encoders emit."""
+    rng = np.random.default_rng(11)
+    w, h = 40, 25
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = (rng.integers(0, 7, (h, w), dtype=np.uint8) * 3)  # repetitive
+    stream = _lzw_encode_ref(idx.reshape(-1).tobytes(), 8)
+    blocks = bytearray()
+    for g in range(0, len(stream), 255):
+        chunk = stream[g:g + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    gif = (b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+           + bytes([0xF7, 0, 0]) + pal.tobytes()
+           # graphic-control extension: the skip path must walk it
+           + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+           + b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little")
+           + h.to_bytes(2, "little") + b"\x00" + bytes([8])
+           + bytes(blocks) + b"\x3b")
+    got = mm.try_decode_gif(gif)
+    assert got is not None
+    gw, gh, rgb = got
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(rgb, pal[idx.reshape(-1)].reshape(h, w, 3))
+
+
+def test_gif_local_color_table_wins():
+    rng = np.random.default_rng(13)
+    gct = np.zeros((256, 3), dtype=np.uint8)
+    lct = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    stream = _lzw_encode_ref(idx.reshape(-1).tobytes(), 2)
+    gif = (b"GIF89a" + b"\x02\x00\x02\x00" + bytes([0xF7, 0, 0])
+           + gct.tobytes()
+           + b"\x2c" + b"\x00" * 4 + b"\x02\x00\x02\x00"
+           + bytes([0x81])  # LCT present, 4 entries (2^(1+1))
+           + lct.tobytes() + bytes([2])
+           + bytes([len(stream)]) + stream + b"\x00\x3b")
+    got = mm.try_decode_gif(gif)
+    assert got is not None
+    assert np.array_equal(got[2], lct[idx.reshape(-1)].reshape(2, 2, 3))
+
+
+def test_gif_rejects_unsupported():
+    rng = np.random.default_rng(17)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (5, 6), dtype=np.uint8)
+    g = mm.make_gif(idx, pal)
+    assert mm.try_decode_gif(b"NOTGIF" + g[6:]) is None
+    assert mm.try_decode_gif(g[:40]) is None            # truncated
+    interlaced = bytearray(g)
+    interlaced[781 + 9] |= 0x40
+    assert mm.try_decode_gif(bytes(interlaced)) is None
+    trailer_first = g[:781] + b"\x3b" + g[781:]
+    assert mm.try_decode_gif(trailer_first) is None
+    # index beyond a small local palette → None, not garbage pixels
+    small = (b"GIF89a" + b"\x01\x00\x01\x00" + bytes([0x00, 0, 0])
+             + b"\x2c" + b"\x00" * 4 + b"\x01\x00\x01\x00"
+             + bytes([0x80])  # LCT, 2 entries
+             + b"\x00\x00\x00\xff\xff\xff"
+             + bytes([2]) + bytes([len(s := _lzw_encode_ref(b"\x03", 2))])
+             + s + b"\x00\x3b")
+    assert mm.try_decode_gif(small) is None
+
+
+def test_decode_images_gif_physical_truth(spark):
+    """GIF payloads take the REAL raster path in decode_images: true
+    dimensions and exact pixel stats, not the sha256 stand-in."""
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[7] = (200, 100, 50)
+    idx = np.full((6, 5), 7, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "u", "image", mm.make_gif(idx, pal), {})], mm.MEDIA_SCHEMA
+    )
+    r = mm.decode_images(media).collect()[0]
+    assert (r.width, r.height) == (5, 6)
+    assert abs(r.feature[0] - 200 / 255) < 1e-6
+    assert abs(r.feature[1] - 100 / 255) < 1e-6
+    assert abs(r.feature[6] - 50 / 255) < 1e-6
