@@ -1,0 +1,577 @@
+"""Baseline JPEG codec in pure numpy + stdlib (no PIL/libjpeg).
+
+Decoder (:func:`try_decode_jpeg`) handles the interchange format every
+real-world baseline JPEG uses: marker walk, DQT/DHT/SOF0/SOS/DRI,
+byte-unstuffed entropy stream, canonical Huffman decode, per-component
+DC prediction, EOB/ZRL runs, restart markers, dequant → inverse zigzag
+→ float64 IDCT → level shift, and BT.601 YCbCr→RGB. Restrictions
+(returns None, the stand-in path): progressive (SOF2) / arithmetic /
+hierarchical scans, 12-bit precision, and subsampled chroma (only
+1×1 sampling factors — 4:4:4 or grayscale — are accepted; a 4:2:0
+upsampler is deliberately out of scope for an exactness-first engine).
+
+Encoder (:func:`make_jpeg`) emits spec-conformant baseline 4:4:4 (or
+grayscale) JPEGs with the Annex-K quantization and Huffman tables:
+the fixture builder for decoder tests and the at-scale decode bench —
+and an independent conformance check, since the decoder must agree
+with plain-python/numpy reference math on everything the encoder
+emits (round-trip error is bounded by quantization alone).
+
+Both sides are deterministic: the DCT/IDCT are float64 matrix
+products with a fixed basis, all roundings are explicit.
+
+JPEG is lossy by construction, so unlike BMP/PNG/GIF/WAV there is no
+"exact pixels from payload hex" DuckDB twin — the entropy stream is
+not SQL-expressible. The decode is pinned by pytest round-trips and
+analytic error bounds instead (tests/test_jpeg.py), the same
+pytest-only evidence class as the OSM XML parser (SURVEY §2.A A1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------- constants
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# ITU-T T.81 Annex K.1 — the reference quantization tables
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 — standard Huffman tables as (BITS[1..16], HUFFVAL)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# 8x8 DCT-II orthonormal basis (float64, fixed forever)
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(1 / 8) if _u == 0 else np.sqrt(2 / 8)
+    for _x in range(8):
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+del _u, _a, _x
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    return _C.T @ coef @ _C
+
+
+# --------------------------------------------------------- Huffman
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman → {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman → {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _extend(bits_val: int, size: int) -> int:
+    """T.81 F.12: map `size` received bits to the signed amplitude."""
+    if size == 0:
+        return 0
+    if bits_val < (1 << (size - 1)):
+        return bits_val - (1 << size) + 1
+    return bits_val
+
+
+# ---------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _quant_scaled(q: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-compatible quality scaling of an Annex-K table."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * s + 50) // 100, 1, 255)
+
+
+def _encode_component(blocks: np.ndarray, dc_enc: dict, ac_enc: dict,
+                      writer: _BitWriter, pred: int) -> int:
+    """Entropy-encode quantized blocks (n, 64 zigzag order)."""
+    for zz in blocks:
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        size = _category(diff)
+        code, ln = dc_enc[size]
+        writer.write(code, ln)
+        if size:
+            amp = diff if diff >= 0 else diff + (1 << size) - 1
+            writer.write(amp, size)
+        # AC: run-length of zeros + size
+        nz = np.nonzero(zz[1:])[0]
+        k = 0
+        for idx in nz:
+            pos = int(idx)
+            run = pos - k
+            while run > 15:
+                code, ln = ac_enc[0xF0]  # ZRL
+                writer.write(code, ln)
+                run -= 16
+            v = int(zz[1 + pos])
+            size = _category(v)
+            code, ln = ac_enc[(run << 4) | size]
+            writer.write(code, ln)
+            amp = v if v >= 0 else v + (1 << size) - 1
+            writer.write(amp, size)
+            k = pos + 1
+        if k < 63:
+            code, ln = ac_enc[0x00]  # EOB
+            writer.write(code, ln)
+    return pred
+
+
+def make_jpeg(rgb: np.ndarray, quality: int = 90,
+              grayscale: bool = False,
+              restart_interval: int = 0) -> bytes:
+    """Serialize (h, w, 3) uint8 RGB (or its luma when ``grayscale``)
+    as a baseline 4:4:4 (or 1-component) JFIF JPEG with Annex-K
+    Huffman tables and quality-scaled Annex-K quant tables.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (decoder-coverage for real-world streams)."""
+    h, w, _ = rgb.shape
+    ycc = _rgb_to_ycbcr(rgb)
+    ncomp = 1 if grayscale else 3
+    qluma = _quant_scaled(QUANT_LUMA, quality)
+    qchroma = _quant_scaled(QUANT_CHROMA, quality)
+    # pad to 8-multiples by edge replication
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    pad = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    nby, nbx = ph // 8, pw // 8
+
+    comp_blocks = []
+    for c in range(ncomp):
+        qtab = qluma if c == 0 else qchroma
+        plane = pad[..., c] - 128.0
+        blocks = (plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+                  .reshape(-1, 8, 8))
+        zzs = np.empty((blocks.shape[0], 64), dtype=np.int64)
+        for i, blk in enumerate(blocks):
+            coef = _dct2(blk)
+            q = np.round(coef.reshape(64) / qtab.reshape(8, 8).reshape(64))
+            zzs[i] = q.astype(np.int64)[ZIGZAG]
+        comp_blocks.append(zzs)
+
+    dc_enc = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+              _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_enc = [_build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+              _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+
+    # entropy stream: interleaved MCUs (1 block per component at 4:4:4)
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    n_mcu = nby * nbx
+    rst = 0
+    payload = bytearray()
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            writer.flush()
+            payload += writer.out
+            writer = _BitWriter()
+            payload += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            preds = [0] * ncomp
+        for c in range(ncomp):
+            t = 0 if c == 0 else 1
+            preds[c] = _encode_component(
+                comp_blocks[c][m : m + 1],
+                dc_enc[t], ac_enc[t], writer, preds[c])
+    writer.flush()
+    payload += writer.out
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qluma[ZIGZAG].tolist()))
+    if ncomp == 3:
+        out += seg(0xDB, bytes([1]) + bytes(qchroma[ZIGZAG].tolist()))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp])
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += seg(0xC0, sof)
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                   + bytes(vals))
+
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if ncomp == 3:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        t = 0 if c == 0 else 1
+        sos += bytes([c + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += payload
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------- decoder
+
+
+class _BitReader:
+    """MSB-first reader over the entropy segment with byte unstuffing;
+    stops at any non-RST marker. ``resync`` aligns past an expected
+    RSTn."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.done = False
+
+    def _fill(self) -> bool:
+        while self.n < 25:
+            if self.pos >= len(self.d):
+                self.done = True
+                return self.n > 0
+            b = self.d[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 >= len(self.d):
+                    self.done = True
+                    return self.n > 0
+                nxt = self.d[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RST — consumed by resync only
+                    self.done = True
+                    return self.n > 0
+                else:  # a real marker (EOI etc.) ends the stream
+                    self.done = True
+                    return self.n > 0
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                continue
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+            self.pos += 1
+        return True
+
+    def bit(self) -> int | None:
+        if self.n == 0 and not self._fill():
+            return None
+        if self.n == 0:
+            return None
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int | None:
+        v = 0
+        for _ in range(k):
+            b = self.bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+    def resync(self) -> bool:
+        """Drop partial bits, step over the RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        self.done = False
+        if (self.pos + 1 < len(self.d) and self.d[self.pos] == 0xFF
+                and 0xD0 <= self.d[self.pos + 1] <= 0xD7):
+            self.pos += 2
+            return True
+        return False
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        b = reader.bit()
+        if b is None:
+            return None
+        code = (code << 1) | b
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def try_decode_jpeg(b: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Parse a baseline 4:4:4 / grayscale JPEG → (width, height, rgb).
+    See the module docstring for the supported envelope; anything
+    outside it (progressive, subsampled, 12-bit, malformed) → None."""
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    dri = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                      0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        ln = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        body = b[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            return None
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 15
+                if pq != 0 or p + 65 > len(body):
+                    return None
+                zz = np.frombuffer(body[p + 1 : p + 65], np.uint8)
+                tab = np.zeros(64, dtype=np.int64)
+                tab[ZIGZAG] = zz
+                qtabs[tq] = tab
+                p += 65
+        elif marker == 0xC4:  # DHT — possibly several tables
+            p = 0
+            while p + 17 <= len(body):
+                cls, tid = body[p] >> 4, body[p] & 15
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nv])
+                if len(vals) != nv:
+                    return None
+                htabs[(cls, tid)] = _build_decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = body[0]
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nf = body[5]
+            if prec != 8 or nf not in (1, 3) or h == 0 or w == 0:
+                return None
+            if h * w > 64 * 1024 * 1024:
+                return None
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    return None  # subsampled — out of envelope
+                comps.append((cid, tq))
+            sof = (h, w, comps)
+        elif marker == 0xDD:
+            dri = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                return None
+            h, w, comps = sof
+            ns = body[0]
+            if ns != len(comps):
+                return None
+            scan = {}
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan[cs] = (tt >> 4, tt & 15)
+            return _decode_scan(b, pos + 2 + ln, h, w, comps, scan,
+                                qtabs, htabs, dri)
+        # APPn / COM / others: skip
+        pos += 2 + ln
+    return None
+
+
+def _decode_scan(b, pos, h, w, comps, scan, qtabs, htabs, dri):
+    ncomp = len(comps)
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    nby, nbx = ph // 8, pw // 8
+    n_mcu = nby * nbx
+    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in range(ncomp)]
+    try:
+        tables = []
+        for cid, tq in comps:
+            dc_t, ac_t = scan[cid]
+            tables.append((htabs[(0, dc_t)], htabs[(1, ac_t)], qtabs[tq]))
+    except KeyError:
+        return None
+    reader = _BitReader(b, pos)
+    preds = [0] * ncomp
+    for m in range(n_mcu):
+        if dri and m and m % dri == 0:
+            if not reader.resync():
+                return None
+            preds = [0] * ncomp
+        by, bx = divmod(m, nbx)
+        for c in range(ncomp):
+            dc_tab, ac_tab, qtab = tables[c]
+            size = _huff_decode(reader, dc_tab)
+            if size is None or size > 11:
+                return None
+            amp = reader.bits(size) if size else 0
+            if amp is None:
+                return None
+            preds[c] += _extend(amp, size)
+            zz = np.zeros(64, dtype=np.int64)
+            zz[0] = preds[c]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(reader, ac_tab)
+                if rs is None:
+                    return None
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    return None
+                amp = reader.bits(s)
+                if amp is None:
+                    return None
+                zz[k] = _extend(amp, s)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[ZIGZAG] = zz * qtab[ZIGZAG]
+            blk = _idct2(coef.reshape(8, 8)) + 128.0
+            planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    if ncomp == 1:
+        y = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        return w, h, np.repeat(y[..., None], 3, axis=2)
+    ycc = np.stack([p[:h, :w] for p in planes], axis=-1)
+    return w, h, _ycbcr_to_rgb(ycc)

@@ -96,12 +96,14 @@ FRAME_SCHEMA = T.StructType(
 # ------------------------------------------------- real numpy decoders
 #
 # No PIL/ffmpeg in this container, but BMP (24-bit BI_RGB), PNG (8-bit,
-# stdlib zlib + filter reversal), GIF (palette + a general LZW decoder)
-# and WAV (PCM16) are parseable in pure numpy/stdlib — so those formats
-# decode FOR REAL inside the existing mapInPandas batches:
-# physically-true width/height/pixels and sample-rate/duration/RMS.
-# Formats that need actual perceptual codecs (JPEG/MP3/video) still
-# fall back to the deterministic sha256 stand-in below.
+# stdlib zlib + filter reversal), GIF (palette + a general LZW decoder),
+# baseline JPEG (kernels/jpeg.py — Huffman entropy decode + IDCT +
+# YCbCr, 4:4:4/grayscale envelope) and WAV (PCM16) are parseable in
+# pure numpy/stdlib — so those formats decode FOR REAL inside the
+# existing mapInPandas batches: physically-true width/height/pixels
+# and sample-rate/duration/RMS. Out-of-envelope JPEGs (subsampled /
+# progressive), MP3 and video still fall back to the deterministic
+# sha256 stand-in below.
 
 
 def try_decode_bmp(b: bytes) -> tuple[int, int, np.ndarray] | None:
@@ -582,13 +584,19 @@ def _bmp_feature(rgb: np.ndarray) -> np.ndarray:
 
 def _try_decode_raster(b: bytes) -> tuple[int, int, np.ndarray] | None:
     """Sniff-and-decode the raster formats this container handles for
-    real: 24-bit BMP, 8-bit PNG, then palette GIF. One (w, h, rgb)
-    contract."""
+    real: 24-bit BMP, 8-bit PNG, palette GIF, then baseline JPEG
+    (kernels/jpeg.py — pure-numpy Huffman + IDCT; 4:4:4/grayscale
+    envelope, subsampled/progressive files fall through to the
+    stand-in). One (w, h, rgb) contract."""
     out = try_decode_bmp(b)
     if out is None:
         out = try_decode_png(b)
     if out is None:
         out = try_decode_gif(b)
+    if out is None and b[:2] == b"\xff\xd8":
+        from ..kernels.jpeg import try_decode_jpeg
+
+        out = try_decode_jpeg(b)
     return out
 
 
@@ -620,21 +628,23 @@ def decode_images(
     bytes never accumulate beyond one batch per worker, which is the
     shape that survives 100 TB of media.
 
-    Payloads are sniffed per row: 24-bit BMP, 8-bit PNG and palette GIF
-    decode FOR REAL (header/chunk + pixel parse in pure numpy + stdlib
-    zlib + a general LZW decoder, :func:`try_decode_bmp` /
-    :func:`try_decode_png` / :func:`try_decode_gif`) with physically
-    true width/height and :func:`_bmp_feature` pixel stats; other
-    formats fall back to the deterministic sha256 stand-in.
+    Payloads are sniffed per row: 24-bit BMP, 8-bit PNG, palette GIF
+    and baseline 4:4:4/grayscale JPEG decode FOR REAL (pure numpy +
+    stdlib zlib + a general LZW decoder + a Huffman/IDCT JPEG kernel,
+    :func:`try_decode_bmp` / :func:`try_decode_png` /
+    :func:`try_decode_gif` / ``kernels.jpeg.try_decode_jpeg``) with
+    physically true width/height and :func:`_bmp_feature` pixel stats;
+    other formats fall back to the deterministic sha256 stand-in.
     ``use_real_decoder=True`` demands a real decode for EVERY row, which
     needs PIL for the remaining codec formats — absent here, so it
     raises.
     """
     if use_real_decoder and not HAVE_PIL:
         raise NotImplementedError(
-            "real decode of the remaining codec formats (JPEG/...) "
-            "needs PIL/pillow — not in this container; BMP, PNG and GIF "
-            "already decode for real on the default path"
+            "real decode of the remaining codec formats (subsampled/"
+            "progressive JPEG, MP3, video) needs PIL/pillow or ffmpeg — "
+            "not in this container; BMP, PNG, GIF and baseline-4:4:4 "
+            "JPEG already decode for real on the default path"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -682,14 +692,16 @@ def resize_images(
 ) -> DataFrame:
     """image rows → fixed-size width*height*3 RGB pixel buffers.
 
-    BMP, PNG and GIF payloads are resampled FOR REAL: nearest-neighbor via
+    BMP, PNG, GIF and baseline-JPEG payloads are resampled FOR REAL:
+    nearest-neighbor via
     numpy index arrays (``src_y = out_y * in_h // out_h``) over the
     actually decoded pixel grid. Remaining codec formats keep the
     deterministic sha256 stand-in (same schema and byte sizing)."""
     if use_real_decoder and not HAVE_PIL:
         raise NotImplementedError(
             "real resize of the remaining codec formats needs "
-            "PIL/pillow — not in this container; BMP, PNG and GIF already "
+            "PIL/pillow — not in this container; BMP, PNG, GIF and "
+            "baseline JPEG already "
             "resize for real"
         )
 

@@ -1,7 +1,9 @@
 """Multimodal decode family at scale (round-5 evidence for
 operators/multimodal.py): the mapInPandas decode path over REAL
 payload bytes — BMP, PNG (real zlib, all five filters), GIF (canonical
-literal-LZW and real compressed streams alternating), and PCM16 WAV.
+literal-LZW and real compressed streams alternating), baseline JPEG
+(real Huffman entropy decode + IDCT, 1/4 with restart markers), and
+PCM16 WAV.
 
 Claims measured:
 
@@ -102,7 +104,7 @@ def _gif_compressed(idx: np.ndarray, palette: np.ndarray) -> bytes:
 
 def _make_payload(kind: str, i: int) -> bytes:
     """Deterministic payload for media_id i. Planted truths (pure
-    column math downstream): bmp/png channel-0 = i %% 251; gif
+    column math downstream): bmp/png/jpeg channel-0 = i %% 251; gif
     channel-0 = (2*i) %% 256; wav frame count = 200 + i %% 800."""
     w, h = 16 + i % 17, 12 + i % 13
     if kind in ("bmp", "png"):
@@ -113,6 +115,15 @@ def _make_payload(kind: str, i: int) -> bytes:
         if kind == "bmp":
             return mm.make_bmp(rgb, top_down=(i % 5 == 0))
         return mm.make_png(rgb, filter_type=i % 5, stored=False)
+    if kind == "jpeg":
+        from o2g_spark.kernels import jpeg as J
+
+        rgb = np.empty((h, w, 3), dtype=np.uint8)
+        rgb[..., 0] = i % 251
+        rgb[..., 1] = (i * 7) % 256
+        rgb[..., 2] = (i * 13) % 256
+        return J.make_jpeg(rgb, quality=90,
+                           restart_interval=(3 if i % 4 == 0 else 0))
     if kind == "gif":
         pal = np.zeros((256, 3), dtype=np.uint8)
         # pal[j, 0] = (j - i) mod 256  →  pal[(3i)%256, 0] = (2i)%256
@@ -151,8 +162,11 @@ def main() -> None:
     args = ap.parse_args()
     spark = get_spark("bench_multimodal", master=args.master)
 
-    for kind in ("bmp", "png", "gif", "wav"):
-        n = args.n
+    for kind in ("bmp", "png", "gif", "jpeg", "wav"):
+        # JPEG entropy-decodes block-by-block in Python (the honest
+        # cost of a real Huffman stream without libjpeg) — bench it at
+        # a tenth of the lossless formats' row count
+        n = args.n // 10 if kind == "jpeg" else args.n
         media = _synth(spark, kind, n)
         if kind == "wav":
             out = mm.audio_features(media)
@@ -165,9 +179,13 @@ def main() -> None:
                 planted = F.pmod(2 * F.col("media_id"), F.lit(256))
             else:
                 planted = F.pmod(F.col("media_id"), F.lit(251))
+            # lossless formats must hit the planted constant exactly;
+            # JPEG is lossy — flat-block DC quant + YCbCr round-trip
+            # bounds the channel mean within ±2.5/255
+            tol = 2.5 / 255.0 if kind == "jpeg" else 1e-6
             cond = (
                 F.abs(F.element_at("feature", 1) - planted / F.lit(255.0))
-                < 1e-6
+                < tol
             ) & (F.col("width") == 16 + F.pmod(F.col("media_id"), F.lit(17)))
         # warm the Python workers + JIT on a small slice
         warm = _synth(spark, kind, 20_000)

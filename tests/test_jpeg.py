@@ -1,0 +1,177 @@
+"""Baseline JPEG codec (kernels/jpeg.py): round-trips with analytic
+error bounds, marker/stream edge cases, and the decode_images
+dispatch. JPEG is lossy so there is no exact-pixels DuckDB twin (the
+Huffman stream is not SQL-expressible) — this suite is the evidence
+class, like the OSM XML parser's."""
+
+import numpy as np
+import pytest
+
+from o2g_spark.kernels import jpeg as J
+from o2g_spark.operators import multimodal as mm
+
+
+def _psnr(a, b):
+    err = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(err * err))
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def test_flat_color_near_exact():
+    """A flat image has only DC energy; at quality 90 the scaled DC
+    quant step (3) gives per-pixel error ≤ 3/16 before the YCbCr
+    round-trip, so decoded pixels are within ±2 of the input."""
+    for color in [(200, 100, 50), (0, 0, 0), (255, 255, 255), (7, 250, 128)]:
+        rgb = np.zeros((16, 24, 3), np.uint8)
+        rgb[...] = color
+        out = J.try_decode_jpeg(J.make_jpeg(rgb, quality=90))
+        assert out is not None
+        w, h, dec = out
+        assert (w, h) == (24, 16)
+        assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 2, color
+
+
+def test_gradient_high_fidelity_and_nonmultiple_dims():
+    x = np.linspace(0, 255, 41)[None, :, None]
+    y = np.linspace(0, 255, 31)[:, None, None]
+    grad = np.clip(
+        np.concatenate([x + 0 * y, 0 * x + y, (x + y) / 2], axis=2), 0, 255
+    ).astype(np.uint8)
+    out = J.try_decode_jpeg(J.make_jpeg(grad, quality=90))
+    assert out is not None
+    w, h, dec = out
+    assert (w, h) == (41, 31)  # padding cropped back
+    assert _psnr(dec, grad) > 40
+
+
+def test_quality_monotone():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    # smooth it so quantization is the only distortion driver
+    img = (img.astype(np.int64) // 4 * 4).astype(np.uint8)
+    psnrs = []
+    for q in (30, 60, 90, 100):
+        _, _, dec = J.try_decode_jpeg(J.make_jpeg(img, quality=q))
+        psnrs.append(_psnr(dec, img))
+    assert psnrs == sorted(psnrs)
+    assert psnrs[-1] > 45  # quality 100 → all quant steps clipped to 1
+
+
+def test_noise_stats_preserved():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 17, 3), np.uint8)
+    out = J.try_decode_jpeg(J.make_jpeg(img, quality=85))
+    assert out is not None and (out[0], out[1]) == (17, 24)
+    assert abs(float(out[2].mean()) - float(img.mean())) < 2.0
+
+
+def test_grayscale_single_component():
+    rgb = np.zeros((9, 13, 3), np.uint8)
+    rgb[...] = (200, 100, 50)  # BT.601 luma 124.2
+    out = J.try_decode_jpeg(J.make_jpeg(rgb, quality=90, grayscale=True))
+    assert out is not None
+    w, h, dec = out
+    assert (w, h) == (13, 9)
+    assert dec.shape == (9, 13, 3)
+    assert np.all(dec[..., 0] == dec[..., 1])  # replicated channels
+    assert abs(int(dec[0, 0, 0]) - 124) <= 2
+
+
+def test_restart_markers_decode_identically():
+    x = np.linspace(0, 255, 48)[None, :, None]
+    y = np.linspace(255, 0, 24)[:, None, None]
+    grad = np.clip(
+        np.concatenate([x + 0 * y, 0 * x + y, 0 * x + 0 * y + 99], axis=2),
+        0, 255
+    ).astype(np.uint8)
+    plain = J.try_decode_jpeg(J.make_jpeg(grad, quality=80))
+    for dri in (1, 3, 7):
+        rst = J.try_decode_jpeg(
+            J.make_jpeg(grad, quality=80, restart_interval=dri))
+        assert rst is not None
+        assert np.array_equal(rst[2], plain[2]), dri
+
+
+def test_byte_stuffing_survives():
+    """Quality 100 on high-entropy data produces long literal-heavy
+    streams where 0xFF bytes occur; stuffing must round-trip."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (40, 40, 3), np.uint8)
+    payload = J.make_jpeg(img, quality=100)
+    assert b"\xff\x00" in payload  # stuffing actually exercised
+    out = J.try_decode_jpeg(payload)
+    assert out is not None
+    assert _psnr(out[2], img) > 35
+
+
+def test_rejects_out_of_envelope():
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    good = J.make_jpeg(img, quality=90)
+    assert J.try_decode_jpeg(b"") is None
+    assert J.try_decode_jpeg(good[:60]) is None           # truncated header
+    assert J.try_decode_jpeg(good[:-30]) is None          # truncated stream
+    prog = bytearray(good)
+    sof_at = good.find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2                               # progressive
+    assert J.try_decode_jpeg(bytes(prog)) is None
+    sub = bytearray(good)
+    # SOF0 body: len(2) prec(1) h(2) w(2) nf(1) then per-comp id,hv,tq
+    sub[sof_at + 2 + 2 + 5 + 1 + 1] = 0x22                # 2x2 sampling
+    assert J.try_decode_jpeg(bytes(sub)) is None
+    assert J.try_decode_jpeg(b"\xff\xd8\xff\xd9") is None  # no frame
+
+
+def test_decoder_vs_independent_reference_math():
+    """Decode one block by hand: encode a single 8×8 luma-flat image at
+    a known quality and check the decoded luma equals the reference
+    chain round(IDCT(round(DCT/q)·q)) computed HERE with numpy
+    primitives only (no shared codec code beyond the DCT basis
+    definition, re-derived locally)."""
+    v = 173
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    rgb[...] = v
+    dec = J.try_decode_jpeg(J.make_jpeg(rgb, quality=75, grayscale=True))[2]
+    # reference: luma of (v,v,v) is v (0.299+0.587+0.114 = 1)
+    C = np.zeros((8, 8))
+    for u in range(8):
+        a = np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8)
+        for x in range(8):
+            C[u, x] = a * np.cos((2 * x + 1) * u * np.pi / 16)
+    s = 200 - 2 * 75
+    q00 = max(1, (16 * s + 50) // 100)  # scaled DC quant step
+    coef = C @ (np.full((8, 8), float(v) - 128.0)) @ C.T
+    coef[0, 0] = np.round(coef[0, 0] / q00) * q00  # AC all ~0
+    ref = np.clip(np.round(C.T @ coef @ C + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(dec[..., 0], ref)
+
+
+def test_decode_images_jpeg_physical_truth(spark):
+    """JPEG payloads take the REAL raster path in decode_images."""
+    rgb = np.zeros((16, 24, 3), np.uint8)
+    rgb[...] = (200, 100, 50)
+    media = spark.createDataFrame(
+        [(1, "u", "image", J.make_jpeg(rgb, quality=90), {})],
+        mm.MEDIA_SCHEMA,
+    )
+    r = mm.decode_images(media).collect()[0]
+    assert (r.width, r.height) == (24, 16)
+    assert abs(r.feature[0] - 200 / 255) < 0.02
+    assert abs(r.feature[6] - 48 / 255) < 0.03  # min ≈ blue ≈ 50
+
+
+def test_fuzz_decoder_never_crashes():
+    """Mutated real payloads must return a result or None — never
+    raise (the stand-in fallback depends on that contract)."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    base = bytearray(J.make_jpeg(img, quality=90))
+    for _ in range(300):
+        mut = bytearray(base)
+        for _ in range(int(rng.integers(1, 6))):
+            mut[int(rng.integers(2, len(mut)))] = int(rng.integers(0, 256))
+        try:
+            out = J.try_decode_jpeg(bytes(mut))
+        except Exception as e:  # noqa: BLE001
+            pytest.fail(f"decoder raised {e!r}")
+        assert out is None or out[2].dtype == np.uint8
