@@ -4,14 +4,17 @@ Decoder (:func:`try_decode_jpeg`) handles the interchange format every
 real-world baseline JPEG uses: marker walk, DQT/DHT/SOF0/SOS/DRI,
 byte-unstuffed entropy stream, canonical Huffman decode, per-component
 DC prediction, EOB/ZRL runs, restart markers, dequant → inverse zigzag
-→ float64 IDCT → level shift, and BT.601 YCbCr→RGB. Restrictions
-(returns None, the stand-in path): progressive (SOF2) / arithmetic /
-hierarchical scans, 12-bit precision, and subsampled chroma (only
-1×1 sampling factors — 4:4:4 or grayscale — are accepted; a 4:2:0
-upsampler is deliberately out of scope for an exactness-first engine).
+→ float64 IDCT → level shift, and BT.601 YCbCr→RGB. Sampling factors
+h, v ∈ {1, 2} are supported — 4:4:4, 4:2:2, 4:4:0, 4:2:0 and
+grayscale, i.e. the shapes real web JPEGs use — with subsampled
+chroma upsampled by pixel REPLICATION (nearest): deterministic, and
+there is no libjpeg here whose smoothing filter could be matched.
+Restrictions (returns None, the stand-in path): progressive (SOF2) /
+arithmetic / hierarchical scans, 12-bit precision, factors > 2.
 
-Encoder (:func:`make_jpeg`) emits spec-conformant baseline 4:4:4 (or
-grayscale) JPEGs with the Annex-K quantization and Huffman tables:
+Encoder (:func:`make_jpeg`) emits spec-conformant baseline 4:4:4 —
+or 4:2:0 with ``subsample=True``, or grayscale —
+JPEGs with the Annex-K quantization and Huffman tables:
 the fixture builder for decoder tests and the at-scale decode bench —
 and an independent conformance check, since the decoder must agree
 with plain-python/numpy reference math on everything the encoder
@@ -257,10 +260,13 @@ def _encode_component(blocks: np.ndarray, dc_enc: dict, ac_enc: dict,
 
 def make_jpeg(rgb: np.ndarray, quality: int = 90,
               grayscale: bool = False,
-              restart_interval: int = 0) -> bytes:
+              restart_interval: int = 0,
+              subsample: bool = False) -> bytes:
     """Serialize (h, w, 3) uint8 RGB (or its luma when ``grayscale``)
-    as a baseline 4:4:4 (or 1-component) JFIF JPEG with Annex-K
-    Huffman tables and quality-scaled Annex-K quant tables.
+    as a baseline JFIF JPEG with Annex-K Huffman tables and
+    quality-scaled Annex-K quant tables — 4:4:4 by default,
+    ``subsample=True`` → 4:2:0 (luma 2×2 factors, chroma planes
+    2×2-mean downsampled; the dominant real-world web-JPEG shape).
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs (decoder-coverage for real-world streams)."""
     h, w, _ = rgb.shape
@@ -268,33 +274,48 @@ def make_jpeg(rgb: np.ndarray, quality: int = 90,
     ncomp = 1 if grayscale else 3
     qluma = _quant_scaled(QUANT_LUMA, quality)
     qchroma = _quant_scaled(QUANT_CHROMA, quality)
-    # pad to 8-multiples by edge replication
-    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    if subsample and ncomp == 3:
+        factors = [(2, 2), (1, 1), (1, 1)]
+    else:
+        factors = [(1, 1)] * ncomp
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    nmx = (w + mcu_w - 1) // mcu_w
+    nmy = (h + mcu_h - 1) // mcu_h
+    ph, pw = nmy * mcu_h, nmx * mcu_w
     pad = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
-    nby, nbx = ph // 8, pw // 8
 
+    # per component: quantized zigzag blocks indexed [by, bx, 64]
     comp_blocks = []
     for c in range(ncomp):
-        qtab = qluma if c == 0 else qchroma
-        plane = pad[..., c] - 128.0
+        qtab = (qluma if c == 0 else qchroma).astype(np.float64)
+        hf, vf = factors[c]
+        plane = pad[..., c]
+        if vf < vmax or hf < hmax:  # mean-downsample to the factor grid
+            sy, sx = vmax // vf, hmax // hf
+            plane = np.round(
+                plane.reshape(ph // sy, sy, pw // sx, sx).mean(axis=(1, 3))
+            )
+        plane = plane - 128.0
+        nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
         blocks = (plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
                   .reshape(-1, 8, 8))
         zzs = np.empty((blocks.shape[0], 64), dtype=np.int64)
         for i, blk in enumerate(blocks):
-            coef = _dct2(blk)
-            q = np.round(coef.reshape(64) / qtab.reshape(8, 8).reshape(64))
+            q = np.round(_dct2(blk).reshape(64) / qtab)
             zzs[i] = q.astype(np.int64)[ZIGZAG]
-        comp_blocks.append(zzs)
+        comp_blocks.append(zzs.reshape(nby, nbx, 64))
 
     dc_enc = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
               _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
     ac_enc = [_build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
               _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)]
 
-    # entropy stream: interleaved MCUs (1 block per component at 4:4:4)
+    # entropy stream: interleaved MCUs, hf×vf data units per component
     writer = _BitWriter()
     preds = [0] * ncomp
-    n_mcu = nby * nbx
+    n_mcu = nmy * nmx
     rst = 0
     payload = bytearray()
     for m in range(n_mcu):
@@ -305,11 +326,15 @@ def make_jpeg(rgb: np.ndarray, quality: int = 90,
             payload += bytes([0xFF, 0xD0 + (rst & 7)])
             rst += 1
             preds = [0] * ncomp
+        my, mx = divmod(m, nmx)
         for c in range(ncomp):
             t = 0 if c == 0 else 1
-            preds[c] = _encode_component(
-                comp_blocks[c][m : m + 1],
-                dc_enc[t], ac_enc[t], writer, preds[c])
+            hf, vf = factors[c]
+            for v_ in range(vf):
+                for h_ in range(hf):
+                    preds[c] = _encode_component(
+                        comp_blocks[c][my * vf + v_, mx * hf + h_][None],
+                        dc_enc[t], ac_enc[t], writer, preds[c])
     writer.flush()
     payload += writer.out
 
@@ -324,7 +349,8 @@ def make_jpeg(rgb: np.ndarray, quality: int = 90,
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
         + bytes([ncomp])
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+        hf, vf = factors[c]
+        sof += bytes([c + 1, (hf << 4) | vf, 0 if c == 0 else 1])
     out += seg(0xC0, sof)
 
     def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
@@ -491,9 +517,10 @@ def try_decode_jpeg(b: bytes) -> tuple[int, int, np.ndarray] | None:
             comps = []
             for c in range(nf):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    return None  # subsampled — out of envelope
-                comps.append((cid, tq))
+                hf, vf = hv >> 4, hv & 15
+                if hf not in (1, 2) or vf not in (1, 2):
+                    return None  # beyond 2× subsampling — out of envelope
+                comps.append((cid, hf, vf, tq))
             sof = (h, w, comps)
         elif marker == 0xDD:
             dri = int.from_bytes(body[0:2], "big")
@@ -515,17 +542,66 @@ def try_decode_jpeg(b: bytes) -> tuple[int, int, np.ndarray] | None:
     return None
 
 
+def _decode_block(reader, dc_tab, ac_tab, qtab, pred):
+    """One 8×8 data unit → (new DC predictor, reconstructed block),
+    or None on a malformed stream."""
+    size = _huff_decode(reader, dc_tab)
+    if size is None or size > 11:
+        return None
+    amp = reader.bits(size) if size else 0
+    if amp is None:
+        return None
+    pred += _extend(amp, size)
+    zz = np.zeros(64, dtype=np.int64)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_tab)
+        if rs is None:
+            return None
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            return None
+        amp = reader.bits(s)
+        if amp is None:
+            return None
+        zz[k] = _extend(amp, s)
+        k += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[ZIGZAG] = zz * qtab[ZIGZAG]
+    return pred, _idct2(coef.reshape(8, 8)) + 128.0
+
+
 def _decode_scan(b, pos, h, w, comps, scan, qtabs, htabs, dri):
+    """Interleaved baseline scan with per-component sampling factors
+    (h, v ∈ {1, 2} — 4:4:4, 4:2:2, 4:4:0, 4:2:0, grayscale). Subsampled
+    components are upsampled by pixel replication (nearest): exactness
+    over libjpeg's smoothing filter — there is no libjpeg here to
+    match, and replication is the deterministic choice."""
     ncomp = len(comps)
-    ph, pw = (h + 7) & ~7, (w + 7) & ~7
-    nby, nbx = ph // 8, pw // 8
-    n_mcu = nby * nbx
-    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in range(ncomp)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if ncomp == 1:  # single-component scans are never interleaved
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+        hmax = vmax = 1
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    nmx = (w + mcu_w - 1) // mcu_w
+    nmy = (h + mcu_h - 1) // mcu_h
+    n_mcu = nmx * nmy
+    planes = []
     try:
         tables = []
-        for cid, tq in comps:
+        for cid, hf, vf, tq in comps:
             dc_t, ac_t = scan[cid]
             tables.append((htabs[(0, dc_t)], htabs[(1, ac_t)], qtabs[tq]))
+            planes.append(np.zeros((nmy * vf * 8, nmx * hf * 8),
+                                   dtype=np.float64))
     except KeyError:
         return None
     reader = _BitReader(b, pos)
@@ -535,43 +611,30 @@ def _decode_scan(b, pos, h, w, comps, scan, qtabs, htabs, dri):
             if not reader.resync():
                 return None
             preds = [0] * ncomp
-        by, bx = divmod(m, nbx)
+        my, mx = divmod(m, nmx)
         for c in range(ncomp):
+            _cid, hf, vf, _tq = comps[c]
             dc_tab, ac_tab, qtab = tables[c]
-            size = _huff_decode(reader, dc_tab)
-            if size is None or size > 11:
-                return None
-            amp = reader.bits(size) if size else 0
-            if amp is None:
-                return None
-            preds[c] += _extend(amp, size)
-            zz = np.zeros(64, dtype=np.int64)
-            zz[0] = preds[c]
-            k = 1
-            while k < 64:
-                rs = _huff_decode(reader, ac_tab)
-                if rs is None:
-                    return None
-                r, s = rs >> 4, rs & 15
-                if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    return None
-                amp = reader.bits(s)
-                if amp is None:
-                    return None
-                zz[k] = _extend(amp, s)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[ZIGZAG] = zz * qtab[ZIGZAG]
-            blk = _idct2(coef.reshape(8, 8)) + 128.0
-            planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+            for v_ in range(vf):
+                for h_ in range(hf):
+                    out = _decode_block(reader, dc_tab, ac_tab, qtab,
+                                        preds[c])
+                    if out is None:
+                        return None
+                    preds[c], blk = out
+                    y0 = (my * vf + v_) * 8
+                    x0 = (mx * hf + h_) * 8
+                    planes[c][y0 : y0 + 8, x0 : x0 + 8] = blk
     if ncomp == 1:
         y = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
         return w, h, np.repeat(y[..., None], 3, axis=2)
-    ycc = np.stack([p[:h, :w] for p in planes], axis=-1)
-    return w, h, _ycbcr_to_rgb(ycc)
+    full = []
+    for c in range(ncomp):
+        _cid, hf, vf, _tq = comps[c]
+        p = planes[c]
+        if vf < vmax:
+            p = np.repeat(p, vmax // vf, axis=0)
+        if hf < hmax:
+            p = np.repeat(p, hmax // hf, axis=1)
+        full.append(p[:h, :w])
+    return w, h, _ycbcr_to_rgb(np.stack(full, axis=-1))

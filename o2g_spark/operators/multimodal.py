@@ -101,9 +101,9 @@ FRAME_SCHEMA = T.StructType(
 # YCbCr, 4:4:4/grayscale envelope) and WAV (PCM16) are parseable in
 # pure numpy/stdlib — so those formats decode FOR REAL inside the
 # existing mapInPandas batches: physically-true width/height/pixels
-# and sample-rate/duration/RMS. Out-of-envelope JPEGs (subsampled /
-# progressive), MP3 and video still fall back to the deterministic
-# sha256 stand-in below.
+# and sample-rate/duration/RMS (JPEG covers 4:4:4 through 4:2:0
+# sampling). Progressive JPEGs, MP3 and video still fall back to the
+# deterministic sha256 stand-in below.
 
 
 def try_decode_bmp(b: bytes) -> tuple[int, int, np.ndarray] | None:
@@ -585,8 +585,8 @@ def _bmp_feature(rgb: np.ndarray) -> np.ndarray:
 def _try_decode_raster(b: bytes) -> tuple[int, int, np.ndarray] | None:
     """Sniff-and-decode the raster formats this container handles for
     real: 24-bit BMP, 8-bit PNG, palette GIF, then baseline JPEG
-    (kernels/jpeg.py — pure-numpy Huffman + IDCT; 4:4:4/grayscale
-    envelope, subsampled/progressive files fall through to the
+    (kernels/jpeg.py — pure-numpy Huffman + IDCT; 4:4:4 through 4:2:0
+    sampling + grayscale, progressive files fall through to the
     stand-in). One (w, h, rgb) contract."""
     out = try_decode_bmp(b)
     if out is None:
@@ -641,10 +641,11 @@ def decode_images(
     """
     if use_real_decoder and not HAVE_PIL:
         raise NotImplementedError(
-            "real decode of the remaining codec formats (subsampled/"
-            "progressive JPEG, MP3, video) needs PIL/pillow or ffmpeg — "
-            "not in this container; BMP, PNG, GIF and baseline-4:4:4 "
-            "JPEG already decode for real on the default path"
+            "real decode of the remaining codec formats (progressive "
+            "JPEG, MP3, video) needs PIL/pillow or ffmpeg — "
+            "not in this container; BMP, PNG, GIF and baseline JPEG "
+            "(4:4:4 through 4:2:0) already decode for real on the "
+            "default path"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

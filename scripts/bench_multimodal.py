@@ -123,7 +123,8 @@ def _make_payload(kind: str, i: int) -> bytes:
         rgb[..., 1] = (i * 7) % 256
         rgb[..., 2] = (i * 13) % 256
         return J.make_jpeg(rgb, quality=90,
-                           restart_interval=(3 if i % 4 == 0 else 0))
+                           restart_interval=(3 if i % 4 == 0 else 0),
+                           subsample=(i % 3 == 0))
     if kind == "gif":
         pal = np.zeros((256, 3), dtype=np.uint8)
         # pal[j, 0] = (j - i) mod 256  →  pal[(3i)%256, 0] = (2i)%256

@@ -117,9 +117,46 @@ def test_rejects_out_of_envelope():
     assert J.try_decode_jpeg(bytes(prog)) is None
     sub = bytearray(good)
     # SOF0 body: len(2) prec(1) h(2) w(2) nf(1) then per-comp id,hv,tq
-    sub[sof_at + 2 + 2 + 5 + 1 + 1] = 0x22                # 2x2 sampling
+    sub[sof_at + 2 + 2 + 5 + 1 + 1] = 0x33                # 3x3 > 2x max
     assert J.try_decode_jpeg(bytes(sub)) is None
     assert J.try_decode_jpeg(b"\xff\xd8\xff\xd9") is None  # no frame
+
+
+def test_420_subsampled_roundtrip():
+    """4:2:0 (the dominant web-JPEG shape): flat colors stay within the
+    analytic bound (chroma is flat → downsampling is lossless on it),
+    gradients keep reasonable fidelity, odd dims crop back, and the
+    stream is actually smaller than 4:4:4."""
+    rgb = np.zeros((16, 24, 3), np.uint8)
+    rgb[...] = (200, 100, 50)
+    out = J.try_decode_jpeg(J.make_jpeg(rgb, quality=90, subsample=True))
+    assert out is not None
+    assert int(np.abs(out[2].astype(int) - rgb.astype(int)).max()) <= 2
+
+    x = np.linspace(0, 255, 41)[None, :, None]
+    y = np.linspace(0, 255, 27)[:, None, None]
+    grad = np.clip(
+        np.concatenate([x + 0 * y, 0 * x + y, (x + y) / 2], axis=2), 0, 255
+    ).astype(np.uint8)
+    b444 = J.make_jpeg(grad, quality=90)
+    b420 = J.make_jpeg(grad, quality=90, subsample=True)
+    assert len(b420) < len(b444)
+    o420 = J.try_decode_jpeg(b420)
+    assert (o420[0], o420[1]) == (41, 27)
+    assert _psnr(o420[2], grad) > 33
+
+
+def test_420_restart_markers_decode_identically():
+    x = np.linspace(0, 255, 41)[None, :, None]
+    y = np.linspace(0, 255, 27)[:, None, None]
+    grad = np.clip(
+        np.concatenate([x + 0 * y, 0 * x + y, (x + y) / 2], axis=2), 0, 255
+    ).astype(np.uint8)
+    plain = J.try_decode_jpeg(J.make_jpeg(grad, quality=90, subsample=True))
+    for dri in (1, 2):
+        rst = J.try_decode_jpeg(J.make_jpeg(
+            grad, quality=90, subsample=True, restart_interval=dri))
+        assert np.array_equal(rst[2], plain[2]), dri
 
 
 def test_decoder_vs_independent_reference_math():
