@@ -38,6 +38,7 @@ from o2g_spark.functions import cellfns, geo, geotag, pii
 from o2g_spark.functions import text as X
 from o2g_spark.kernels import cells as cellk
 from o2g_spark.operators import (
+    bpe,
     clusters,
     corpus,
     decontam,
@@ -521,6 +522,28 @@ _PII_SEEDED_SQL = (
 
 def _q_pii_scrub(spark, sf_dir):
     return pii.scrub_pii(_pii_seeded(spark, sf_dir), "doc_id", "text")
+
+
+_BPE_K = 8
+
+
+def _q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py): k merges
+    learned from the documents corpus via the word-frequency-dict
+    formulation. The DuckDB twin unrolls the k data-dependent argmax
+    iterations as MATERIALIZED CTEs (the same pattern as pagerank) —
+    every merge decision and its weight value-hash exactly."""
+    return bpe.bpe_merges_df(
+        spark, _t(spark, sf_dir, "documents"), "text", _BPE_K)
+
+
+def _q_bpe_encode(spark, sf_dir):
+    """Train-then-encode on the same corpus: per-doc token counts plus
+    an exact integer digest of every word's final segmentation under
+    the k learned merges."""
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(d, "text", _BPE_K)
+    return bpe.bpe_encode(d, "doc_id", "text", merges)
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -2184,6 +2207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "pii_scrub": _q_pii_scrub,
+        "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "containment_pairs": _q_containment,
@@ -2514,6 +2539,10 @@ SELECT doc_id, {X.md5_hash60_sql('text')} AS text_hash,
 FROM documents
 """,
         "pii_scrub": pii.scrub_pii_sql(_PII_SEEDED_SQL, "doc_id", "text"),
+        "bpe_train": bpe.bpe_train_sql(
+            "SELECT * FROM documents", "text", _BPE_K),
+        "bpe_encode": bpe.bpe_encode_sql(
+            "SELECT * FROM documents", "doc_id", "text", _BPE_K),
         # adaptive split: the iterative hot-cell loop is equivalent to
         # "first resolution whose GLOBAL cell count ≤ threshold" (cells
         # split atomically, so a child's count equals its global count)
