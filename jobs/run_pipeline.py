@@ -31,6 +31,11 @@ and rerun the same command):
     pii     (OPT-IN) release-time redaction (functions/pii.py): mask
             emails / IPv4s / phones in every doc's text; metrics
             carry per-kind masked counts and docs_touched
+    bpe     (OPT-IN) tokenizer lifecycle (operators/bpe.py): learn
+            --bpe-merges merges from the corpus once (committed as the
+            bpe_merges snapshot, never retrained on resume), then
+            encode every page (bpe_tokens: url, n_tokens, tok_hash);
+            metrics carry total_tokens
     geotag  scan pages → coordinate extraction → cell encode (B1-B4)
     pip     cell-cover + ray-cast point-in-polygon join (B5)
     knn     k-ring kNN against the gazetteer (B6)
@@ -79,8 +84,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from o2g_spark.functions import cellfns, geotag, pii  # noqa: E402
 from o2g_spark.functions import text as X  # noqa: E402
 from o2g_spark.operators import (  # noqa: E402
-    boilerplate, clusters, decontam, dedup, knn, multimodal, packing,
-    passages, pip, repetition, similarity, skew, tiles,
+    boilerplate, bpe, clusters, decontam, dedup, knn, multimodal,
+    packing, passages, pip, repetition, similarity, skew, tiles,
 )
 from o2g_spark.operators import corpus as corpus_ops  # noqa: E402
 from o2g_spark.plans.checkpoint import CheckpointManager  # noqa: E402
@@ -93,7 +98,8 @@ STAGES = ("geotag", "pip", "knn", "tiles", "dedup", "report")
 # persistent index across invocations; keep `all` timings comparable
 # across rounds)
 OPT_STAGES = (
-    "extract", "filter", "passages", "pii", "dedup-incremental", "curate"
+    "extract", "filter", "passages", "pii", "bpe",
+    "dedup-incremental", "curate",
 )
 
 
@@ -185,6 +191,8 @@ def main(argv=None):
                     help="--stage passages: keep-first ranking strategy "
                          "(join = AQE-skew-splittable escape for corpora "
                          "with a window key duplicated millions of times)")
+    ap.add_argument("--bpe-merges", type=int, default=32,
+                    help="--stage bpe: number of merges to learn")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -430,6 +438,42 @@ def main(argv=None):
                         (F.col("n_email") + F.col("n_ipv4")
                          + F.col("n_phone")) > 0
                     ).count()
+                ),
+            },
+        )
+
+    if "bpe" in want:
+        # tokenizer lifecycle (operators/bpe.py): train merges ONCE on
+        # the corpus (word-frequency-dict formulation — the k-iteration
+        # loop runs on distinct words, not pages), persist them through
+        # the checkpoint layer, then encode every page with the
+        # committed merges. Rerunning resumes: a committed merge table
+        # is never retrained, a committed token table never re-encoded.
+        if "text" not in pages.columns:
+            raise SystemExit(
+                "--stage bpe needs a `text` column on the pages "
+                "input (run --stage extract first on raw crawls)")
+
+        def build_merges():
+            return bpe.bpe_merges_df(
+                spark, pages.select("text"), "text", args.bpe_merges)
+
+        merges_df = ckpt.run_stage(
+            "bpe_merges", build_merges, key_col="pair")
+
+        def build_tokens():
+            learned = [r.pair for r in
+                       merges_df.orderBy("step").collect()]
+            return bpe.bpe_encode(
+                pages.select("url", "text"), "url", "text", learned)
+
+        run(
+            "bpe_tokens", build_tokens, key_col="url",
+            extra={
+                "n_merges": args.bpe_merges,
+                "total_tokens": lambda: int(
+                    ckpt.read_snapshot("bpe_tokens")
+                    .agg(F.sum("n_tokens")).collect()[0][0] or 0
                 ),
             },
         )

@@ -130,20 +130,19 @@ def bpe_encode(docs: DataFrame, id_col: str, text_col: str,
     sum over words of (60-bit md5 of the word's final segmentation
     mod 1e9)."""
     pairs = [m[0] if isinstance(m, tuple) else m for m in merges]
-    w = docs.select(F.col(id_col).alias("doc_id"),
-                    F.col(text_col).alias("__t"))
+    w = docs.select(id_col, F.col(text_col).alias("__t"))
     w = w.withColumn("__ws", X.words("__t"))
-    w = w.select("doc_id", F.explode("__ws").alias("word"))
+    w = w.select(id_col, F.explode("__ws").alias("word"))
     seq = _seq_init(F.col("word"))
     for p in pairs:
         seq = _apply_merge(seq, p)
     w = w.select(
-        "doc_id",
+        id_col,
         F.size(F.split(F.trim(seq), " ")).cast("long").alias("__n"),
         F.pmod(X.md5_hash60(F.trim(seq)), F.lit(1_000_000_000))
         .alias("__h"),
     )
-    return w.groupBy("doc_id").agg(
+    return w.groupBy(id_col).agg(
         F.sum("__n").alias("n_tokens"),
         F.sum("__h").alias("tok_hash"),
     )
