@@ -84,8 +84,9 @@ def bpe_train(docs: DataFrame, text_col: str,
     (word, freq) dictionary — the corpus is scanned once."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
-    seqs = word_freqs(docs, text_col).withColumn(
+    base = word_freqs(docs, text_col).withColumn(
         "seq", _seq_init(F.col("word"))).persist()
+    seqs = base
     try:
         merges: list[tuple[str, int]] = []
         for _ in range(n_merges):
@@ -108,7 +109,7 @@ def bpe_train(docs: DataFrame, text_col: str,
                 "seq", _apply_merge(F.col("seq"), top.pr))
         return merges
     finally:
-        seqs.unpersist()
+        base.unpersist()  # the persisted root — not the derived chain
 
 
 def bpe_merges_df(spark, docs: DataFrame, text_col: str,
