@@ -177,3 +177,86 @@ def test_matchers_equivalent_property(names, text):
     want = alt.findall(text)
     assert trie.findall(text) == want
     assert gt._AhoCorasick(list(names)).find_all(text) == want
+
+
+# ------------------------------------------------------- codec kernels
+
+from o2g_spark.kernels import jpeg as J  # noqa: E402
+from o2g_spark.operators import multimodal as mm  # noqa: E402
+
+
+def _lzw_ref_encode(data: bytes, mcs: int) -> bytes:
+    """Greedy conformant GIF-LZW (late change, table freeze at 4096) —
+    duplicated tiny reference so the property is independent of the
+    production decoder's internals (mirrors tests/test_multimodal.py)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    stream = bytearray()
+    acc = nbits = 0
+    width = mcs + 1
+
+    def emit(c):
+        nonlocal acc, nbits
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if nbits:
+        stream.append(acc & 255)
+    return bytes(stream)
+
+
+@given(st.binary(min_size=1, max_size=3000),
+       st.sampled_from([2, 3, 4, 8]))
+@settings(max_examples=60, deadline=None)
+def test_lzw_roundtrip_any_stream(data, mcs):
+    data = bytes(b % (1 << mcs) for b in data)
+    dec = mm._lzw_decode(_lzw_ref_encode(data, mcs), mcs, len(data))
+    assert dec is not None and bytes(dec) == data
+
+
+@given(st.integers(1, 40), st.integers(1, 30), st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_gif_canonical_roundtrip_prop(w, h, seed):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    got = mm.try_decode_gif(mm.make_gif(idx, pal))
+    assert got is not None and (got[0], got[1]) == (w, h)
+    assert np.array_equal(got[2], pal[idx.reshape(-1)].reshape(h, w, 3))
+
+
+@given(st.integers(1, 33), st.integers(1, 25), st.integers(0, 2**32 - 1),
+       st.sampled_from([60, 85, 100]), st.booleans(), st.sampled_from([0, 3]))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_decode_stats_prop(w, h, seed, quality, subsample, dri):
+    """Any encodable image round-trips with sane stats: exact dims,
+    mean within the DC-quant + color-convert envelope, never a crash."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = J.try_decode_jpeg(
+        J.make_jpeg(img, quality=quality, subsample=subsample,
+                    restart_interval=dri))
+    assert out is not None and (out[0], out[1]) == (w, h)
+    assert abs(float(out[2].mean()) - float(img.mean())) < 16.0
