@@ -470,7 +470,10 @@ def main(argv=None):
         run(
             "bpe_tokens", build_tokens, key_col="url",
             extra={
-                "n_merges": args.bpe_merges,
+                # the COMMITTED merge count, not the CLI argument: a
+                # resume with a different --bpe-merges keeps the
+                # committed snapshot, and the metrics must say so
+                "n_merges": lambda: int(merges_df.count()),
                 "total_tokens": lambda: int(
                     ckpt.read_snapshot("bpe_tokens")
                     .agg(F.sum("n_tokens")).collect()[0][0] or 0

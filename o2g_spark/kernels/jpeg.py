@@ -512,7 +512,14 @@ def try_decode_jpeg(b: bytes) -> tuple[int, int, np.ndarray] | None:
             nf = body[5]
             if prec != 8 or nf not in (1, 3) or h == 0 or w == 0:
                 return None
-            if h * w > 64 * 1024 * 1024:
+            # decode-bomb guard, calibrated for THIS codec: the scan
+            # materializes float64 planes (8 B/px/component, vs uint8
+            # for BMP/GIF) and entropy-decodes per-bit in Python, and
+            # in local mode 32 concurrent tasks share one heap
+            # (CLAUDE.md rule 6). 4 MP caps peak memory ~0.3 GB/row;
+            # larger files take the sha256 stand-in path (documented
+            # envelope limit, not silent truncation).
+            if h * w > 4 * 1024 * 1024:
                 return None
             comps = []
             for c in range(nf):

@@ -107,6 +107,13 @@ def bpe_train(docs: DataFrame, text_col: str,
             merges.append((top.pr, int(top.cnt)))
             seqs = seqs.withColumn(
                 "seq", _apply_merge(F.col("seq"), top.pr))
+            if len(merges) % 24 == 0:
+                # bound the replace-chain depth: without this, merge k
+                # re-executes all 2(k-1) prior replaces per iteration
+                # (O(k² · vocab) total) and the nested expression
+                # eventually overflows codegen — same localCheckpoint
+                # pattern as graph.pagerank
+                seqs = seqs.localCheckpoint(eager=True)
         return merges
     finally:
         base.unpersist()  # the persisted root — not the derived chain
@@ -214,14 +221,14 @@ def bpe_encode_sql(docs_query: str, id_col: str, text_col: str,
     chain, since every corpus word is in the dictionary)."""
     return f"""WITH {_train_ctes(docs_query, text_col, n_merges)},
 docwords AS (
-  SELECT {id_col} AS doc_id, unnest({X.words_sql(text_col)}) AS word
+  SELECT {id_col} AS __id, unnest({X.words_sql(text_col)}) AS word
   FROM ({docs_query})
 )
-SELECT d.doc_id,
+SELECT d.__id AS {id_col},
        CAST(sum(len(string_split(trim(s.seq), ' '))) AS BIGINT)
          AS n_tokens,
        CAST(sum({X.md5_hash60_sql("trim(s.seq)")} % 1000000000)
          AS BIGINT) AS tok_hash
 FROM docwords d JOIN s{n_merges} s ON d.word = s.word
-GROUP BY d.doc_id
+GROUP BY d.__id
 """

@@ -366,11 +366,21 @@ def try_decode_gif(b: bytes) -> tuple[int, int, np.ndarray] | None:
         elif blk == 0x2C:  # image descriptor
             if pos + 10 > len(b):
                 return None
+            left = int.from_bytes(b[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(b[pos + 3 : pos + 5], "little")
             iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
             ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
             ipacked = b[pos + 9]
             pos += 10
             if iw <= 0 or ih <= 0 or (ipacked >> 6) & 1:  # interlaced
+                return None
+            sw = int.from_bytes(b[6:8], "little")
+            sh = int.from_bytes(b[8:10], "little")
+            if left or top or iw != sw or ih != sh:
+                # cropped/offset first frame: the true image is the
+                # logical-screen canvas with background fill — refusing
+                # (stand-in path) beats silently reporting the
+                # sub-frame's dims/pixels as the whole image
                 return None
             pal = gct
             if ipacked >> 7:  # local color table wins
@@ -402,6 +412,51 @@ def try_decode_gif(b: bytes) -> tuple[int, int, np.ndarray] | None:
         else:  # trailer (0x3B) before any image, or junk
             return None
     return None
+
+
+def lzw_encode_reference(data: bytes, mcs: int) -> bytes:
+    """Conformant GIF-LZW ENCODER (greedy longest-match, late width
+    change — bump after the just-added entry index reaches 2^width —
+    and deferred clear: the table freezes at 4096). Fixture-class
+    code, like :func:`make_gif`/:func:`make_png`: it exists so tests
+    and benches can feed the general decoder REAL compressed streams
+    without three drifting copies of these subtle conventions."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    stream = bytearray()
+    acc = nbits = 0
+    width = mcs + 1
+
+    def emit(c: int) -> None:
+        nonlocal acc, nbits
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if nbits:
+        stream.append(acc & 255)
+    return bytes(stream)
 
 
 def make_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:

@@ -45,45 +45,7 @@ from o2g_spark.session import get_spark  # noqa: E402
 MEDIA_COLS = ["media_id", "url", "kind", "payload", "meta"]
 
 
-def _lzw_encode(data: bytes, mcs: int) -> bytes:
-    """Greedy GIF-LZW (late width change, deferred clear at the 12-bit
-    cap) — real compressed streams for the decoder's general path."""
-    clear, eoi = 1 << mcs, (1 << mcs) + 1
-    stream = bytearray()
-    acc = nbits = 0
-    width = mcs + 1
-
-    def emit(c):
-        nonlocal acc, nbits
-        acc |= c << nbits
-        nbits += width
-        while nbits >= 8:
-            stream.append(acc & 255)
-            acc >>= 8
-            nbits -= 8
-
-    emit(clear)
-    table = {bytes([i]): i for i in range(1 << mcs)}
-    next_code = eoi + 1
-    cur = b""
-    for byte in data:
-        nxt = cur + bytes([byte])
-        if nxt in table:
-            cur = nxt
-            continue
-        emit(table[cur])
-        if next_code < 4096:
-            table[nxt] = next_code
-            next_code += 1
-            if next_code - 1 == (1 << width) and width < 12:
-                width += 1
-        cur = bytes([byte])
-    if cur:
-        emit(table[cur])
-    emit(eoi)
-    if nbits:
-        stream.append(acc & 255)
-    return bytes(stream)
+_lzw_encode = mm.lzw_encode_reference
 
 
 def _gif_compressed(idx: np.ndarray, palette: np.ndarray) -> bytes:

@@ -103,10 +103,13 @@ def test_encode_handles_unseen_words(spark, merges):
     assert r.n_tokens >= 2 + 3 + 3  # lower bound: zzz,qqq can't merge
 
 
-def test_empty_and_degenerate():
-    assert _duck(bpe.bpe_train_sql(
-        "SELECT * FROM docs WHERE doc_id = 5", "text", 1)) == [] or True
-    # Spark raises loudly instead of silently returning fewer merges
+def test_empty_corpus_twin_yields_no_merges():
+    """On an empty corpus the twin must return zero merge rows (no
+    NULL-seq garbage from the replace chain over an empty argmax);
+    the Spark side raises loudly instead (next test)."""
+    out = _duck(bpe.bpe_train_sql(
+        "SELECT * FROM docs WHERE doc_id = 5", "text", 1))
+    assert out == []
 
 
 def test_train_raises_when_exhausted(spark):

@@ -322,48 +322,7 @@ def test_mixed_media_real_and_stub_paths(spark):
 # ----------------------------------------------------------------- GIF
 
 
-def _lzw_encode_ref(data: bytes, mcs: int) -> bytes:
-    """Independent REFERENCE GIF-LZW encoder (greedy longest-match,
-    late width change, deferred clear at the 12-bit table cap) — the
-    semantics every conformant GIF writer implements. Exists so the
-    general decoder is pinned against real compressed streams, not
-    just the literal-only canonical layout make_gif emits."""
-    clear, eoi = 1 << mcs, (1 << mcs) + 1
-    stream = bytearray()
-    acc = nbits = 0
-    width = mcs + 1
-
-    def emit(c):
-        nonlocal acc, nbits
-        acc |= c << nbits
-        nbits += width
-        while nbits >= 8:
-            stream.append(acc & 255)
-            acc >>= 8
-            nbits -= 8
-
-    emit(clear)
-    table = {bytes([i]): i for i in range(1 << mcs)}
-    next_code = eoi + 1
-    cur = b""
-    for byte in data:
-        nxt = cur + bytes([byte])
-        if nxt in table:
-            cur = nxt
-            continue
-        emit(table[cur])
-        if next_code < 4096:
-            table[nxt] = next_code
-            next_code += 1
-            if next_code - 1 == (1 << width) and width < 12:
-                width += 1
-        cur = bytes([byte])
-    if cur:
-        emit(table[cur])
-    emit(eoi)
-    if nbits:
-        stream.append(acc & 255)
-    return bytes(stream)
+_lzw_encode_ref = mm.lzw_encode_reference
 
 
 def test_gif_lzw_general_decode_vs_reference_encoder():

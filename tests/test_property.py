@@ -185,46 +185,10 @@ from o2g_spark.kernels import jpeg as J  # noqa: E402
 from o2g_spark.operators import multimodal as mm  # noqa: E402
 
 
-def _lzw_ref_encode(data: bytes, mcs: int) -> bytes:
-    """Greedy conformant GIF-LZW (late change, table freeze at 4096) —
-    duplicated tiny reference so the property is independent of the
-    production decoder's internals (mirrors tests/test_multimodal.py)."""
-    clear, eoi = 1 << mcs, (1 << mcs) + 1
-    stream = bytearray()
-    acc = nbits = 0
-    width = mcs + 1
-
-    def emit(c):
-        nonlocal acc, nbits
-        acc |= c << nbits
-        nbits += width
-        while nbits >= 8:
-            stream.append(acc & 255)
-            acc >>= 8
-            nbits -= 8
-
-    emit(clear)
-    table = {bytes([i]): i for i in range(1 << mcs)}
-    next_code = eoi + 1
-    cur = b""
-    for byte in data:
-        nxt = cur + bytes([byte])
-        if nxt in table:
-            cur = nxt
-            continue
-        emit(table[cur])
-        if next_code < 4096:
-            table[nxt] = next_code
-            next_code += 1
-            if next_code - 1 == (1 << width) and width < 12:
-                width += 1
-        cur = bytes([byte])
-    if cur:
-        emit(table[cur])
-    emit(eoi)
-    if nbits:
-        stream.append(acc & 255)
-    return bytes(stream)
+# the conformant reference encoder lives beside make_gif (fixture-class
+# code); what the property needs is independence from the DECODER, and
+# an encoder is not a decoder
+_lzw_ref_encode = mm.lzw_encode_reference
 
 
 @given(st.binary(min_size=1, max_size=3000),
