@@ -45,9 +45,11 @@ from o2g_spark.operators import (
     dedup,
     gtfs,
     knn,
+    lmfilter,
     multimodal,
     packing,
     pip,
+    semdedup as semdedup_op,
     similarity,
     skew,
     sketches,
@@ -1076,6 +1078,66 @@ def _q_tfidf_topk(spark, sf_dir):
     return corpus.tfidf_topk(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+_LM_TRAIN_CUT = 500_000  # hash-bucket micro-threshold: 50% training half
+
+_LM_TRAIN_SQL = (
+    "SELECT * FROM documents WHERE "
+    + corpus.hash_bucket_micro_sql("doc_id", "lmtrain")
+    + f" < {_LM_TRAIN_CUT}"
+)
+
+
+def _lm_train_docs(spark, sf_dir):
+    """Deterministic 50% training half (the corpus.py hash-bucket
+    machinery) — the gate's 'trusted corpus' stand-in. Pure filter,
+    identical membership in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(
+        corpus.hash_bucket_micro("doc_id", "lmtrain") < _LM_TRAIN_CUT
+    )
+
+
+def _q_lm_train(spark, sf_dir):
+    """Add-one bigram LM training (operators/lmfilter.py lm_train):
+    the model table itself — bigram/context counts plus the smoothed
+    conditional probability in EXACT integer ppm — over the hash
+    training half. Two n-gram-keyed partial-agg shuffles; no float
+    anywhere in the output."""
+    return lmfilter.lm_train(
+        _lm_train_docs(spark, sf_dir), "doc_id", "text", min_count=2
+    )
+
+
+def _q_lm_score(spark, sf_dir):
+    """Per-doc NLL under the bigram LM (lm_score — the CCNet/KenLM
+    perplexity-filter shape): train on the hash half, score EVERY
+    doc. Each term is ln of an exact integer; the order-dependent
+    sums are rounded ONCE per output column (4 dp) in both engines
+    (CLAUDE.md float policy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lmfilter.lm_score(
+        _lm_train_docs(spark, sf_dir), docs, "doc_id", "text"
+    )
+
+
+_DSIR_BUCKETS = 1024
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (lmfilter.dsir_logweights; Xie et
+    al. 2023): hashed-bigram bag models, target = the English subset,
+    raw = the full corpus. Both count tables are hard-bounded at 1024
+    hash buckets, so the model side broadcasts at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return lmfilter.dsir_logweights(
+        docs,
+        docs.where(F.col("lang") == "en"),
+        "doc_id",
+        "text",
+        buckets=_DSIR_BUCKETS,
+    )
+
+
 def _q_hll_words(spark, sf_dir):
     """Per-language HLL distinct estimate of (doc_id, word) pairs
     (operators/sketches.py): registers from the shared 60-bit hash,
@@ -1270,6 +1332,26 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/semdedup.py): coarse k-means clusters +
+    within-cluster lower-id max-cosine keep rule — the semantic-dedup
+    published stage. Input reuses the PLANTED near-dup construction
+    (_emb_with_planted: perturbed copies at vec_id + 10⁶, cosine ≈ 1,
+    IEEE-exact in both engines) so the drop signal is real at every
+    sf (the frozen embeddings have no organic near-dups — max
+    within-cluster cosine 0.475). Centroids are trained on the BASE
+    embeddings (the serving `centroids=` path), replicated Spark-free
+    in the twin via ivf_train_centroids_local."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = similarity.ivf_train_centroids(emb, n_centroids=16)
+    return semdedup_op.semdedup(
+        _emb_with_planted(spark, sf_dir),
+        n_clusters=16,
+        threshold=0.9,
+        centroids=cent,
+    )
+
+
 def _q_ordered_collect(spark, sf_dir):
     """A5/A9/A11 ordered-collect parity AT THE GATE (was pytest-only):
     lineitem rows act as (route=orderkey, seq=linenumber, stop=partkey)
@@ -1358,6 +1440,33 @@ SELECT id_a, id_b,
 FROM vv
 WHERE round({dot} / greatest(sqrt({na}) * sqrt({nb}), 1e-300), 6) >= 0.9
 """
+
+
+_EMB_PLANTED_SQL = """(
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT CAST(vec_id AS BIGINT) + 1000000 AS vec_id,
+         list_transform(embedding, (x, i) ->
+           CAST(CAST(x AS DOUBLE)
+                + CAST(((i - 1) * 37 + 11) % 97 AS DOUBLE) / 97.0 * 0.0006
+                - 0.0003 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id < 200
+)"""
+
+
+def _semdedup_oracle_sql() -> str:
+    """DuckDB twin of _q_semdedup: the planted union reproduced
+    bit-for-bit (same exact-rational perturbation as the near-dup
+    twin), centroids trained Spark-free on the base embeddings
+    (ivf_train_centroids_local — bit-identical to the Spark training
+    by construction), assignment + within-cluster max-cosine in SQL
+    (semdedup_sql). Trains at ORACLE_SF_DIR like ann_ivf."""
+    cent = similarity.ivf_train_centroids_local(
+        os.path.join(_oracle_sf_dir(), "embeddings.parquet"), n_centroids=16
+    )
+    return semdedup_op.semdedup_sql(
+        f"{_EMB_PLANTED_SQL}", cent, threshold=0.9
+    )
 
 
 def _ann_lsh_oracle_sql() -> str:
@@ -2234,6 +2343,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q_domain_cap,
         "doc_chunks": _q_doc_chunks,
         "tfidf_topk": _q_tfidf_topk,
+        "lm_train": _q_lm_train,
+        "lm_score": _q_lm_score,
+        "dsir_weights": _q_dsir_weights,
         "hll_words": _q_hll_words,
         "hll_window": _q_hll_window,
         "asof_join": _q_asof_join,
@@ -2246,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
+        "semdedup": _q_semdedup,
         # rows-only showcases
         "gtfs_resolve": _q_gtfs_resolve,
         "multimodal_decode": _q_multimodal_decode,
@@ -2637,6 +2750,7 @@ FROM documents
         ),
         "simhash_pairs": dedup.simhash_pairs_sql("documents", "doc_id", "text", 3),
         "embedding_near_dup": _near_dup_oracle_sql(),
+        "semdedup": _semdedup_oracle_sql(),
         # incremental == full-corpus pairs touching >= 1 new vector
         # (banding is per-vector deterministic; see _q_emb_incremental)
         "emb_incremental": (
@@ -2695,6 +2809,19 @@ QUALIFY row_number() OVER (
             overlap=8,
         ),
         "tfidf_topk": corpus.tfidf_topk_sql("documents", "doc_id", "text", k=3),
+        "lm_train": lmfilter.lm_train_sql(
+            _LM_TRAIN_SQL, "doc_id", "text", min_count=2
+        ),
+        "lm_score": lmfilter.lm_score_sql(
+            _LM_TRAIN_SQL, "SELECT * FROM documents", "doc_id", "text"
+        ),
+        "dsir_weights": lmfilter.dsir_logweights_sql(
+            "SELECT * FROM documents",
+            "SELECT * FROM documents WHERE lang = 'en'",
+            "doc_id",
+            "text",
+            buckets=_DSIR_BUCKETS,
+        ),
         "hll_words": sketches.hll_distinct_sql(
             "(SELECT lang, concat(CAST(doc_id AS VARCHAR), ':', w) AS v FROM "
             "(SELECT lang, doc_id, unnest("
