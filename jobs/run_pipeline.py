@@ -84,8 +84,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from o2g_spark.functions import cellfns, geotag, pii  # noqa: E402
 from o2g_spark.functions import text as X  # noqa: E402
 from o2g_spark.operators import (  # noqa: E402
-    boilerplate, bpe, clusters, decontam, dedup, knn, multimodal,
-    packing, passages, pip, repetition, similarity, skew, tiles,
+    boilerplate, bpe, clusters, decontam, dedup, knn, lmfilter,
+    multimodal, packing, passages, pip, repetition, similarity, skew,
+    tiles,
 )
 from o2g_spark.operators import corpus as corpus_ops  # noqa: E402
 from o2g_spark.plans.checkpoint import CheckpointManager  # noqa: E402
@@ -98,7 +99,7 @@ STAGES = ("geotag", "pip", "knn", "tiles", "dedup", "report")
 # persistent index across invocations; keep `all` timings comparable
 # across rounds)
 OPT_STAGES = (
-    "extract", "filter", "passages", "pii", "bpe",
+    "extract", "filter", "passages", "pii", "bpe", "lm",
     "dedup-incremental", "curate",
 )
 
@@ -193,6 +194,13 @@ def main(argv=None):
                          "with a window key duplicated millions of times)")
     ap.add_argument("--bpe-merges", type=int, default=32,
                     help="--stage bpe: number of merges to learn")
+    ap.add_argument("--lm-target", default=None,
+                    help="--stage lm: parquet of trusted reference texts "
+                         "(columns url, text) to train the bigram LM on "
+                         "(default: a deterministic hash half of --pages)")
+    ap.add_argument("--lm-train-frac", type=float, default=0.5,
+                    help="--stage lm: fraction of --pages used as the "
+                         "training half when --lm-target is absent")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -478,6 +486,79 @@ def main(argv=None):
                     ckpt.read_snapshot("bpe_tokens")
                     .agg(F.sum("n_tokens")).collect()[0][0] or 0
                 ),
+            },
+        )
+
+    if "lm" in want:
+        # perplexity-filter lifecycle (operators/lmfilter.py): train
+        # the add-one bigram LM ONCE (on --lm-target or a deterministic
+        # hash half of the corpus), persist the self-contained model
+        # table through the checkpoint layer, score every page from
+        # the COMMITTED snapshot, and bucket pages into CCNet-style
+        # head/middle/tail thirds by per-token NLL. Rerunning resumes:
+        # a committed model is never retrained.
+        if "text" not in pages.columns:
+            raise SystemExit(
+                "--stage lm needs a `text` column on the pages "
+                "input (run --stage extract first on raw crawls)")
+
+        if args.lm_target:
+            lm_train_pages = spark.read.parquet(args.lm_target)
+        else:
+            cut = int(args.lm_train_frac * 1_000_000)
+            lm_train_pages = pages.where(
+                corpus_ops.hash_bucket_micro("url", "lmtrain") < cut)
+
+        def build_lm_model():
+            # min_count=1 + vocab column: the snapshot must stay
+            # UNPRUNED and self-contained for lm_score_from_model
+            return lmfilter.lm_train(
+                lm_train_pages.select("url", "text"), "url", "text",
+                min_count=1, include_vocab=True,
+            ).withColumn("bigram", F.concat_ws(" ", "w1", "w2"))
+
+        model_df = ckpt.run_stage("lm_model", build_lm_model,
+                                  key_col="bigram")
+
+        def build_lm_scores():
+            return lmfilter.lm_score_from_model(
+                model_df, pages.select("url", "text"), "url", "text")
+
+        def _lm_thirds():
+            # CCNet buckets by perplexity thirds; cutoffs from a
+            # deterministic 1% hash sample (exact percentile on the
+            # sample — scale-safe where a full exact percentile's
+            # single agg buffer is not), full table when the sample
+            # is too small to quantile
+            scores = ckpt.read_snapshot("lm_scores")
+            sample = scores.where(
+                corpus_ops.hash_bucket_micro("url", "lmq") < 10_000)
+            if sample.count() < 1_000:
+                sample = scores
+            cuts = sample.agg(F.expr(
+                "percentile(nll_per_tok, array(CAST(1.0/3 AS DOUBLE), "
+                "CAST(2.0/3 AS DOUBLE)))"
+            ).alias("c")).collect()[0]["c"]
+            lo, hi = float(cuts[0]), float(cuts[1])
+            counts = dict(
+                scores.select(
+                    F.when(F.col("nll_per_tok") <= lo, "head")
+                    .when(F.col("nll_per_tok") <= hi, "middle")
+                    .otherwise("tail").alias("b")
+                ).groupBy("b").count().collect()
+            )
+            return {
+                "cut_head": round(lo, 4), "cut_middle": round(hi, 4),
+                "head": int(counts.get("head", 0)),
+                "middle": int(counts.get("middle", 0)),
+                "tail": int(counts.get("tail", 0)),
+            }
+
+        run(
+            "lm_scores", build_lm_scores, key_col="url",
+            extra={
+                "model_bigrams": lambda: int(model_df.count()),
+                "ppl_thirds": _lm_thirds,
             },
         )
 

@@ -120,6 +120,7 @@ def lm_train(
     id_col: str,
     text_col: str,
     min_count: int = 1,
+    include_vocab: bool = False,
 ) -> DataFrame:
     """Train the add-one bigram model; returns the model TABLE:
     ``(w1, w2, c_pair, c_ctx, p_ppm)`` for every bigram type with
@@ -130,7 +131,12 @@ def lm_train(
 
     ``min_count`` prunes the emitted table only — counts and V are
     computed from the FULL corpus first, so pruning never changes the
-    surviving rows' probabilities.
+    surviving rows' probabilities. ``include_vocab=True`` adds the
+    (constant) ``v`` column so the table is SELF-CONTAINED for
+    persistence: :func:`lm_score_from_model` can score against the
+    snapshot alone — the train-once serving path through the
+    checkpoint layer (same lifecycle as the BPE merges and the IVF
+    centroids).
 
     Scale shape: two partial-agg shuffles over n-gram keys (never raw
     occurrences), one vocab-sized distinct, a broadcast of the 1-row V
@@ -154,6 +160,8 @@ def lm_train(
             F.col("c_pair").cast(T.LongType()).alias("c_pair"),
             F.col("c_ctx").cast(T.LongType()).alias("c_ctx"),
             F.col("p_ppm").cast(T.LongType()).alias("p_ppm"),
+            *([F.col("__V").cast(T.LongType()).alias("v")]
+              if include_vocab else []),
         )
     )
     return out
@@ -197,13 +205,49 @@ def lm_score(
     per-doc bigram fold (map-side combinable groupBy), two left
     joins against n-gram-keyed count tables (AQE broadcast when the
     model is small), one per-doc aggregation."""
-    ev = bigram_events(score_df, id_col, text_col)
-    doc_bg = ev.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("m"))
-
     train_ev = bigram_events(train_df, id_col, text_col)
     pair = train_ev.groupBy("w1", "w2").agg(F.count("*").alias("c_pair"))
     ctx = train_ev.groupBy("w1").agg(F.count("*").alias("c_ctx"))
     vocab = train_ev.agg((F.countDistinct("w2") + F.lit(1)).alias("__V"))
+    return _score_against(pair, ctx, vocab, score_df, id_col, text_col)
+
+
+def lm_score_from_model(
+    model_df: DataFrame,
+    score_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Score against a PERSISTED model table — the train-once serving
+    path: pass an ``lm_train(..., min_count=1, include_vocab=True)``
+    snapshot (read back through the checkpoint layer) and get the
+    exact :func:`lm_score` output without re-tokenizing the training
+    corpus.
+
+    The model MUST be unpruned (``min_count=1``): a pruned bigram
+    would fall back to the unseen path and a context whose every
+    pair was pruned would lose its ``c_ctx``, silently shifting
+    scores relative to fresh training (pinned by test)."""
+    pair = model_df.select("w1", "w2", "c_pair")
+    ctx = model_df.select("w1", "c_ctx").dropDuplicates(["w1"])
+    vocab = model_df.agg(
+        F.coalesce(F.max("v"), F.lit(1)).cast(T.LongType()).alias("__V")
+    )
+    return _score_against(pair, ctx, vocab, score_df, id_col, text_col)
+
+
+def _score_against(
+    pair: DataFrame,
+    ctx: DataFrame,
+    vocab: DataFrame,
+    score_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared scoring tail: per-doc bigram fold → count-table lookups
+    → one aggregation (see :func:`lm_score` for the plan shape)."""
+    ev = bigram_events(score_df, id_col, text_col)
+    doc_bg = ev.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("m"))
 
     scored = (
         doc_bg.join(pair, ["w1", "w2"], "left")

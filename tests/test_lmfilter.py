@@ -144,6 +144,28 @@ def test_lm_score_partitioning_invariant(spark, toy):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_score_from_model_matches_fresh_training(spark, toy):
+    """The persisted-model serving path (lm_score_from_model over an
+    unpruned include_vocab snapshot) is bit-identical to scoring
+    against fresh training — the exactness the checkpoint lifecycle
+    relies on."""
+    probe = _docs(
+        spark,
+        [(i, t) for i, t in enumerate(
+            ["the cat sat", "a dog ran fast", "zz qq", "the the the"]
+        )],
+    )
+    model = lmfilter.lm_train(
+        toy, "doc_id", "text", min_count=1, include_vocab=True
+    )
+    assert "v" in model.columns
+    fresh = lmfilter.lm_score(toy, probe, "doc_id", "text")
+    served = lmfilter.lm_score_from_model(model, probe, "doc_id", "text")
+    assert sorted(map(tuple, fresh.collect())) == sorted(
+        map(tuple, served.collect())
+    )
+
+
 def test_dsir_prefers_target_like_docs(spark):
     target = _docs(
         spark, [(i, "solar panels convert sunlight into power") for i in range(10)]
