@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .similarity import cosine, dot_sql, ivf_assign_udf, ivf_train_centroids
+from .similarity import dot, dot_sql, ivf_assign_udf, ivf_train_centroids, norm
 
 
 def semdedup(
@@ -103,14 +103,24 @@ def semdedup(
         .drop("__csz")
     )
 
+    # norms are computed ONCE per row BELOW the join's shuffle
+    # boundary (the exchange materializes them), not per pair — same
+    # IEEE value as computing sqrt(fold) pair-side, |cluster|× cheaper
     a = guarded.select("cluster", F.col("__id").alias("__ida"),
-                       F.col("__v").alias("__va"))
+                       F.col("__v").alias("__va"),
+                       norm(F.col("__v")).alias("__na"))
     b = guarded.select("cluster", F.col("__id").alias("__idb"),
-                       F.col("__v").alias("__vb"))
+                       F.col("__v").alias("__vb"),
+                       norm(F.col("__v")).alias("__nb"))
+    sim = F.round(
+        dot(F.col("__va"), F.col("__vb"))
+        / F.greatest(F.col("__na") * F.col("__nb"), F.lit(1e-300)),
+        6,
+    )
     pairs = (
         a.join(b, "cluster")
         .where(F.col("__ida") > F.col("__idb"))
-        .withColumn("__sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn("__sim", sim)
         .groupBy("__ida")
         .agg(F.max("__sim").alias("__max_sim"))
     )
