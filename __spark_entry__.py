@@ -49,6 +49,7 @@ from o2g_spark.operators import (
     multimodal,
     packing,
     pip,
+    retrieval,
     semdedup as semdedup_op,
     similarity,
     skew,
@@ -1136,6 +1137,33 @@ def _q_dsir_weights(spark, sf_dir):
         "text",
         buckets=_DSIR_BUCKETS,
     )
+
+
+_BM25_QCUT = 40_000  # ~4% of docs double as retrieval queries
+
+
+def _bm25_queries(spark, sf_dir):
+    """Deterministic query set: the 4-word prefixes of a ~4%
+    hash-bucket sample of the corpus (the same corpus.py micro-bucket
+    machinery as the LM training half — identical membership in both
+    engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(
+        corpus.hash_bucket_micro("doc_id", "bm25q") < _BM25_QCUT
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(X.words("text"), 1, 4), " ").alias("qtext"),
+    )
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-5 retrieval (operators/retrieval.py bm25_topk):
+    rank every corpus document against each sampled query. The idf is
+    ln of EXACT integers (``ln(2N+2) − ln(2df+1)``) and the tf chain
+    is a fixed sequence of correctly-rounded IEEE ops in exact
+    milli-units, so scores value-hash; ranks tie-break on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(docs, _bm25_queries(spark, sf_dir), k=5)
 
 
 def _q_hll_words(spark, sf_dir):
@@ -2346,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_train": _q_lm_train,
         "lm_score": _q_lm_score,
         "dsir_weights": _q_dsir_weights,
+        "bm25_topk": _q_bm25_topk,
         "hll_words": _q_hll_words,
         "hll_window": _q_hll_window,
         "asof_join": _q_asof_join,
@@ -2821,6 +2850,15 @@ QUALIFY row_number() OVER (
             "doc_id",
             "text",
             buckets=_DSIR_BUCKETS,
+        ),
+        "bm25_topk": retrieval.bm25_topk_sql(
+            "SELECT doc_id, text FROM documents",
+            "SELECT doc_id AS query_id, array_to_string(("
+            + X.words_sql("text")
+            + ")[1:4], ' ') AS qtext FROM documents WHERE "
+            + corpus.hash_bucket_micro_sql("doc_id", "bm25q")
+            + f" < {_BM25_QCUT}",
+            k=5,
         ),
         "hll_words": sketches.hll_distinct_sql(
             "(SELECT lang, concat(CAST(doc_id AS VARCHAR), ':', w) AS v FROM "
