@@ -1166,6 +1166,32 @@ def _q_bm25_topk(spark, sf_dir):
     return retrieval.bm25_topk(docs, _bm25_queries(spark, sf_dir), k=5)
 
 
+_CMS_W, _CMS_D = 64, 4  # deliberately collision-pressured at 150 users
+
+
+def _q_cms_users(spark, sf_dir):
+    """Count-Min point queries (sketches.cms_build + cms_query): the
+    per-user event-count estimate for every distinct user, under a
+    deliberately small w=64 so collisions are exercised — est ≥ true
+    always (pinned in tests/test_cms.py), exact integers only, the
+    DuckDB twin rebuilds the sketch cell-for-cell."""
+    ev = _t(spark, sf_dir, "events")
+    sk = sketches.cms_build(ev, "user_id", w=_CMS_W, d=_CMS_D)
+    return sketches.cms_query(sk, ev, "user_id", w=_CMS_W, d=_CMS_D)
+
+
+def _q_heavy_users(spark, sf_dir):
+    """Exact heavy hitters via the CMS no-false-negative prefilter
+    (sketches.cms_heavy_hitters): users with ≥70 events, the exact
+    shuffle carrying only the maybe-heavy sliver. The oracle is the
+    PLAIN GROUP BY/HAVING — the prefilter provably never changes the
+    result, so the gate checks algebraic equivalence."""
+    ev = _t(spark, sf_dir, "events")
+    return sketches.cms_heavy_hitters(
+        ev, "user_id", 70, w=_CMS_W, d=_CMS_D
+    )
+
+
 def _q_hll_words(spark, sf_dir):
     """Per-language HLL distinct estimate of (doc_id, word) pairs
     (operators/sketches.py): registers from the shared 60-bit hash,
@@ -2375,6 +2401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "dsir_weights": _q_dsir_weights,
         "bm25_topk": _q_bm25_topk,
+        "cms_users": _q_cms_users,
+        "heavy_users": _q_heavy_users,
         "hll_words": _q_hll_words,
         "hll_window": _q_hll_window,
         "asof_join": _q_asof_join,
@@ -2859,6 +2887,16 @@ QUALIFY row_number() OVER (
             + corpus.hash_bucket_micro_sql("doc_id", "bm25q")
             + f" < {_BM25_QCUT}",
             k=5,
+        ),
+        "cms_users": sketches.cms_query_sql(
+            "SELECT user_id FROM events",
+            "SELECT user_id FROM events",
+            "user_id",
+            w=_CMS_W,
+            d=_CMS_D,
+        ),
+        "heavy_users": sketches.cms_heavy_hitters_sql(
+            "SELECT user_id FROM events", "user_id", 70
         ),
         "hll_words": sketches.hll_distinct_sql(
             "(SELECT lang, concat(CAST(doc_id AS VARCHAR), ':', w) AS v FROM "

@@ -1,5 +1,7 @@
-"""Distributed cardinality sketches: HyperLogLog distinct counts with
-a cross-engine-EXACT register/harmonic formulation.
+"""Distributed sketches: HyperLogLog distinct counts with a
+cross-engine-EXACT register/harmonic formulation, and a Count-Min
+frequency sketch with an exact no-false-negative heavy-hitter
+prefilter (see the count-min section at the bottom).
 
 Why another approx-distinct when Spark has approx_count_distinct?
 Spark's HLL++ and DuckDB's approx sketch are different algorithms with
@@ -238,3 +240,289 @@ def hll_error_bound(p: int) -> float:
     """Expected relative standard error of the raw estimator:
     1.04 / sqrt(2^p). p=10 → ±3.25%, p=14 → ±0.81%."""
     return 1.04 / math.sqrt(1 << p)
+
+
+# ------------------------------------------------------------- count-min
+# Frequency sketch (Cormode & Muthukrishnan 2005): d independent hash
+# rows x w counters; every cell update is +occurrences, a point query
+# is min over the d cells — NEVER an underestimate (monotone adds), so
+# "CMS estimate >= threshold" is a no-false-negative prefilter for
+# heavy hitters, the same shape as membership.bloom_prefilter_anti_join.
+# All math is exact integers (counts), so the sketch, the point
+# queries, and the heavy-hitter output all value-hash cross-engine;
+# and because the prefilter provably never drops a true heavy hitter,
+# cms_heavy_hitters' DuckDB oracle is the PLAIN GROUP BY ... HAVING —
+# algebraic equivalence, not a twin replay.
+
+
+_CMS_M31 = 1 << 31
+_CMS_P31 = 2147483647  # Mersenne prime
+
+
+def _cms_affine(d: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs — the textbook pairwise-independent
+    affine family (a·x + b) mod p, which is exactly what CMS's
+    analysis requires. a odd, both < 2^31 → a·(x % 2^31) + b < 2^62:
+    no BIGINT overflow in either engine (CLAUDE.md rule 3 — DuckDB
+    raises, Spark silently wraps)."""
+    out = []
+    for i in range(d):
+        a = ((2654435761 * (i + 1) + 40503) % _CMS_M31) | 1
+        b = (1315423911 * (i + 1) + 2246822519) % _CMS_M31
+        out.append((a, b))
+    return out
+
+
+def _cms_hash(value: Column, seed: str) -> Column:
+    """The ONE string-hashing pass per value (rule 3: hash once, then
+    cheap affine integer re-hashes for the d rows)."""
+    return X.md5_hash60(
+        F.concat(F.lit(seed + ":"), value.cast(T.StringType()))
+    )
+
+
+def _cms_hash_sql(value: str, seed: str) -> str:
+    return X.md5_hash60_sql(f"concat('{seed}:', CAST({value} AS VARCHAR))")
+
+
+def _cms_col(h: Column, a: int, b: int, w: int) -> Column:
+    # h >= 0 (60-bit) and every operand positive, so % == pmod in both
+    # engines
+    return ((h % _CMS_M31 * F.lit(a) + F.lit(b)) % _CMS_P31 % F.lit(w)).cast(
+        T.LongType()
+    )
+
+
+def _cms_col_sql(h: str, a: int, b: int, w: int) -> str:
+    return f"(({h} % {_CMS_M31} * {a} + {b}) % {_CMS_P31} % {w})"
+
+
+def _cms_cells(h: Column, w: int, d: int) -> Column:
+    """Array of d (row, col) cells from the materialized hash column."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"), _cms_col(h, a, b, w).alias("col")
+            )
+            for i, (a, b) in enumerate(_cms_affine(d))
+        ]
+    )
+
+
+def _check_cms(w: int, d: int) -> None:
+    if w < 2 or d < 1:
+        raise ValueError("count-min needs w >= 2 and d >= 1")
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    w: int = 8192,
+    d: int = 4,
+    seed: str = "cms",
+) -> DataFrame:
+    """Build the sketch TABLE ``(row, col, c)`` — at most ``d*w`` rows
+    regardless of corpus size. One partial-agg groupBy: the shuffle
+    carries <= d*w rows per map task, never occurrences. Sketches over
+    corpus parts merge via :func:`cms_merge` (cell-wise sum) into
+    exactly the whole-corpus sketch (pinned by test). Null values are
+    ignored (as in bloom_build)."""
+    _check_cms(w, d)
+    return (
+        df.where(_c(value_col).isNotNull())
+        .withColumn("__h", _cms_hash(_c(value_col), seed))
+        # materialize pre-explode (rule 1): the md5 runs in the
+        # Project (where codegen CSE applies), never in the Generate
+        .withColumn("__cells", _cms_cells(F.col("__h"), w, d))
+        .select(F.explode("__cells").alias("__cell"))
+        .select(F.col("__cell.row").alias("row"), F.col("__cell.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").cast(T.LongType()).alias("c"))
+    )
+
+
+def cms_build_sql(
+    table_sql: str, value_col: str, w: int = 8192, d: int = 4, seed: str = "cms"
+) -> str:
+    """DuckDB twin of :func:`cms_build` (same hash-once draw, same
+    affine cells)."""
+    _check_cms(w, d)
+    branches = " UNION ALL ".join(
+        f"SELECT {i} AS row, {_cms_col_sql('h', a, b, w)} AS col FROM hv"
+        for i, (a, b) in enumerate(_cms_affine(d))
+    )
+    return f"""
+WITH hv AS (
+  SELECT {_cms_hash_sql(value_col, seed)} AS h
+  FROM {table_sql} WHERE {value_col} IS NOT NULL
+)
+SELECT row, col, CAST(count(*) AS BIGINT) AS c
+FROM ({branches})
+GROUP BY row, col
+"""
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of sketches built with identical (w, d, seed) —
+    the distributed-merge property: build per corpus part, merge, and
+    the result is bit-identical to building over the union."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(
+        F.sum("c").cast(T.LongType()).alias("c")
+    )
+
+
+def cms_query(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    w: int = 8192,
+    d: int = 4,
+    seed: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch: one ``(value, est)`` row per DISTINCT
+    probe value, ``est = min`` over the d cells (missing cell = 0).
+    ``est >= true count`` always; equality whenever no heavier value
+    collides in every row. The probe side is d rows per distinct
+    probe; the sketch side is <= d*w rows — both tiny, AQE broadcasts
+    whichever is smaller."""
+    _check_cms(w, d)
+    probe_cells = (
+        probes.where(_c(value_col).isNotNull())
+        .select(_c(value_col).alias("value"))
+        .distinct()
+        .withColumn("__h", _cms_hash(F.col("value"), seed))
+        .withColumn("__cells", _cms_cells(F.col("__h"), w, d))
+        .select("value", F.explode("__cells").alias("__cell"))
+        .select("value", F.col("__cell.row").alias("row"), F.col("__cell.col").alias("col"))
+    )
+    return (
+        probe_cells.join(sketch, ["row", "col"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast(T.LongType()).alias("est"))
+    )
+
+
+def cms_query_sql(
+    corpus_sql: str,
+    probes_sql: str,
+    value_col: str,
+    w: int = 8192,
+    d: int = 4,
+    seed: str = "cms",
+) -> str:
+    """DuckDB twin of :func:`cms_build` + :func:`cms_query` — rebuilds
+    the sketch from the corpus, then replays the min-over-cells."""
+    sk = cms_build_sql(f"({corpus_sql})", value_col, w, d, seed)
+    probe_branches = " UNION ALL ".join(
+        f"SELECT value, {i} AS row, {_cms_col_sql('h', a, b, w)} AS col "
+        f"FROM pv"
+        for i, (a, b) in enumerate(_cms_affine(d))
+    )
+    return f"""
+WITH sk AS ({sk}),
+pv AS (
+  SELECT value, {_cms_hash_sql('value', seed)} AS h FROM (
+    SELECT DISTINCT {value_col} AS value FROM ({probes_sql})
+    WHERE {value_col} IS NOT NULL
+  )
+),
+pc AS ({probe_branches})
+SELECT pc.value AS value,
+       CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS est
+FROM pc LEFT JOIN sk ON sk.row = pc.row AND sk.col = pc.col
+GROUP BY pc.value
+"""
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    w: int = 8192,
+    d: int = 4,
+    seed: str = "cms",
+) -> DataFrame:
+    """EXACT counts ``(value, n)`` of every value occurring at least
+    ``threshold`` times — equal to the plain
+    ``groupBy(value).count().where(n >= threshold)``, but the exact
+    aggregation's shuffle carries ONLY the maybe-heavy sliver:
+
+    * pass 1 builds the d*w-bounded sketch (cached — it feeds d
+      broadcast joins);
+    * pass 2 re-scans the corpus, looks each row's d cells up via d
+      broadcast hash joins (map-side, zero shuffle), and keeps rows
+      whose min-cell estimate clears the threshold — no false
+      negatives (sketch never under-counts), and false positives are
+      killed by the exact count after.
+
+    At high cardinality the plain groupBy's map-side partial agg
+    barely combines (each task sees mostly unique values), so its
+    shuffle is ~corpus-sized; here it is ~(heavy occurrences +
+    collision fp). Sizing: the CMS additive error is ~N/w (each
+    cell's TAIL load is N/w occurrences in expectation, N = corpus
+    rows), so ``w`` must dwarf ``N/threshold`` — at w ≈ N/threshold
+    the tail alone clears the threshold in every cell and the
+    prefilter keeps everything (measured in scripts/bench_cms.py's
+    first cut). w ≥ ~8·N/threshold keeps the fp sliver thin; a
+    too-small w only costs shuffle, never correctness. ``threshold``
+    must be positive (a zero threshold keeps everything and the
+    prefilter is pure overhead).
+
+    Measured trade (scripts/bench_cms.py, 50M rows / 49.9M distinct /
+    50 planted heavies, local[32]): the exact agg's input drops 500×
+    (survivor fraction 0.002, output identical), but wall time is
+    2.7× the plain groupBy — on ONE host shuffle is RAM-speed and the
+    two corpus scans + hashing dominate. Reach for this when the
+    shuffle crosses a network (the 100-TB regime) or repeatedly (the
+    sketch is reusable via :func:`cms_merge`); on a single box the
+    plain aggregation wins and stays the default elsewhere in this
+    repo."""
+    _check_cms(w, d)
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+    from ..session import cache_latest
+
+    sk = cache_latest(
+        "sketches.cms_heavy_hitters.sketch",
+        cms_build(df, value_col, w, d, seed),
+    )
+    est_rows = df.where(_c(value_col).isNotNull()).withColumn(
+        "__h", _cms_hash(_c(value_col), seed)
+    )
+    for i, (a, b) in enumerate(_cms_affine(d)):
+        row_i = sk.where(F.col("row") == i).select(
+            F.col("col").alias(f"__col{i}"), F.col("c").alias(f"__c{i}")
+        )
+        est_rows = est_rows.withColumn(
+            f"__col{i}", _cms_col(F.col("__h"), a, b, w)
+        ).join(F.broadcast(row_i), f"__col{i}", "left")
+    est = F.least(
+        *[F.coalesce(F.col(f"__c{i}"), F.lit(0)) for i in range(d)]
+    ) if d > 1 else F.coalesce(F.col("__c0"), F.lit(0))
+    return (
+        est_rows.where(est >= F.lit(threshold))
+        .groupBy(_c(value_col).alias("value"))
+        .agg(F.count("*").cast(T.LongType()).alias("n"))
+        .where(F.col("n") >= threshold)
+    )
+
+
+def cms_heavy_hitters_sql(
+    corpus_sql: str, value_col: str, threshold: int
+) -> str:
+    """Oracle for :func:`cms_heavy_hitters`: the PLAIN exact
+    aggregation — the prefilter provably never changes the result
+    (no-false-negative min-cell bound + exact recount), so the oracle
+    checks algebraic equivalence rather than replaying the sketch."""
+    return f"""
+SELECT {value_col} AS value, CAST(count(*) AS BIGINT) AS n
+FROM ({corpus_sql})
+WHERE {value_col} IS NOT NULL
+GROUP BY {value_col}
+HAVING count(*) >= {threshold}
+"""
