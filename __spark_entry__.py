@@ -1139,6 +1139,46 @@ def _q_dsir_weights(spark, sf_dir):
     )
 
 
+# doc_id-seeded mojibake so every clean_text pass fires on every row
+# (the pii_scrub convention); identical literals in both engines
+_CLEAN_JUNK = (
+    "“Q”   ",   # curly quotes + nbsp + space run
+    "​z— \r\n",           # zero-width, em-dash, CRLF
+    " …\t\t ",                 # ellipsis + tab run
+)
+_CLEAN_TAIL = " ‘t’ − "  # curly singles + minus + trail
+
+
+def _q_clean_text(spark, sf_dir):
+    """Unicode normalization (functions/text.py clean_text — the
+    CCNet/Dolma pre-dedup pass): every doc decorated with
+    doc_id-derived mojibake covering all 12 passes, then cleaned.
+    Sequential codegen regexp_replace in the Java∩RE2 subset —
+    single scan, zero shuffles, idempotent (pinned by test)."""
+    docs = _t(spark, sf_dir, "documents")
+    junk = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_CLEAN_JUNK[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_CLEAN_JUNK[1]))
+        .otherwise(F.lit(_CLEAN_JUNK[2]))
+    )
+    decorated = F.concat(junk, F.col("text"), F.lit(_CLEAN_TAIL))
+    return docs.select(
+        "doc_id", X.clean_text(decorated).alias("text_clean")
+    )
+
+
+def _clean_text_oracle_sql() -> str:
+    j0, j1, j2 = _CLEAN_JUNK
+    decorated = (
+        f"concat(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN '{j0}' "
+        f"WHEN 1 THEN '{j1}' ELSE '{j2}' END, text, '{_CLEAN_TAIL}')"
+    )
+    return (
+        f"SELECT doc_id, {X.clean_text_sql(decorated)} AS text_clean "
+        "FROM documents"
+    )
+
+
 _BM25_QCUT = 40_000  # ~4% of docs double as retrieval queries
 
 
@@ -2402,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "bm25_topk": _q_bm25_topk,
         "cms_users": _q_cms_users,
+        "clean_text": _q_clean_text,
         "heavy_users": _q_heavy_users,
         "hll_words": _q_hll_words,
         "hll_window": _q_hll_window,
@@ -2888,6 +2929,7 @@ QUALIFY row_number() OVER (
             + f" < {_BM25_QCUT}",
             k=5,
         ),
+        "clean_text": _clean_text_oracle_sql(),
         "cms_users": sketches.cms_query_sql(
             "SELECT user_id FROM events",
             "SELECT user_id FROM events",

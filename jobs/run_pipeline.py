@@ -99,7 +99,7 @@ STAGES = ("geotag", "pip", "knn", "tiles", "dedup", "report")
 # persistent index across invocations; keep `all` timings comparable
 # across rounds)
 OPT_STAGES = (
-    "extract", "filter", "passages", "pii", "bpe", "lm",
+    "extract", "clean", "filter", "passages", "pii", "bpe", "lm",
     "dedup-incremental", "curate",
 )
 
@@ -412,6 +412,35 @@ def main(argv=None):
                 "docs_touched": lambda: int(
                     ckpt.read_snapshot("passages")
                     .where(F.col("n_spans") > 0).count()
+                ),
+            },
+        )
+
+    if "clean" in want:
+        # unicode normalization (functions/text.py clean_text — the
+        # CCNet/Dolma pre-dedup pass): committed + resumable, pure
+        # codegen regex passes, idempotent — a crash-rerun over
+        # already-clean text is a byte-identical no-op by construction.
+        if "text" not in pages.columns:
+            raise SystemExit(
+                "--stage clean needs a `text` column on the pages "
+                "input (run --stage extract first on raw crawls)")
+
+        def build_clean():
+            cleaned = X.clean_text(F.col("text"))
+            return pages.select(
+                "url",
+                cleaned.alias("text"),
+                (~cleaned.eqNullSafe(F.col("text"))).alias("changed"),
+            )
+
+        run(
+            "clean", build_clean, key_col="url",
+            extra={
+                "docs_changed": lambda: int(
+                    ckpt.read_snapshot("clean")
+                    .agg(F.sum(F.col("changed").cast("long")))
+                    .collect()[0][0] or 0
                 ),
             },
         )

@@ -261,3 +261,53 @@ def fingerprint_sql(text: str, n: int = 3, mod: int = 16) -> str:
     sh = shingles_sql(text, n)
     h = md5_hash60_sql("s")
     return f"list_sort(list_filter(list_transform({sh}, s -> {h}), h -> h % {mod} = 0))"
+
+
+# ------------------------------------------------------- normalization
+
+# (pattern, replacement) passes, applied IN ORDER — the CCNet/Dolma
+# pre-dedup normalization: line endings, unicode spaces, invisible
+# marks, curly quotes, dashes, ellipsis, control chars, whitespace
+# collapse. Patterns stay in the Java∩RE2 subset (functions/pii.py
+# convention): unicode is embedded as LITERAL codepoints (Java's \uXXXX
+# does not exist in RE2; a literal char parses identically in both),
+# control chars as \xhh escapes (both engines), no lookaround/backrefs.
+# Replacements contain no '$' or '\', so Java's appendReplacement and
+# DuckDB's group syntax both pass them through verbatim. The pass list
+# is IDEMPOTENT: applying it to its own output is a no-op (pinned by
+# test), so re-running a pipeline stage can never re-mangle text.
+CLEAN_PASSES: tuple[tuple[str, str], ...] = (
+    ("\\r\\n?", "\n"),  # CRLF / bare CR first: \r is NOT in the strip class
+    ("[   -   　]", " "),
+    ("[​‌‍⁠﻿­]", ""),
+    ("[‘’‚‛′]", "'"),
+    ("[“”„‟″]", '"'),
+    ("[‐‑‒–—―−]", "-"),
+    ("…", "..."),
+    ("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""),  # keep \t \n
+    ("[ \t]+", " "),        # horizontal whitespace → one space
+    (" ?\n ?", "\n"),       # spaces hugging newlines
+    ("\n{3,}", "\n\n"),     # ≥3 newlines → paragraph break
+    ("^[\n ]+|[\n ]+$", ""),  # trim (Java and RE2 both anchor ^$ to ends)
+)
+
+
+def clean_text(text: Column | str) -> Column:
+    """Normalized text: sequential codegen ``regexp_replace`` passes
+    (:data:`CLEAN_PASSES`) — single scan, zero shuffles, no Python per
+    row. Idempotent by construction."""
+    cur = _c(text)
+    for pat, repl in CLEAN_PASSES:
+        cur = F.regexp_replace(cur, pat, repl)
+    return cur
+
+
+def clean_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`clean_text` — the SAME pattern constants
+    with the explicit 'g' flag."""
+    cur = expr
+    for pat, repl in CLEAN_PASSES:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        cur = f"regexp_replace({cur}, '{p}', '{r}', 'g')"
+    return cur

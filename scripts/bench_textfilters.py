@@ -37,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from o2g_spark.functions import pii as pii_fns  # noqa: E402
+from o2g_spark.functions import text as text_fns  # noqa: E402
 from o2g_spark.operators import boilerplate, decontam, passages, repetition  # noqa: E402
 from o2g_spark.operators import corpus as corpus_ops  # noqa: E402
 from o2g_spark.session import get_spark  # noqa: E402
@@ -295,6 +296,41 @@ def main() -> None:
     dt = time.time() - t0
     emit(op="url_canonical", urls=n_urls, wall_s=round(dt, 2),
          urls_per_s=int(n_urls / dt), exact=(n == n_urls))
+
+    # -------------------------------------------------------- clean_text
+    # every 3rd doc decorated with mojibake (curly quotes, nbsp,
+    # ellipsis, CRLF, em-dash, tab run, zero-width); the rest pure
+    # ASCII single-spaced bodies that the passes must return
+    # BYTE-identical (changed == planted exactly, zero ASCII touches)
+    n_docs6 = int(10_000_000 * args.scale)
+    dirty_every = 3
+    raw6 = spark.range(n_docs6).select(
+        i.alias("doc_id"),
+        F.when(
+            i % dirty_every == 0,
+            F.concat(F.lit("“q”  …\r\n"), _body(i),
+                     F.lit(" —\t\tend​")),
+        ).otherwise(_body(i)).alias("text"),
+    )
+    cleaned6 = raw6.withColumn(
+        "t", text_fns.clean_text(F.col("text"))
+    ).withColumn("chg", ~F.col("t").eqNullSafe(F.col("text")))
+    cleaned6.limit(100_000).agg(F.count(F.lit(1))).collect()
+    t0 = time.time()
+    agg6 = cleaned6.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("chg").cast("long")).alias("changed"),
+        F.sum(
+            F.when((F.col("doc_id") % dirty_every != 0) & F.col("chg"), 1)
+            .otherwise(0)
+        ).alias("ascii_touched"),
+    ).collect()[0]
+    dt = time.time() - t0
+    planted6 = (n_docs6 + dirty_every - 1) // dirty_every
+    emit(op="clean_text", docs=n_docs6, wall_s=round(dt, 2),
+         docs_per_s=int(n_docs6 / dt), changed=int(agg6.changed),
+         exact=(agg6.n == n_docs6 and agg6.changed == planted6
+                and agg6.ascii_touched == 0))
 
     spark.stop()
 
