@@ -1063,6 +1063,36 @@ def _q_domain_cap(spark, sf_dir):
     ).select("doc_id", "domain", "n_chars")
 
 
+_MIX_W = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+_MIX_TOKENS = 40_000  # src0 budget 20k > its sf0.01 avail → upsampling
+
+
+def _q_corpus_mix(spark, sf_dir):
+    """Training-data mixing, exact-fill strategy (operators/corpus.py
+    mix_plan): the weighted domain-rebalance copy plan — src0
+    upsamples past one epoch at sf0.01, src2/src3 keep a hash-ordered
+    prefix; all budget arithmetic BIGINT-exact, emitted tokens never
+    exceed a domain's budget (pinned in tests/test_mixing.py). One
+    domain-key shuffle + a cumsum window."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.mix_plan(
+        docs, "source", "n_chars", "doc_id", _MIX_W, _MIX_TOKENS
+    )
+
+
+def _q_corpus_mix_rate(spark, sf_dir):
+    """Training-data mixing, narrow rate strategy (mix_plan
+    strategy='rate'): the mega-domain escape — partial-epoch
+    membership is a pure hash threshold, the corpus scans ONCE with
+    zero exchanges (per-domain totals are a bounded <= len(weights)
+    driver collect); hits each budget in expectation."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.mix_plan(
+        docs, "source", "n_chars", "doc_id", _MIX_W, _MIX_TOKENS,
+        strategy="rate",
+    )
+
+
 def _q_doc_chunks(spark, sf_dir):
     """Token-window chunking for training-sequence prep (doc_chunks):
     32-token chunks, 8-token overlap, over every 10th doc; arrays
@@ -1204,6 +1234,21 @@ def _q_bm25_topk(spark, sf_dir):
     milli-units, so scores value-hash; ranks tie-break on doc_id."""
     docs = _t(spark, sf_dir, "documents")
     return retrieval.bm25_topk(docs, _bm25_queries(spark, sf_dir), k=5)
+
+
+_QSK_Q = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+
+
+def _q_quantiles(spark, sf_dir):
+    """Relative-error quantile sketch (sketches.quantile_sketch): the
+    per-language doc-length distribution (p50/p90/p99 of n_chars) off
+    the DDSketch-shaped base-2 integer histogram — bucket ids, counts,
+    rank rule and midpoint estimates are ALL integer-exact, so the
+    DuckDB twin rebuilds the sketch cell-for-cell (guaranteed relative
+    error ≤ 2^-5; ≤ ~2e3 sketch rows per group cross the shuffle
+    regardless of corpus size)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sketches.quantile_sketch(docs, ["lang"], "n_chars", _QSK_Q)
 
 
 _CMS_W, _CMS_D = 64, 4  # deliberately collision-pressured at 150 users
@@ -2435,6 +2480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strat_sample": _q_strat_sample,
         "weighted_sample": _q_weighted_sample,
         "domain_cap": _q_domain_cap,
+        "corpus_mix": _q_corpus_mix,
+        "corpus_mix_rate": _q_corpus_mix_rate,
         "doc_chunks": _q_doc_chunks,
         "tfidf_topk": _q_tfidf_topk,
         "lm_train": _q_lm_train,
@@ -2442,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "bm25_topk": _q_bm25_topk,
         "cms_users": _q_cms_users,
+        "quantiles": _q_quantiles,
         "clean_text": _q_clean_text,
         "heavy_users": _q_heavy_users,
         "hll_words": _q_hll_words,
@@ -2899,6 +2947,13 @@ SELECT doc_id, domain, n_chars FROM d
 QUALIFY row_number() OVER (
   PARTITION BY domain ORDER BY n_chars DESC, doc_id ASC) <= 5
 """,
+        "corpus_mix": corpus.mix_plan_sql(
+            "documents", "source", "n_chars", "doc_id", _MIX_W, _MIX_TOKENS
+        ),
+        "corpus_mix_rate": corpus.mix_plan_sql(
+            "documents", "source", "n_chars", "doc_id", _MIX_W, _MIX_TOKENS,
+            strategy="rate",
+        ),
         "doc_chunks": corpus.doc_chunks_sql(
             "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)",
             "doc_id",
@@ -2930,6 +2985,9 @@ QUALIFY row_number() OVER (
             k=5,
         ),
         "clean_text": _clean_text_oracle_sql(),
+        "quantiles": sketches.quantile_sketch_sql(
+            "documents", ["lang"], "n_chars", _QSK_Q
+        ),
         "cms_users": sketches.cms_query_sql(
             "SELECT user_id FROM events",
             "SELECT user_id FROM events",

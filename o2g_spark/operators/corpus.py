@@ -583,3 +583,274 @@ SELECT {id_col},
        array_to_string(toks[start + 1 : start + {chunk_tokens}], ' ') AS chunk_text
 FROM starts
 """
+
+
+# ------------------------------------------------------------- mixing
+
+# Training-data mixing (the Pile/Dolma/DoReMi-shaped stage): given
+# relative domain weights and a total token budget, emit a per-doc
+# COPY PLAN (id, domain, tokens, n_copies) such that each domain
+# contributes ~weight·budget tokens — upsampling (n_copies > 1) when
+# the budget exceeds what the domain has, downsampling (a hash-ordered
+# prefix) when it doesn't. Everything is integer-exact and a pure
+# function of (row, seed, weights, budget): same plan on any cluster
+# size, any retry, any partitioning — and the DuckDB twin re-derives
+# it bit-for-bit.
+#
+# Budget arithmetic (all BIGINT):
+#   ppm_d    = round(w_d / Σw · 1e6)
+#   budget_d = total_tokens · ppm_d DIV 1e6
+#   full_d   = budget_d DIV avail_d     (whole-corpus epochs)
+#   rem_d    = budget_d %  avail_d      (the partial epoch, in tokens)
+# and the partial epoch keeps a deterministic hash-ordered prefix:
+#
+# * strategy="window" (exact fill): order docs by (md5 hash, id)
+#   within the domain, cumulative token sum, keep while cum <= rem_d —
+#   the emitted token count never exceeds budget_d and undershoots by
+#   less than one document. ONE domain-key shuffle + a window; the
+#   window partition is per-domain, so a mega-domain is one task —
+#   the same skew axis as domain_cap. For domains too large for one
+#   task, use:
+# * strategy="rate" (narrow, no shuffle over the corpus): keep a doc
+#   in the partial epoch iff pmod(hash, 1e6) < rem_d·1e6 DIV avail_d.
+#   Hits the budget in expectation (±√ concentration), scans the
+#   corpus once with ZERO exchanges (per-domain avail totals are a
+#   bounded driver-side collect — at most len(weights) rows).
+#
+# Docs with null/non-positive token counts and domains outside
+# `weights` are excluded from the plan (weight 0 ≡ absent).
+
+def _mix_ppm(weights: dict[str, float]) -> list[tuple[str, int]]:
+    if not weights:
+        raise ValueError("mix needs at least one domain weight")
+    tot = float(sum(weights.values()))
+    if tot <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("mix weights must be non-negative, sum > 0")
+    return [(d, round(w / tot * _MICRO)) for d, w in sorted(weights.items())]
+
+
+def _mix_require_integral(df: DataFrame, token_col: Column | str) -> None:
+    t = df.select(_c(token_col).alias("__t")).schema["__t"].dataType
+    if not isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        raise TypeError(f"mix needs an integral token column, got {t}")
+
+
+def _mix_hash(domain: Column, id_: Column, seed: str) -> Column:
+    return X.md5_hash60(
+        F.concat_ws(":", F.lit(seed), domain.cast(T.StringType()),
+                    id_.cast(T.StringType()))
+    )
+
+
+def _mix_hash_sql(domain: str, id_: str, seed: str) -> str:
+    return X.md5_hash60_sql(
+        f"concat('{_sq(seed)}', ':', CAST({domain} AS VARCHAR), ':', "
+        f"CAST({id_} AS VARCHAR))"
+    )
+
+
+def _mix_budget_case(domain: Column, ppms, total_tokens: int) -> Column:
+    out = F.lit(None).cast(T.LongType())
+    expr = None
+    for d, ppm in ppms:
+        budget = total_tokens * ppm // _MICRO
+        cond = domain == F.lit(d)
+        expr = F.when(cond, F.lit(budget)) if expr is None else expr.when(
+            cond, F.lit(budget)
+        )
+    return expr.otherwise(out)
+
+
+def _mix_budget_case_sql(domain: str, ppms, total_tokens: int) -> str:
+    whens = " ".join(
+        f"WHEN '{_sq(d)}' THEN CAST({total_tokens * ppm // _MICRO} AS BIGINT)"
+        for d, ppm in ppms
+    )
+    return f"CASE {domain} {whens} END"
+
+
+def mix_plan(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    total_tokens: int,
+    seed: str = "mix",
+    strategy: str = "window",
+) -> DataFrame:
+    """The copy plan ``(id, domain, tokens, n_copies)`` (n_copies >=
+    1). See the section comment for semantics and the two strategies'
+    scale shapes."""
+    if total_tokens < 0:
+        raise ValueError("total_tokens must be >= 0")
+    if strategy not in ("window", "rate"):
+        raise ValueError("strategy must be 'window' or 'rate'")
+    _mix_require_integral(df, token_col)
+    ppms = _mix_ppm(weights)
+    dom, tok, id_ = _c(domain_col), _c(token_col), _c(id_col)
+    rows = df.where(
+        dom.isin([d for d, _ in ppms]) & tok.isNotNull() & (tok > 0)
+    ).select(
+        id_.alias("id"),
+        dom.alias("domain"),
+        tok.cast(T.LongType()).alias("tokens"),
+    )
+    budget = _mix_budget_case(F.col("domain"), ppms, total_tokens)
+
+    if strategy == "window":
+        from pyspark.sql import Window
+
+        h = _mix_hash(F.col("domain"), F.col("id"), seed)
+        wcum = (
+            Window.partitionBy("domain")
+            .orderBy("__h", "id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wall = Window.partitionBy("domain")
+        planned = (
+            rows.withColumn("__h", h)
+            .withColumn("__avail", F.sum("tokens").over(wall))
+            .withColumn("__cum", F.sum("tokens").over(wcum))
+            .withColumn("__budget", budget)
+            .withColumn(
+                "n_copies",
+                (F.expr("__budget DIV __avail")
+                 + (F.col("__cum") <= F.expr("__budget % __avail"))
+                 .cast(T.LongType())),
+            )
+        )
+    else:
+        # bounded driver materialization: one row per weighted domain
+        avail = {
+            r["domain"]: r["avail"]
+            for r in rows.groupBy("domain")
+            .agg(F.sum("tokens").alias("avail"))
+            .collect()
+        }
+        full_e = None
+        rate_e = None
+        for d, ppm in ppms:
+            if d not in avail:
+                continue
+            b = total_tokens * ppm // _MICRO
+            full, rem = b // avail[d], b % avail[d]
+            rate = rem * _MICRO // avail[d]
+            cond = F.col("domain") == F.lit(d)
+            full_e = (F.when(cond, F.lit(full)) if full_e is None
+                      else full_e.when(cond, F.lit(full)))
+            rate_e = (F.when(cond, F.lit(rate)) if rate_e is None
+                      else rate_e.when(cond, F.lit(rate)))
+        if full_e is None:  # no weighted domain present in the corpus
+            return rows.withColumn(
+                "n_copies", F.lit(None).cast(T.LongType())
+            ).where(F.lit(False))
+        h = _mix_hash(F.col("domain"), F.col("id"), seed)
+        planned = rows.withColumn(
+            "n_copies",
+            full_e.otherwise(F.lit(0)).cast(T.LongType())
+            + (F.pmod(h, F.lit(_MICRO)) < rate_e.otherwise(F.lit(0)))
+            .cast(T.LongType()),
+        )
+    return planned.where(F.col("n_copies") >= 1).select(
+        "id", "domain", "tokens", "n_copies"
+    )
+
+
+def mix_plan_sql(
+    table_sql: str,
+    domain_col: str,
+    token_expr: str,
+    id_col: str,
+    weights: dict[str, float],
+    total_tokens: int,
+    seed: str = "mix",
+    strategy: str = "window",
+) -> str:
+    """DuckDB twin of :func:`mix_plan` (both strategies)."""
+    ppms = _mix_ppm(weights)
+    doms = ", ".join(f"'{_sq(d)}'" for d, _ in ppms)
+    h = _mix_hash_sql("domain", "id", seed)
+    base = f"""
+  SELECT {id_col} AS id, {domain_col} AS domain,
+         CAST({token_expr} AS BIGINT) AS tokens
+  FROM {table_sql}
+  WHERE {domain_col} IN ({doms}) AND {token_expr} IS NOT NULL
+    AND {token_expr} > 0
+"""
+    budget = _mix_budget_case_sql("domain", ppms, total_tokens)
+    if strategy == "window":
+        body = f"""
+WITH rows_ AS ({base}),
+planned AS (
+  SELECT id, domain, tokens,
+         ({budget}) // SUM(tokens) OVER (PARTITION BY domain)
+         + CASE WHEN SUM(tokens) OVER (
+                  PARTITION BY domain ORDER BY {h}, id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                <= ({budget}) % SUM(tokens) OVER (PARTITION BY domain)
+           THEN 1 ELSE 0 END AS n_copies
+  FROM rows_
+)
+SELECT id, domain, tokens, CAST(n_copies AS BIGINT) AS n_copies
+FROM planned WHERE n_copies >= 1
+"""
+        return body
+    rbudget = _mix_budget_case_sql("r.domain", ppms, total_tokens)
+    rh = _mix_hash_sql("r.domain", "r.id", seed)
+    return f"""
+WITH rows_ AS ({base}),
+avail AS (
+  SELECT domain, SUM(tokens) AS avail FROM rows_ GROUP BY domain
+),
+planned AS (
+  SELECT r.id, r.domain, r.tokens,
+         ({rbudget}) // a.avail
+         + CASE WHEN ({rh}) % {_MICRO}
+                -- HUGEINT: rem*1e6 overflows BIGINT past ~9.2e12
+                -- domain tokens (the Spark side computes this rate in
+                -- arbitrary-precision python on the driver)
+                < CAST(({rbudget}) % a.avail AS HUGEINT) * {_MICRO} // a.avail
+           THEN 1 ELSE 0 END AS n_copies
+  FROM rows_ r JOIN avail a ON a.domain = r.domain
+)
+SELECT id, domain, tokens, CAST(n_copies AS BIGINT) AS n_copies
+FROM planned WHERE n_copies >= 1
+"""
+
+
+def mix_expand(plan: DataFrame) -> DataFrame:
+    """Physical copies off the plan: one ``(id, domain, tokens,
+    copy_idx)`` row per epoch membership — the thing a training
+    shuffle consumes. The copy array is materialized pre-explode
+    (CLAUDE.md rule 1), though here it is a cheap sequence."""
+    return (
+        plan.withColumn("__copies", F.expr("sequence(0, n_copies - 1)"))
+        .select(
+            "id", "domain", "tokens",
+            F.explode("__copies").alias("copy_idx"),
+        )
+    )
+
+
+def mix_report(
+    plan: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+) -> DataFrame:
+    """Per-domain accounting off the plan: docs kept, copies, tokens
+    emitted vs budget (domains the corpus lacks entirely emit no row —
+    their budget is unfillable and a join with `weights` keys is the
+    caller's audit)."""
+    ppms = _mix_ppm(weights)
+    budget = _mix_budget_case(F.col("domain"), ppms, total_tokens)
+    return (
+        plan.groupBy("domain")
+        .agg(
+            F.count("*").alias("docs_kept"),
+            F.sum("n_copies").alias("copies"),
+            F.sum(F.col("tokens") * F.col("n_copies")).alias("tokens_emitted"),
+        )
+        .withColumn("budget", budget)
+        .orderBy("domain")
+    )

@@ -526,3 +526,344 @@ WHERE {value_col} IS NOT NULL
 GROUP BY {value_col}
 HAVING count(*) >= {threshold}
 """
+
+
+# -------------------------------------------------------------- quantiles
+
+# The quantile member of the sketch family (HLL = cardinality, Bloom =
+# membership, Count-Min = frequency): a DDSketch-shaped relative-error
+# histogram in PURE INTEGER math, so — like the HLL above — both
+# engines compute the bit-identical sketch AND bit-identical answers.
+#
+# Why not percentile_approx / DuckDB's approx_quantile? Different
+# algorithms (GK vs t-digest), different internals — a rows-only gate
+# entry at best. And why not KLL/GK here? Both are ORDER-DEPENDENT
+# (their compactions depend on arrival order), so their output is not
+# partitioning-invariant — a retry or repartition changes the answer.
+# This sketch is a pure value→bucket histogram: order-insensitive,
+# merge = cell-wise sum, deterministic under any partitioning.
+#
+# Bucketing (value x, BIGINT; sub_bits = B, K = 2^B sub-buckets per
+# octave — every step integer-exact in both engines):
+#
+# * x = 0  → bucket -1 (exact)
+# * x > 0  → e = length(bin(x)) - 1          (the msb octave)
+#            s = (x - 2^e) >> (e - B)        for e >= B
+#                (x - 2^e) << (B - e)        for e <  B
+#            id = e*K + s
+# * x < 0  → -(id of -x) - 2                 (mirrored; monotone)
+#
+# Bucket ids are MONOTONE in x, so quantiles walk ids in order. Each
+# positive bucket covers [2^e + s*2^(e-B), +2^(e-B)) — relative width
+# 2^-B — and the point estimate is the integer midpoint, giving a
+# GUARANTEED relative error <= 2^-(B+1) (default B=4: 3.125%), exact
+# below 2^B. State: <= 63*K buckets per sign + 1 (B=4: <= 2,017 rows
+# per group) regardless of corpus size; the groupBy partially
+# aggregates map-side, so the shuffle carries at most that many rows
+# per group per task — the corpus never crosses the wire (the same
+# scale shape as the HLL fold above).
+
+_Q_PPM = 1_000_000
+
+
+def _check_qsketch(sub_bits: int) -> None:
+    if not 1 <= sub_bits <= 20:
+        raise ValueError("sub_bits must be in [1, 20]")
+
+
+def _q_require_integral(df: DataFrame, value_col: Column | str) -> None:
+    """Integral input only: double→BIGINT casts TRUNCATE in Spark but
+    ROUND in DuckDB, so a silent cast could never value-hash."""
+    t = df.select(_c(value_col).alias("__v")).schema["__v"].dataType
+    if not isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        raise TypeError(f"qsketch needs an integral value column, got {t}")
+
+
+def _q_bucket_cols(v: Column, sub_bits: int) -> list[tuple[str, Column]]:
+    """Named helper columns ending in __qb — stepwise so bin() runs
+    once; all cheap integer/codegen ops."""
+    b = sub_bits
+    av = F.abs(v)
+    av_c = (
+        # abs(LONG_MIN) silently stays negative — refuse, don't corrupt
+        F.when(
+            v == F.lit(-(1 << 63)).cast(T.LongType()),
+            F.expr("raise_error('qsketch: -2^63 is out of domain')").cast(
+                T.LongType()
+            ),
+        )
+        .otherwise(av.cast(T.LongType()))
+    )
+    e_c = (
+        F.when(F.col("__av") == 0, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("__av"))) - 1)
+        .cast(T.IntegerType())
+    )
+    s_c = (
+        # shift amounts clamped >= 0: Spark IF is lazy in codegen but
+        # the clamp keeps the dead branch well-defined everywhere
+        F.expr(
+            f"CAST(IF(__e >= {b}, "
+            f"shiftright(__av - shiftleft(CAST(1 AS BIGINT), __e),"
+            f" greatest(__e - {b}, 0)), "
+            f"shiftleft(__av - shiftleft(CAST(1 AS BIGINT), __e),"
+            f" greatest({b} - __e, 0))) AS BIGINT)"
+        )
+    )
+    qb_c = (
+        F.when(v == 0, F.lit(-1))
+        .when(
+            v > 0, F.col("__e").cast(T.LongType()) * (1 << b) + F.col("__s")
+        )
+        .otherwise(
+            -(F.col("__e").cast(T.LongType()) * (1 << b) + F.col("__s")) - 2
+        )
+        .cast(T.LongType())
+    )
+    return [("__av", av_c), ("__e", e_c), ("__s", s_c), ("__qb", qb_c)]
+
+
+def _q_bucket_sql(v: str, sub_bits: int) -> str:
+    """DuckDB twin of :func:`_q_bucket_cols` as one expression over a
+    prepared column ``{v}`` (plus ``{v}_e`` from :func:`_q_e_sql`)."""
+    b = sub_bits
+    k = 1 << b
+    s = (
+        f"CASE WHEN {v}_e >= {b} THEN "
+        f"(abs({v}) - (CAST(1 AS BIGINT) << {v}_e)) >> greatest({v}_e - {b}, 0) "
+        f"ELSE (abs({v}) - (CAST(1 AS BIGINT) << {v}_e)) << greatest({b} - {v}_e, 0) END"
+    )
+    pos = f"CAST({v}_e AS BIGINT) * {k} + ({s})"
+    return (
+        f"CASE WHEN {v} = 0 THEN -1 WHEN {v} > 0 THEN {pos} "
+        f"ELSE -({pos}) - 2 END"
+    )
+
+
+def _q_e_sql(v: str) -> str:
+    return f"CASE WHEN {v} = 0 THEN 0 ELSE length(bin(abs({v}))) - 1 END"
+
+
+def qsketch_build(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: Column | str,
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Build the per-group sketch table ``(group…, __qb, __cnt)`` —
+    at most ``2*63*2^sub_bits + 1`` rows per group regardless of input
+    size. One partial-agg groupBy; nulls ignored (as in cms_build).
+    Sketches over corpus parts merge via :func:`qsketch_merge`
+    (cell-wise sum) into exactly the whole-corpus sketch."""
+    _check_qsketch(sub_bits)
+    _q_require_integral(df, value_col)
+    v = _c(value_col).cast(T.LongType())
+    rows = df.where(v.isNotNull()).select(*group_cols, v.alias("__v"))
+    for name, col in _q_bucket_cols(F.col("__v"), sub_bits):
+        rows = rows.withColumn(name, col)
+    return rows.groupBy(*group_cols, "__qb").agg(
+        F.count("*").cast(T.LongType()).alias("__cnt")
+    )
+
+
+def qsketch_build_sql(
+    table_sql: str,
+    group_cols: list[str],
+    value_expr: str,
+    sub_bits: int = 4,
+) -> str:
+    """DuckDB twin of :func:`qsketch_build` (same integer bucketing)."""
+    _check_qsketch(sub_bits)
+    gcols = ", ".join(group_cols)
+    gpfx = f"{gcols}, " if group_cols else ""
+    return f"""
+SELECT {gpfx}{_q_bucket_sql('__v', sub_bits)} AS __qb,
+       CAST(count(*) AS BIGINT) AS __cnt
+FROM (
+  SELECT {gpfx}__v, {_q_e_sql('__v')} AS __v_e FROM (
+    SELECT {gpfx}{value_expr} AS __v FROM {table_sql}
+    WHERE {value_expr} IS NOT NULL
+  )
+)
+GROUP BY {gpfx}__qb
+"""
+
+
+def qsketch_merge(
+    group_cols: list[str], *sketches: DataFrame
+) -> DataFrame:
+    """Cell-wise sum of sketches built with identical sub_bits — build
+    per part == merge of per-part builds (pinned by test)."""
+    if not sketches:
+        raise ValueError("qsketch_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "__qb").agg(
+        F.sum("__cnt").cast(T.LongType()).alias("__cnt")
+    )
+
+
+def _q_est_cols(sub_bits: int) -> list[tuple[str, Column]]:
+    """Integer-midpoint point estimate for bucket __qb, stepwise."""
+    b = sub_bits
+    k = 1 << b
+    pid_c = (
+        F.when(F.col("__qb") >= 0, F.col("__qb"))
+        .otherwise(-F.col("__qb") - 2)
+    )
+    pe_c = F.expr(f"__pid DIV {k}")
+    ps_c = F.pmod(F.col("__pid"), F.lit(k))
+    pest_c = (
+        F.expr(
+            f"CAST(IF(__pe >= {b}, "
+            # lo + (width-1)//2, width = 2^(pe-b)
+            f"shiftleft(CAST(1 AS BIGINT), __pe)"
+            f" + __ps * shiftleft(CAST(1 AS BIGINT), greatest(__pe - {b}, 0))"
+            f" + (shiftleft(CAST(1 AS BIGINT), greatest(__pe - {b}, 0)) - 1) DIV 2, "
+            # e < b: the bucket holds exactly one integer
+            f"shiftleft(CAST(1 AS BIGINT), __pe)"
+            f" + shiftright(__ps, greatest({b} - __pe, 0))) AS BIGINT)"
+        )
+    )
+    est_c = (
+        F.when(F.col("__qb") == -1, F.lit(0).cast(T.LongType()))
+        .when(F.col("__qb") >= 0, F.col("__pest"))
+        .otherwise(-F.col("__pest"))
+    )
+    return [
+        ("__pid", pid_c), ("__pe", pe_c), ("__ps", ps_c),
+        ("__pest", pest_c), ("__est", est_c),
+    ]
+
+
+def _q_est_sql(sub_bits: int) -> str:
+    """DuckDB twin of :func:`_q_est_cols` over prepared __pid/__pe/__ps."""
+    b = sub_bits
+    pest = (
+        f"CASE WHEN __pe >= {b} THEN "
+        f"(CAST(1 AS BIGINT) << __pe)"
+        f" + __ps * (CAST(1 AS BIGINT) << greatest(__pe - {b}, 0))"
+        f" + ((CAST(1 AS BIGINT) << greatest(__pe - {b}, 0)) - 1) // 2 "
+        f"ELSE (CAST(1 AS BIGINT) << __pe)"
+        f" + (__ps >> greatest({b} - __pe, 0)) END"
+    )
+    return (
+        f"CASE WHEN __qb = -1 THEN 0 WHEN __qb >= 0 THEN {pest} "
+        f"ELSE -({pest}) END"
+    )
+
+
+def _q_ppm(quantiles: dict[str, float]) -> list[tuple[str, int]]:
+    """Quantiles to exact integer ppm — the rank arithmetic then never
+    touches a float in either engine."""
+    out = []
+    for label, q in quantiles.items():
+        ppm = round(q * _Q_PPM)
+        if not 0 <= ppm <= _Q_PPM:
+            raise ValueError(f"quantile {label}={q} outside [0, 1]")
+        out.append((label, ppm))
+    if not out:
+        raise ValueError("need at least one quantile")
+    return out
+
+
+def qsketch_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    quantiles: dict[str, float],
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Per-group nearest-rank quantiles off the sketch: one row per
+    group, one BIGINT column per label. Rank for q over n values is
+    ``(n-1)*q_ppm DIV 1e6 + 1`` (q=0 → rank 1, q=1 → rank n; exact
+    for n < ~9.2e12), answered by the first bucket whose cumulative
+    count reaches it — a window cumsum over <= ~2e3 rows per group."""
+    from pyspark.sql import Window
+
+    _check_qsketch(sub_bits)
+    labels = _q_ppm(quantiles)
+    cum = F.sum("__cnt").over(
+        Window.partitionBy(*group_cols)
+        .orderBy("__qb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum("__cnt").over(Window.partitionBy(*group_cols))
+    rows = sketch
+    for name, col in _q_est_cols(sub_bits):
+        rows = rows.withColumn(name, col)
+    rows = rows.select(
+        *group_cols, "__est", cum.alias("__cum"), tot.alias("__n")
+    )
+    aggs = []
+    for label, ppm in labels:
+        r = F.expr(f"(__n - 1) * {ppm} DIV {_Q_PPM} + 1")
+        aggs.append(F.min(F.when(F.col("__cum") >= r, F.col("__est"))).alias(label))
+    return rows.groupBy(*group_cols).agg(*aggs)
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: Column | str,
+    quantiles: dict[str, float],
+    sub_bits: int = 4,
+) -> DataFrame:
+    """One-shot build + query (the common corpus-stats call: length /
+    token-count / latency distributions per group)."""
+    return qsketch_quantiles(
+        qsketch_build(df, group_cols, value_col, sub_bits),
+        group_cols,
+        quantiles,
+        sub_bits,
+    )
+
+
+def quantile_sketch_sql(
+    table_sql: str,
+    group_cols: list[str],
+    value_expr: str,
+    quantiles: dict[str, float],
+    sub_bits: int = 4,
+) -> str:
+    """DuckDB twin of :func:`quantile_sketch` — rebuilds the sketch
+    cell-for-cell, replays the cumsum walk and integer rank rule."""
+    _check_qsketch(sub_bits)
+    labels = _q_ppm(quantiles)
+    k = 1 << sub_bits
+    sk = qsketch_build_sql(table_sql, group_cols, value_expr, sub_bits)
+    gcols = ", ".join(group_cols)
+    gpfx = f"{gcols}, " if group_cols else ""
+    part = f"PARTITION BY {gcols} " if group_cols else ""
+    sels = ", ".join(
+        f"CAST(min(CASE WHEN __cum >= (__n - 1) * {ppm} // {_Q_PPM} + 1 "
+        f"THEN __est END) AS BIGINT) AS {label}"
+        for label, ppm in labels
+    )
+    return f"""
+WITH sk AS ({sk}),
+pid AS (
+  SELECT {gpfx}__qb, __cnt,
+         CASE WHEN __qb >= 0 THEN __qb ELSE -__qb - 2 END AS __pid
+  FROM sk
+),
+prep AS (
+  SELECT {gpfx}__qb, __cnt, __pid // {k} AS __pe, __pid % {k} AS __ps
+  FROM pid
+),
+est AS (
+  SELECT {gpfx}__cnt, {_q_est_sql(sub_bits)} AS __est,
+         SUM(__cnt) OVER ({part}ORDER BY __qb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __cum,
+         SUM(__cnt) OVER ({part}) AS __n
+  FROM prep
+)
+SELECT {gpfx}{sels} FROM est {("GROUP BY " + gcols) if group_cols else ""}
+"""
+
+
+def qsketch_error_bound(sub_bits: int) -> float:
+    """Guaranteed max relative error of any point estimate (midpoint
+    of a bucket of relative width 2^-sub_bits): 2^-(sub_bits+1).
+    Default sub_bits=4 → 3.125%; values below 2^sub_bits are exact."""
+    return 0.5 ** (sub_bits + 1)
