@@ -61,6 +61,12 @@ and rerun the same command):
             token-window chunking → next-fit sequence packing; every
             step checkpointed, metrics carry split counts and the
             packing fill ratio
+    mix     (OPT-IN) weighted training-data mixing (corpus.mix_plan):
+            rebalance per-registered-domain token mass to
+            --mix-weights under a --mix-tokens budget — a committed
+            copy plan (url, domain, tokens, n_copies) plus a
+            per-domain accounting snapshot; exact-fill by default,
+            --mix-strategy rate for mega-domain corpora
     report  per-zone/lang + per-tile rollups (B9-B11)
 
 Prints one JSON metrics line per stage: rows, seconds, pages/sec. The
@@ -100,7 +106,7 @@ STAGES = ("geotag", "pip", "knn", "tiles", "dedup", "report")
 # across rounds)
 OPT_STAGES = (
     "extract", "clean", "filter", "passages", "pii", "bpe", "lm",
-    "dedup-incremental", "curate",
+    "dedup-incremental", "curate", "mix",
 )
 
 
@@ -201,6 +207,16 @@ def main(argv=None):
     ap.add_argument("--lm-train-frac", type=float, default=0.5,
                     help="--stage lm: fraction of --pages used as the "
                          "training half when --lm-target is absent")
+    ap.add_argument("--mix-weights", default=None,
+                    help="mix: JSON domain→relative-weight map, keys "
+                         "are registered domains of the page urls")
+    ap.add_argument("--mix-tokens", type=int, default=None,
+                    help="mix: total token budget to fill")
+    ap.add_argument("--mix-strategy", default="window",
+                    choices=("window", "bucket", "rate"),
+                    help="mix: exact-fill window (default), the "
+                         "skew-proof bit-identical bucket variant, or "
+                         "the zero-shuffle approximate rate strategy")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -965,6 +981,66 @@ def main(argv=None):
                 ),
             },
         )
+
+    if "mix" in want:
+        # weighted training-data mixing (operators/corpus.py mixing
+        # section): the committed per-doc copy plan rebalancing
+        # per-domain token mass to --mix-weights under a --mix-tokens
+        # budget. Deterministic (hash-ordered epochs), so a crash-
+        # rerun re-derives the identical plan.
+        if "text" not in pages.columns:
+            raise SystemExit(
+                "--stage mix needs a `text` column on the pages "
+                "input (run --stage extract first on raw crawls)")
+        if not args.mix_weights or not args.mix_tokens:
+            raise SystemExit(
+                "--stage mix needs --mix-weights (JSON domain→weight "
+                "map) and --mix-tokens (total token budget)")
+        try:
+            mix_w = {str(k): float(v)
+                     for k, v in json.loads(args.mix_weights).items()}
+        except (json.JSONDecodeError, AttributeError, TypeError) as e:
+            raise SystemExit(f"--mix-weights is not a JSON map: {e}")
+
+        def build_mix():
+            src = pages.select(
+                "url",
+                corpus_ops.registered_domain("url").alias("domain"),
+                X.token_count("text").alias("tokens"),
+            )
+            return corpus_ops.mix_plan(
+                src, "domain", "tokens", "url", mix_w,
+                args.mix_tokens, strategy=args.mix_strategy,
+            ).withColumnRenamed("id", "url")
+
+        def _mix_stat(col):
+            return lambda: int(
+                ckpt.read_snapshot("mix_plan")
+                .agg(F.sum(col)).collect()[0][0] or 0
+            )
+
+        run(
+            "mix_plan", build_mix, key_col="url",
+            extra={
+                "strategy": args.mix_strategy,
+                "budget_tokens": args.mix_tokens,
+                "total_copies": _mix_stat("n_copies"),
+                "tokens_emitted": lambda: int(
+                    ckpt.read_snapshot("mix_plan")
+                    .agg(F.sum(F.col("tokens") * F.col("n_copies")))
+                    .collect()[0][0] or 0
+                ),
+            },
+        )
+
+        def build_mix_report():
+            return corpus_ops.mix_report(
+                ckpt.read_snapshot("mix_plan")
+                .withColumnRenamed("url", "id"),
+                mix_w, args.mix_tokens,
+            )
+
+        run("mix_report", build_mix_report, key_col="domain")
 
     if "report" in want:
         def build_report():

@@ -15,6 +15,10 @@ manifest — evidence protocol in scripts/stream_resume_demo.py):
   hll          hll_window_stream over an event stream
                (grp string, v string, ts) — tumbling-window distinct
                sketch, 2^p bytes of state per open window
+  quantiles    quantile_window_stream over a metric stream
+               (grp string, v long, ts) — tumbling-window p50/p90/p99
+               off the integer relative-error sketch, bounded
+               bucket-histogram state per open window
 
 Run (spark-submit so the JVM gets its memory BEFORE get_spark; see
 CLAUDE.md — the flag is mandatory past toy scale):
@@ -55,6 +59,7 @@ SCHEMAS = {
     "neardup": "doc_id string, text string, ts timestamp",
     "neardup-emb": "vec_id string, embedding array<float>, ts timestamp",
     "hll": "grp string, v string, ts timestamp",
+    "quantiles": "grp string, v long, ts timestamp",
 }
 
 
@@ -90,6 +95,14 @@ def build_query(spark, args):
         return stateful.hll_window_stream(
             stream, "grp", "v", "ts",
             window_seconds=args.window_seconds, p=args.hll_p,
+            time_mode=args.time_mode, watermark=args.watermark,
+        )
+    if args.op == "quantiles":
+        return stateful.quantile_window_stream(
+            stream, "grp", "v", "ts",
+            window_seconds=args.window_seconds,
+            quantiles={"p50": 0.5, "p90": 0.9, "p99": 0.99},
+            sub_bits=args.sub_bits,
             time_mode=args.time_mode, watermark=args.watermark,
         )
     raise SystemExit(f"unknown --op {args.op!r}")
@@ -143,7 +156,8 @@ def drain(q, ckpt: str, timeout_s: int) -> None:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--op", required=True,
-                    choices=["visits", "neardup", "neardup-emb", "hll"])
+                    choices=["visits", "neardup", "neardup-emb", "hll",
+                             "quantiles"])
     ap.add_argument("--src", required=True,
                     help="parquet directory consumed as a file stream")
     ap.add_argument("--sink", required=True, help="parquet output path")
@@ -162,6 +176,9 @@ def main(argv=None) -> int:
                          "visits defaults to per-user keying)")
     ap.add_argument("--window-seconds", type=int, default=3600,
                     help="hll: tumbling window width")
+    ap.add_argument("--sub-bits", type=int, default=4,
+                    help="quantiles: sketch sub-bucket bits (error "
+                         "bound 2^-(sub_bits+1))")
     ap.add_argument("--hll-p", type=int, default=10,
                     help="hll: sketch precision (state = 2^p bytes)")
     ap.add_argument("--dim", type=int, default=None,

@@ -608,9 +608,15 @@ FROM starts
 #   within the domain, cumulative token sum, keep while cum <= rem_d —
 #   the emitted token count never exceeds budget_d and undershoots by
 #   less than one document. ONE domain-key shuffle + a window; the
-#   window partition is per-domain, so a mega-domain is one task —
-#   the same skew axis as domain_cap. For domains too large for one
-#   task, use:
+#   window partition is per-domain, so a mega-domain is ONE TASK —
+#   the same skew axis as domain_cap (measured: 230 s at 50M docs
+#   with a 60%-mass domain, scripts/bench_mixing.py).
+# * strategy="bucket" (exact fill, skew-proof): BIT-IDENTICAL output
+#   to "window", but the cumsum runs per (domain, top-12-hash-bits)
+#   partition — every task bounded at ~avail/4096 — plus a tiny
+#   bucket prefix-sum table broadcast back. Use it whenever a domain
+#   can dominate the corpus; "window" stays default only because its
+#   plan is the simplest statement of the semantics.
 # * strategy="rate" (narrow, no shuffle over the corpus): keep a doc
 #   in the partial epoch iff pmod(hash, 1e6) < rem_d·1e6 DIV avail_d.
 #   Hits the budget in expectation (±√ concentration), scans the
@@ -680,12 +686,12 @@ def mix_plan(
     strategy: str = "window",
 ) -> DataFrame:
     """The copy plan ``(id, domain, tokens, n_copies)`` (n_copies >=
-    1). See the section comment for semantics and the two strategies'
-    scale shapes."""
+    1). See the section comment for semantics and the three
+    strategies' scale shapes ("bucket" ≡ "window" bit-for-bit)."""
     if total_tokens < 0:
         raise ValueError("total_tokens must be >= 0")
-    if strategy not in ("window", "rate"):
-        raise ValueError("strategy must be 'window' or 'rate'")
+    if strategy not in ("window", "bucket", "rate"):
+        raise ValueError("strategy must be 'window', 'bucket' or 'rate'")
     _mix_require_integral(df, token_col)
     ppms = _mix_ppm(weights)
     dom, tok, id_ = _c(domain_col), _c(token_col), _c(id_col)
@@ -717,6 +723,51 @@ def mix_plan(
                 "n_copies",
                 (F.expr("__budget DIV __avail")
                  + (F.col("__cum") <= F.expr("__budget % __avail"))
+                 .cast(T.LongType())),
+            )
+        )
+    elif strategy == "bucket":
+        # exact fill WITHOUT the hot-domain single-task window: the
+        # hash order splits into 4096 contiguous runs on the hash's
+        # top 12 bits, so the row-level cumsum windows partition by
+        # (domain, bucket) — each ~avail/4096 — and a tiny per-bucket
+        # prefix-sum table (<= 4096 rows per domain, its own window
+        # trivially small) supplies the tokens that came before the
+        # bucket. cum(row) = bucket_prefix + within_bucket_cum, so the
+        # output is BIT-IDENTICAL to strategy="window" (pinned by test
+        # and by the shared gate oracle) while every task is bounded.
+        from pyspark.sql import Window
+
+        h = _mix_hash(F.col("domain"), F.col("id"), seed)
+        rows2 = rows.withColumn("__h", h).withColumn(
+            "__bk", F.shiftright("__h", 48)
+        )
+        bkt = rows2.groupBy("domain", "__bk").agg(
+            F.sum("tokens").alias("__bt")
+        )
+        wdom = Window.partitionBy("domain").orderBy("__bk")
+        bkt = bkt.select(
+            "domain", "__bk",
+            (F.sum("__bt").over(
+                wdom.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow)
+            ) - F.col("__bt")).alias("__pre"),
+            F.sum("__bt").over(Window.partitionBy("domain")).alias("__avail"),
+        )
+        wbk = (
+            Window.partitionBy("domain", "__bk")
+            .orderBy("__h", "id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        planned = (
+            rows2.withColumn("__cumw", F.sum("tokens").over(wbk))
+            .join(F.broadcast(bkt), ["domain", "__bk"])
+            .withColumn("__budget", budget)
+            .withColumn(
+                "n_copies",
+                (F.expr("__budget DIV __avail")
+                 + (F.col("__pre") + F.col("__cumw")
+                    <= F.expr("__budget % __avail"))
                  .cast(T.LongType())),
             )
         )
@@ -767,7 +818,11 @@ def mix_plan_sql(
     seed: str = "mix",
     strategy: str = "window",
 ) -> str:
-    """DuckDB twin of :func:`mix_plan` (both strategies)."""
+    """DuckDB twin of :func:`mix_plan`. ``strategy="bucket"`` shares
+    the window twin: its bucket decomposition is provably the same
+    cumsum (bucket prefix + within-bucket run over a hash-prefix
+    split of the SAME total order), so the oracle checks algebraic
+    equivalence — the strongest oracle class."""
     ppms = _mix_ppm(weights)
     doms = ", ".join(f"'{_sq(d)}'" for d, _ in ppms)
     h = _mix_hash_sql("domain", "id", seed)
@@ -779,7 +834,7 @@ def mix_plan_sql(
     AND {token_expr} > 0
 """
     budget = _mix_budget_case_sql("domain", ppms, total_tokens)
-    if strategy == "window":
+    if strategy in ("window", "bucket"):
         body = f"""
 WITH rows_ AS ({base}),
 planned AS (

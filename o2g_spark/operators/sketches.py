@@ -867,3 +867,79 @@ def qsketch_error_bound(sub_bits: int) -> float:
     of a bucket of relative width 2^-sub_bits): 2^-(sub_bits+1).
     Default sub_bits=4 → 3.125%; values below 2^sub_bits are exact."""
     return 0.5 ** (sub_bits + 1)
+
+
+def qb_value(qb: int, sub_bits: int = 4) -> int:
+    """Pure-python twin of :func:`_q_est_cols` (exact integer midpoint
+    for bucket ``qb``) — used by the streaming close path and tests;
+    trivially bit-identical to the JVM/SQL forms (same integer ops)."""
+    if qb == -1:
+        return 0
+    b = sub_bits
+    pid = qb if qb >= 0 else -qb - 2
+    e, s = divmod(pid, 1 << b)
+    if e >= b:
+        lo = (1 << e) + s * (1 << (e - b))
+        est = lo + ((1 << (e - b)) - 1) // 2
+    else:
+        est = (1 << e) + (s >> (b - e))
+    return est if qb >= 0 else -est
+
+
+def q_rank(n: int, ppm: int) -> int:
+    """The shared nearest-rank rule: 1-based rank of quantile ppm over
+    n values — ``(n-1)*ppm DIV 1e6 + 1`` in every engine and path."""
+    return (n - 1) * ppm // _Q_PPM + 1
+
+
+def qsketch_window_batch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: Column | str,
+    ts_col: str,
+    window_seconds: int,
+    quantiles: dict[str, float],
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Per-(group, tumbling-window) quantiles: the batch twin of
+    ``streaming.stateful.quantile_window_stream`` (window start as
+    epoch seconds ``ws_s``, exactly like hll_window_batch)."""
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    v = _c(value_col)
+    ws = (
+        F.floor(_epoch_seconds(df, ts_col) / F.lit(window_seconds))
+        * F.lit(window_seconds)
+    ).cast(T.LongType())
+    tmp = df.where(v.isNotNull()).select(
+        *group_cols, ws.alias("ws_s"), v.alias("__val")
+    )
+    return quantile_sketch(
+        tmp, [*group_cols, "ws_s"], "__val", quantiles, sub_bits
+    )
+
+
+def qsketch_window_batch_sql(
+    table_sql: str,
+    group_cols: list[str],
+    value_expr: str,
+    ts_col: str,
+    window_seconds: int,
+    quantiles: dict[str, float],
+    sub_bits: int = 4,
+) -> str:
+    """DuckDB twin of :func:`qsketch_window_batch` (epoch() is
+    naive-as-UTC, matching the NTZ timestampdiff)."""
+    ws = (
+        f"CAST(floor(epoch({ts_col}) / {window_seconds}) "
+        f"* {window_seconds} AS BIGINT)"
+    )
+    gcols = ", ".join(group_cols)
+    gpfx = f"{gcols}, " if group_cols else ""
+    inner = (
+        f"(SELECT {gpfx}{ws} AS ws_s, {value_expr} AS __val "
+        f"FROM {table_sql} WHERE {value_expr} IS NOT NULL)"
+    )
+    return quantile_sketch_sql(
+        inner, [*group_cols, "ws_s"], "__val", quantiles, sub_bits
+    )

@@ -1044,3 +1044,169 @@ def hll_window_stream(
     )
     est = sketches.hll_est_expr(F.col("n_regs"), F.col("__present"), p)
     return folded.select("grp", "ws_s", "n_regs", est.alias("hll_est"))
+
+
+# --------------------------------------------------- windowed quantiles
+
+
+def quantile_window_stream(
+    stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    quantiles: dict[str, float] | None = None,
+    sub_bits: int = 4,
+    grace_ms: int = 0,
+    time_mode: str = "event",
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Streaming tumbling-window quantiles off the integer
+    relative-error sketch (operators.sketches quantile section): one
+    row per (group, window) with a BIGINT column per quantile label,
+    emitted exactly once when the watermark passes the window's end
+    (+ ``grace_ms``). The BOUNDED-STATE alternative to buffering a
+    window's raw values for a percentile: state is the bucket
+    histogram — at most ``2*63*2^sub_bits + 1`` (id, count) int64
+    pairs per open (group, window) regardless of how many rows the
+    window sees.
+
+    Cross-path exactness: bucket ids are computed JVM-SIDE
+    (sketches._q_bucket_cols — the same codegen integer expressions
+    the batch op uses); the Python state function only sums counts,
+    and the close path applies the same integer midpoint + nearest-
+    rank rules (sketches.qb_value / q_rank). So stream output ≡
+    ``sketches.qsketch_window_batch`` bit-for-bit — the batch twin is
+    the oracle (pinned by test).
+
+    ``time_mode="event"`` (default) closes windows in DATA time —
+    replay-deterministic like the other stateful ops here.
+    Output: (grp string, ws_s epoch-seconds, n bigint, <labels…>).
+    """
+    from ..operators import sketches
+
+    if not stream.isStreaming:
+        raise ValueError(
+            "quantile_window_stream expects a streaming DataFrame; "
+            "use sketches.qsketch_window_batch for backfill"
+        )
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    _check_time_mode(time_mode)
+    labels = sketches._q_ppm(quantiles or {"p50": 0.5})
+    sketches._check_qsketch(sub_bits)
+    sketches._q_require_integral(stream, value_col)
+    if time_mode == "event" and watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+
+    ws = (
+        F.floor(
+            sketches._epoch_seconds(stream, ts_col) / F.lit(window_seconds)
+        )
+        * F.lit(window_seconds)
+    ).cast(T.LongType())
+    pre = stream.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).cast(T.StringType()).alias("grp"),
+        ws.alias("ws_s"),
+        F.col(value_col).cast(T.LongType()).alias("__v"),
+        F.col(ts_col).alias("__ts"),
+    )
+    for name, col in sketches._q_bucket_cols(F.col("__v"), sub_bits):
+        pre = pre.withColumn(name, col)
+    pre = pre.select("grp", "ws_s", "__qb", "__ts")
+
+    out_cols = ["grp", "ws_s", "n", *[lbl for lbl, _ in labels]]
+    out_schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("ws_s", T.LongType()),
+            T.StructField("n", T.LongType()),
+            *[T.StructField(lbl, T.LongType()) for lbl, _ in labels],
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("pairs", T.BinaryType(), False)]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        grp, ws_s = key
+        ws_s = int(ws_s)  # numpy int64 breaks GroupState's JSON layer
+        # LATE-ROW GUARD (see hll_window_stream): rows arriving after
+        # their window closed must not re-create the key
+        if (
+            time_mode == "event"
+            and not state.exists
+            and not state.hasTimedOut
+            and state.getCurrentWatermarkMs()
+            >= (ws_s + window_seconds) * 1000 + grace_ms
+        ):
+            for _ in pdfs:
+                pass
+            yield pd.DataFrame([], columns=out_cols)
+            return
+        if state.hasTimedOut:
+            pairs = np.frombuffer(state.get[0], dtype=np.int64).reshape(-1, 2)
+            n = int(pairs[:, 1].sum())
+            row = [grp, ws_s, n]
+            cum = 0
+            idx = 0
+            # pairs are kept sorted by bucket id; one walk serves all
+            # labels because ranks are non-decreasing in q
+            cums = pairs[:, 1].cumsum()
+            for lbl, ppm in labels:
+                r = sketches.q_rank(n, ppm)
+                while idx < len(cums) and int(cums[idx]) < r:
+                    idx += 1
+                row.append(sketches.qb_value(int(pairs[idx, 0]), sub_bits))
+            state.remove()
+            yield pd.DataFrame([tuple(row)], columns=out_cols)
+            return
+        counts: dict[int, int] = {}
+        if state.exists:
+            prev = np.frombuffer(state.get[0], dtype=np.int64).reshape(-1, 2)
+            counts = {int(b): int(c) for b, c in prev}
+        for pdf in pdfs:
+            vc = pdf["__qb"].value_counts()
+            for b, c in vc.items():
+                b = int(b)
+                counts[b] = counts.get(b, 0) + int(c)
+        pairs = np.array(
+            sorted(counts.items()), dtype=np.int64
+        )
+        state.update((pairs.tobytes(),))
+        _arm_timeout(
+            state, time_mode,
+            window_seconds * 1000 + grace_ms, ws_s * 1000,
+        )
+        yield pd.DataFrame([], columns=out_cols)
+
+    timeout_conf = (
+        GroupStateTimeout.EventTimeTimeout
+        if time_mode == "event"
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    # labels sorted by ppm so the single cumsum walk in fn is valid
+    if [p for _, p in labels] != sorted(p for _, p in labels):
+        labels.sort(key=lambda lp: lp[1])
+        out_cols = ["grp", "ws_s", "n", *[lbl for lbl, _ in labels]]
+        out_schema = T.StructType(
+            [
+                T.StructField("grp", T.StringType()),
+                T.StructField("ws_s", T.LongType()),
+                T.StructField("n", T.LongType()),
+                *[T.StructField(lbl, T.LongType()) for lbl, _ in labels],
+            ]
+        )
+    return pre.groupBy("grp", "ws_s").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )

@@ -70,14 +70,31 @@ def data(spark):
 TOTAL = 30_000  # "a" budget 15k > avail (~4.3k) → upsampling
 
 
-def test_plan_matches_python_reference_both_strategies(spark, data):
+def test_plan_matches_python_reference_all_strategies(spark, data):
     rows, df = data
-    for strat in ("window", "rate"):
+    for strat in ("window", "bucket", "rate"):
         got = sorted(
             map(tuple, C.mix_plan(df, "dom", "tok", "id", W, TOTAL,
                                   strategy=strat).collect())
         )
-        assert got == py_plan(rows, W, TOTAL, strategy=strat), strat
+        ref = "window" if strat == "bucket" else strat
+        assert got == py_plan(rows, W, TOTAL, strategy=ref), strat
+
+
+def test_bucket_identical_to_window_under_skew(spark):
+    # one domain holding ~90% of docs — the shape the bucket strategy
+    # exists for; output must be bit-identical to the single window
+    rows = [(i, "mega" if i % 10 else "small", 50 + (i * 13) % 400)
+            for i in range(20_000)]
+    df = spark.createDataFrame(rows, "id long, dom string, tok long")
+    w = {"mega": 0.3, "small": 0.7}
+    total = 2_000_000
+    a = sorted(map(tuple, C.mix_plan(df, "dom", "tok", "id", w, total,
+                                     strategy="window").collect()))
+    b = sorted(map(tuple, C.mix_plan(df, "dom", "tok", "id", w, total,
+                                     strategy="bucket").collect()))
+    assert a == b
+    assert len(a) > 0
 
 
 def test_window_never_exceeds_budget(spark, data):
@@ -119,7 +136,7 @@ def test_duckdb_twin_both_strategies(spark, data):
     con = duckdb.connect()
     con.execute("CREATE TABLE t(id BIGINT, dom VARCHAR, tok BIGINT)")
     con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
-    for strat in ("window", "rate"):
+    for strat in ("window", "bucket", "rate"):
         spk = sorted(map(tuple, C.mix_plan(df, "dom", "tok", "id", W, TOTAL,
                                            strategy=strat).collect()))
         duck = sorted(map(tuple, con.execute(

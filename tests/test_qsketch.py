@@ -206,3 +206,194 @@ def test_bad_quantile_rejected(spark, data):
         SK.quantile_sketch(df, ["g"], "v", {})
     with pytest.raises(ValueError, match="sub_bits"):
         SK.qsketch_build(df, ["g"], "v", sub_bits=0)
+
+
+# ------------------------------------------------- streaming windows
+
+def test_quantile_window_batch_equals_per_window_sketch(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(minutes=9 * i), f"g{i % 2}", 10 + (i * 37) % 9000)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, g STRING, v LONG")
+    qs = {"p50": 0.5, "p95": 0.95}
+    win = SK.qsketch_window_batch(df, ["g"], "v", "ts", 3600, qs)
+    got = {(r["g"], r["ws_s"]): (r["p50"], r["p95"]) for r in win.collect()}
+    assert got
+    ws = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    slices = df.withColumn("ws_s", ws)
+    for (g, w), vals in got.items():
+        alone = SK.quantile_sketch(
+            slices.where((F.col("g") == g) & (F.col("ws_s") == w)),
+            [], "v", qs,
+        ).collect()[0]
+        assert (alone["p50"], alone["p95"]) == vals
+
+
+def test_quantile_window_stream_matches_batch_twin(spark, tmp_path):
+    """The streaming sketch (bounded bucket-histogram state per open
+    window) must equal sketches.qsketch_window_batch bit-for-bit on
+    every CLOSED window."""
+    import time
+
+    from o2g_spark.streaming import stateful
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src)
+    qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    batch = {
+        (r["event_type"], r["ws_s"]): (r["p50"], r["p90"], r["p99"])
+        for r in SK.qsketch_window_batch(
+            ev, ["event_type"], "user_id", "ts", 6 * 3600, qs
+        ).collect()
+    }
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful.quantile_window_stream(
+        stream, "event_type", "user_id", "ts", 6 * 3600, qs,
+        watermark="0 seconds",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qsk_window_test")
+        .outputMode("append")
+        .start()
+    )
+    n_groups = ev.select("event_type").distinct().count()
+    want = len(batch) - n_groups  # last window per group stays open
+    try:
+        deadline = time.time() + 120
+        got = []
+        while time.time() < deadline:
+            got = spark.sql("SELECT * FROM qsk_window_test").collect()
+            if len(got) >= want:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert len(got) >= want
+    for r in got:
+        assert batch[(r["grp"], r["ws_s"])] == (r["p50"], r["p90"], r["p99"])
+        assert r["n"] > 0
+
+
+def test_quantile_window_stream_drops_late_rows(spark, tmp_path):
+    """Rows arriving after their window closed must be dropped, not
+    re-create the key — every window emits at most once."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from o2g_spark.streaming import stateful
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_type", "user_id", "ts")
+    )
+    src = str(tmp_path / "shuffled")
+    ev.orderBy(F.xxhash64("user_id", "ts")).repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful.quantile_window_stream(
+        stream, "event_type", "user_id", "ts", 6 * 3600,
+        {"p50": 0.5}, watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qsk_disorder_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        time.sleep(3)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM qsk_disorder_test").collect()
+    finally:
+        q.stop()
+    seen = set()
+    twin = {
+        (r["event_type"], r["ws_s"]): r["n"]
+        for r in SK.qsketch_window_batch(
+            ev, ["event_type"], "user_id", "ts", 6 * 3600, {"p50": 0.5}
+        ).withColumnRenamed("p50", "drop")
+        .join(
+            SK.qsketch_build(
+                ev.withColumn(
+                    "ws_s",
+                    (F.floor(F.unix_timestamp("ts") / (6 * 3600)) * 6 * 3600)
+                    .cast("long"),
+                ),
+                ["event_type", "ws_s"], "user_id",
+            ).groupBy("event_type", "ws_s").agg(F.sum("__cnt").alias("n")),
+            ["event_type", "ws_s"],
+        ).collect()
+    }
+    for r in rows:
+        k = (r["grp"], r["ws_s"])
+        assert k not in seen, f"duplicate emission for window {k}"
+        seen.add(k)
+        assert k in twin
+        assert r["n"] <= twin[k]  # on-time subset
+    assert rows
+
+
+def test_quantile_window_stream_unsorted_labels(spark, tmp_path):
+    """Labels given out of q order still map to the right quantiles
+    (the close path walks one sorted cumsum)."""
+    import time
+
+    from o2g_spark.streaming import stateful
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev2")
+    ev.write.parquet(src)
+    qs = {"hi": 0.95, "lo": 0.05, "mid": 0.5}
+    batch = {
+        (r["event_type"], r["ws_s"]): (r["lo"], r["mid"], r["hi"])
+        for r in SK.qsketch_window_batch(
+            ev, ["event_type"], "user_id", "ts", 6 * 3600, qs
+        ).collect()
+    }
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .parquet(src)
+    )
+    out = stateful.quantile_window_stream(
+        stream, "event_type", "user_id", "ts", 6 * 3600, qs,
+        watermark="0 seconds",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qsk_label_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        time.sleep(2)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM qsk_label_test").collect()
+    finally:
+        q.stop()
+    assert rows
+    for r in rows:
+        assert batch[(r["grp"], r["ws_s"])] == (r["lo"], r["mid"], r["hi"])

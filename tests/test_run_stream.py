@@ -47,3 +47,57 @@ def test_run_stream_neardup_drain(spark, tmp_path):
     assert payload["sink_rows"] == expected > 0
     got = spark.read.parquet(sink).count()
     assert got == expected
+
+
+def test_run_stream_quantiles_drain(spark, tmp_path):
+    """--op quantiles drains to a sink that matches the batch twin
+    (sketches.qsketch_window_batch) on every closed window."""
+    import datetime as dt
+
+    from o2g_spark.operators import sketches as SK
+
+    src = str(tmp_path / "qsrc")
+    sink = str(tmp_path / "qsink")
+    ckpt = str(tmp_path / "qckpt")
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (f"g{i % 2}", 10 + (i * 37) % 9000, t0 + dt.timedelta(minutes=3 * i))
+        for i in range(800)
+    ]
+    pdf = pd.DataFrame(rows, columns=["grp", "v", "ts"])
+    os.makedirs(src)
+    # TIME-CONTIGUOUS slices (a replayed ordered feed): with the
+    # 0-second watermark a time-shuffled split would legitimately
+    # drop sparse keys' later rows as late (that semantics is pinned
+    # by test_qsketch.py::test_quantile_window_stream_drops_late_rows)
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    for j in range(4):  # several files → several micro-batches
+        # micro-second timestamps: pandas' default ns INT64 physical
+        # type is unreadable under Spark's `timestamp` stream schema
+        pdf.iloc[j * 200:(j + 1) * 200].to_parquet(
+            os.path.join(src, f"part{j}.parquet"),
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_stream.py"),
+         "--op", "quantiles", "--src", src, "--sink", sink, "--ckpt", ckpt,
+         "--window-seconds", "3600", "--watermark", "0 seconds",
+         "--mode", "drain"],
+        env=dict(os.environ, SPARK_GRAFT_CPUS="4"),
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["op"] == "quantiles" and payload["sink_rows"] > 0
+
+    batch = {
+        (r["grp"], r["ws_s"]): (r["p50"], r["p90"], r["p99"])
+        for r in SK.qsketch_window_batch(
+            spark.createDataFrame(pdf), ["grp"], "v", "ts", 3600,
+            {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        ).collect()
+    }
+    got = spark.read.parquet(sink).collect()
+    assert len(got) == payload["sink_rows"]
+    for r in got:
+        assert batch[(r["grp"], r["ws_s"])] == (r["p50"], r["p90"], r["p99"])
