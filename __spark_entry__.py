@@ -1213,9 +1213,12 @@ def _q_clean_text(spark, sf_dir):
 
 def _clean_text_oracle_sql() -> str:
     j0, j1, j2 = _CLEAN_JUNK
+    # NULL-propagating like Spark's F.concat (DuckDB concat SKIPS null
+    # args — a NULL text would otherwise clean to junk+tail, not NULL)
     decorated = (
+        f"CASE WHEN text IS NULL THEN NULL ELSE "
         f"concat(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN '{j0}' "
-        f"WHEN 1 THEN '{j1}' ELSE '{j2}' END, text, '{_CLEAN_TAIL}')"
+        f"WHEN 1 THEN '{j1}' ELSE '{j2}' END, text, '{_CLEAN_TAIL}') END"
     )
     return (
         f"SELECT doc_id, {X.clean_text_sql(decorated)} AS text_clean "

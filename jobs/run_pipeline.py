@@ -992,14 +992,17 @@ def main(argv=None):
             raise SystemExit(
                 "--stage mix needs a `text` column on the pages "
                 "input (run --stage extract first on raw crawls)")
-        if not args.mix_weights or not args.mix_tokens:
+        if not args.mix_weights or args.mix_tokens is None:
             raise SystemExit(
                 "--stage mix needs --mix-weights (JSON domain→weight "
                 "map) and --mix-tokens (total token budget)")
+        if args.mix_tokens < 0:
+            raise SystemExit("--mix-tokens must be >= 0")
         try:
             mix_w = {str(k): float(v)
                      for k, v in json.loads(args.mix_weights).items()}
-        except (json.JSONDecodeError, AttributeError, TypeError) as e:
+        except (json.JSONDecodeError, AttributeError, TypeError,
+                ValueError) as e:
             raise SystemExit(f"--mix-weights is not a JSON map: {e}")
 
         def build_mix():

@@ -636,9 +636,9 @@ def _mix_ppm(weights: dict[str, float]) -> list[tuple[str, int]]:
 
 
 def _mix_require_integral(df: DataFrame, token_col: Column | str) -> None:
-    t = df.select(_c(token_col).alias("__t")).schema["__t"].dataType
-    if not isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
-        raise TypeError(f"mix needs an integral token column, got {t}")
+    from .sketches import _q_require_integral
+
+    _q_require_integral(df, token_col, what="mix")
 
 
 def _mix_hash(domain: Column, id_: Column, seed: str) -> Column:
@@ -687,7 +687,10 @@ def mix_plan(
 ) -> DataFrame:
     """The copy plan ``(id, domain, tokens, n_copies)`` (n_copies >=
     1). See the section comment for semantics and the three
-    strategies' scale shapes ("bucket" ≡ "window" bit-for-bit)."""
+    strategies' scale shapes ("bucket" ≡ "window" bit-for-bit).
+    ``id_col`` must be unique per row — it is the deterministic
+    tie-break of the hash order; duplicate ids leave the cumsum
+    boundary ambiguous in BOTH engines."""
     if total_tokens < 0:
         raise ValueError("total_tokens must be >= 0")
     if strategy not in ("window", "bucket", "rate"):
@@ -695,8 +698,11 @@ def mix_plan(
     _mix_require_integral(df, token_col)
     ppms = _mix_ppm(weights)
     dom, tok, id_ = _c(domain_col), _c(token_col), _c(id_col)
+    # NULL ids excluded: the id is the deterministic hash tie-break,
+    # and the two engines disagree on NULL concat/ordering semantics
     rows = df.where(
         dom.isin([d for d, _ in ppms]) & tok.isNotNull() & (tok > 0)
+        & id_.isNotNull()
     ).select(
         id_.alias("id"),
         dom.alias("domain"),
@@ -831,6 +837,7 @@ def mix_plan_sql(
          CAST({token_expr} AS BIGINT) AS tokens
   FROM {table_sql}
   WHERE {domain_col} IN ({doms}) AND {token_expr} IS NOT NULL
+    AND {id_col} IS NOT NULL
     AND {token_expr} > 0
 """
     budget = _mix_budget_case_sql("domain", ppms, total_tokens)

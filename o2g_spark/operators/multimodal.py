@@ -297,6 +297,7 @@ def _lzw_decode(data: bytes, min_code_size: int,
     out = bytearray()
     acc = nbits = pos = 0
     n = len(data)
+    bump_pending = False
     while True:
         while nbits < width:
             if pos >= n:
@@ -304,6 +305,30 @@ def _lzw_decode(data: bytes, min_code_size: int,
             acc |= data[pos] << nbits
             nbits += 8
             pos += 1
+        if bump_pending:
+            # The table just reached 2^width — the encoder widened IF
+            # it added one more entry, which requires one more DATA
+            # code; if the stream instead ends (EOI) or resets (CLEAR)
+            # right here, those were written at the OLD width (the
+            # flush pair adds no entry — found by hypothesis fuzz:
+            # an 11-symbol mcs=2 stream whose last append lands
+            # exactly on the boundary). Peeking the old-width low
+            # bits is UNAMBIGUOUS: a valid wider data code v with
+            # v % 2^width == eoi (or clear) would have to be eoi/clear
+            # itself or exceed the max valid index (len(table) = 2^w).
+            bump_pending = False
+            peek = acc & ((1 << width) - 1)
+            if peek == eoi:
+                return out
+            if peek == clear:
+                acc >>= width
+                nbits -= width
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            width += 1
+            continue  # refill: the wider code may need another byte
         code = acc & ((1 << width) - 1)
         acc >>= width
         nbits -= width
@@ -328,7 +353,7 @@ def _lzw_decode(data: bytes, min_code_size: int,
         else:
             return None
         if prev is not None and len(table) >= (1 << width) and width < 12:
-            width += 1
+            bump_pending = True  # deferred: see the peek above
         out += entry
         if len(out) > max_out:
             return None

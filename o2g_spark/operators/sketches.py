@@ -571,12 +571,15 @@ def _check_qsketch(sub_bits: int) -> None:
         raise ValueError("sub_bits must be in [1, 20]")
 
 
-def _q_require_integral(df: DataFrame, value_col: Column | str) -> None:
+def _q_require_integral(
+    df: DataFrame, value_col: Column | str, what: str = "qsketch"
+) -> None:
     """Integral input only: double→BIGINT casts TRUNCATE in Spark but
-    ROUND in DuckDB, so a silent cast could never value-hash."""
+    ROUND in DuckDB, so a silent cast could never value-hash. Shared
+    by the quantile sketch and corpus.mix_plan (same policy)."""
     t = df.select(_c(value_col).alias("__v")).schema["__v"].dataType
     if not isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
-        raise TypeError(f"qsketch needs an integral value column, got {t}")
+        raise TypeError(f"{what} needs an integral value column, got {t}")
 
 
 def _q_bucket_cols(v: Column, sub_bits: int) -> list[tuple[str, Column]]:

@@ -1115,6 +1115,9 @@ def quantile_window_stream(
         pre = pre.withColumn(name, col)
     pre = pre.select("grp", "ws_s", "__qb", "__ts")
 
+    # labels sorted by ppm so the close path's single cumsum walk is
+    # valid (ranks non-decreasing in q)
+    labels.sort(key=lambda lp: lp[1])
     out_cols = ["grp", "ws_s", "n", *[lbl for lbl, _ in labels]]
     out_schema = T.StructType(
         [
@@ -1154,7 +1157,6 @@ def quantile_window_stream(
             pairs = np.frombuffer(state.get[0], dtype=np.int64).reshape(-1, 2)
             n = int(pairs[:, 1].sum())
             row = [grp, ws_s, n]
-            cum = 0
             idx = 0
             # pairs are kept sorted by bucket id; one walk serves all
             # labels because ranks are non-decreasing in q
@@ -1191,18 +1193,6 @@ def quantile_window_stream(
         if time_mode == "event"
         else GroupStateTimeout.ProcessingTimeTimeout
     )
-    # labels sorted by ppm so the single cumsum walk in fn is valid
-    if [p for _, p in labels] != sorted(p for _, p in labels):
-        labels.sort(key=lambda lp: lp[1])
-        out_cols = ["grp", "ws_s", "n", *[lbl for lbl, _ in labels]]
-        out_schema = T.StructType(
-            [
-                T.StructField("grp", T.StringType()),
-                T.StructField("ws_s", T.LongType()),
-                T.StructField("n", T.LongType()),
-                *[T.StructField(lbl, T.LongType()) for lbl, _ in labels],
-            ]
-        )
     return pre.groupBy("grp", "ws_s").applyInPandasWithState(
         fn,
         outputStructType=out_schema,

@@ -315,7 +315,9 @@ def main() -> None:
     cleaned6 = raw6.withColumn(
         "t", text_fns.clean_text(F.col("text"))
     ).withColumn("chg", ~F.col("t").eqNullSafe(F.col("text")))
-    cleaned6.limit(100_000).agg(F.count(F.lit(1))).collect()
+    # warm up through the regex chain itself (a count(1) would let the
+    # optimizer prune the clean_text projection to a no-op warmup)
+    cleaned6.limit(100_000).agg(F.sum(F.col("chg").cast("long"))).collect()
     t0 = time.time()
     agg6 = cleaned6.agg(
         F.count(F.lit(1)).alias("n"),
