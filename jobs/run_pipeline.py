@@ -61,6 +61,11 @@ and rerun the same command):
             token-window chunking → next-fit sequence packing; every
             step checkpointed, metrics carry split counts and the
             packing fill ratio
+    stats   (OPT-IN) the corpus report card (sketches.quantile_sketch
+            + hll_distinct): per-language doc counts, token totals,
+            length p50/p90/p99 off the integer relative-error sketch
+            and an HLL distinct-word estimate — every aggregate's
+            shuffle bounded by sketch size, never corpus size
     mix     (OPT-IN) weighted training-data mixing (corpus.mix_plan):
             rebalance per-registered-domain token mass to
             --mix-weights under a --mix-tokens budget — a committed
@@ -95,6 +100,7 @@ from o2g_spark.operators import (  # noqa: E402
     tiles,
 )
 from o2g_spark.operators import corpus as corpus_ops  # noqa: E402
+from o2g_spark.operators import sketches as sketch_ops  # noqa: E402
 from o2g_spark.plans.checkpoint import CheckpointManager  # noqa: E402
 from o2g_spark.session import get_spark  # noqa: E402
 from o2g_spark.sources import synth, synth_dist, tables  # noqa: E402
@@ -106,7 +112,7 @@ STAGES = ("geotag", "pip", "knn", "tiles", "dedup", "report")
 # across rounds)
 OPT_STAGES = (
     "extract", "clean", "filter", "passages", "pii", "bpe", "lm",
-    "dedup-incremental", "curate", "mix",
+    "dedup-incremental", "curate", "mix", "stats",
 )
 
 
@@ -207,6 +213,11 @@ def main(argv=None):
     ap.add_argument("--lm-train-frac", type=float, default=0.5,
                     help="--stage lm: fraction of --pages used as the "
                          "training half when --lm-target is absent")
+    ap.add_argument("--stats-hll-p", type=int, default=12,
+                    help="stats: HLL precision for distinct words — "
+                         "the raw estimator needs true distinct >= "
+                         "~2.5*2^p (sketches.py docstring), so lower "
+                         "p for small corpora")
     ap.add_argument("--mix-weights", default=None,
                     help="mix: JSON domain→relative-weight map, keys "
                          "are registered domains of the page urls")
@@ -979,6 +990,53 @@ def main(argv=None):
                         ckpt.read_snapshot("curate_packed"), args.pack_budget
                     ).collect()[0]["fill_ratio"]
                 ),
+            },
+        )
+
+    if "stats" in want:
+        # the corpus report card (sketches.quantile_sketch +
+        # hll_distinct): per-language doc counts, token totals, length
+        # quantiles and a distinct-word estimate — the aggregates'
+        # shuffles are bounded by SKETCH size (≤ ~2e3 histogram rows /
+        # 2^p registers per language), never by corpus size, so the
+        # stage's cost is the scan + the word explode.
+        if "text" not in pages.columns:
+            raise SystemExit(
+                "--stage stats needs a `text` column on the pages "
+                "input (run --stage extract first on raw crawls)")
+
+        def build_stats():
+            lang = (F.col("lang") if "lang" in pages.columns
+                    else F.lit("all")).alias("lang")
+            src = pages.select(lang, X.token_count("text").alias("toks"),
+                               "text")
+            base = src.groupBy("lang").agg(
+                F.count("*").alias("docs"),
+                F.sum("toks").alias("total_tokens"),
+            )
+            q = sketch_ops.quantile_sketch(
+                src, ["lang"], "toks",
+                {"len_p50": 0.5, "len_p90": 0.9, "len_p99": 0.99},
+            )
+            words = src.withColumn("__ws", X.words("text")).select(
+                "lang", F.explode("__ws").alias("w")
+            )
+            h = sketch_ops.hll_distinct(
+                words, ["lang"], "w", p=args.stats_hll_p
+            ).select("lang", F.col("hll_est").alias("distinct_words_est"))
+            return base.join(q, "lang").join(h, "lang")
+
+        def _stats_sum(col):
+            return lambda: int(
+                ckpt.read_snapshot("corpus_stats")
+                .agg(F.sum(col)).collect()[0][0] or 0
+            )
+
+        run(
+            "corpus_stats", build_stats, key_col="lang",
+            extra={
+                "total_docs": _stats_sum("docs"),
+                "total_tokens": _stats_sum("total_tokens"),
             },
         )
 
