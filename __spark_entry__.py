@@ -1330,6 +1330,22 @@ def _q_hll_window(spark, sf_dir):
     )
 
 
+_QSKW_Q = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+
+
+def _q_quantiles_window(spark, sf_dir):
+    """Tumbling-window user-id quantiles per event type
+    (sketches.qsketch_window_batch) — the batch twin of
+    streaming.stateful.quantile_window_stream (bounded
+    bucket-histogram state per open window); the stream is pinned
+    bit-identical to this twin in tests/test_qsketch.py. Window start
+    rides as epoch seconds, all arithmetic integer-exact."""
+    return sketches.qsketch_window_batch(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id", "ts",
+        window_seconds=6 * 3600, quantiles=_QSKW_Q,
+    )
+
+
 def _q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py): every click event picks up
     the latest prior-or-equal 'view' by the same user — union +
@@ -2512,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_users": _q_heavy_users,
         "hll_words": _q_hll_words,
         "hll_window": _q_hll_window,
+        "quantiles_window": _q_quantiles_window,
         "asof_join": _q_asof_join,
         "asof_skew": _q_asof_skew,
         "interval_join": _q_interval_join,
@@ -3032,6 +3049,10 @@ QUALIFY row_number() OVER (
         "hll_window": sketches.hll_window_batch_sql(
             "events", ["event_type"], "user_id", "ts",
             window_seconds=6 * 3600, p=9,
+        ),
+        "quantiles_window": sketches.qsketch_window_batch_sql(
+            "events", ["event_type"], "user_id", "ts",
+            window_seconds=6 * 3600, quantiles=_QSKW_Q,
         ),
         # asof_skew runs the identical semantics through the
         # (key, time-bucket) skew-split plan — same oracle

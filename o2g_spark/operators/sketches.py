@@ -872,6 +872,22 @@ def qsketch_error_bound(sub_bits: int) -> float:
     return 0.5 ** (sub_bits + 1)
 
 
+def qb_of(x: int, sub_bits: int = 4) -> int:
+    """Pure-python twin of :func:`_q_bucket_cols` (bucket id of value
+    ``x``) — the inverse-direction partner of :func:`qb_value`; used
+    by property tests and by callers sizing sketches offline."""
+    if x == 0:
+        return -1
+    if x == -(1 << 63):
+        raise ValueError("qsketch: -2^63 is out of domain")
+    b = sub_bits
+    ax = abs(x)
+    e = ax.bit_length() - 1
+    s = (ax - (1 << e)) >> (e - b) if e >= b else (ax - (1 << e)) << (b - e)
+    pid = e * (1 << b) + s
+    return pid if x > 0 else -pid - 2
+
+
 def qb_value(qb: int, sub_bits: int = 4) -> int:
     """Pure-python twin of :func:`_q_est_cols` (exact integer midpoint
     for bucket ``qb``) — used by the streaming close path and tests;

@@ -224,3 +224,48 @@ def test_jpeg_decode_stats_prop(w, h, seed, quality, subsample, dri):
                     restart_interval=dri))
     assert out is not None and (out[0], out[1]) == (w, h)
     assert abs(float(out[2].mean()) - float(img.mean())) < 16.0
+
+
+# ------------------------------------------------- quantile sketch math
+
+from o2g_spark.operators import sketches as SK  # noqa: E402
+
+QX = st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1)
+QB_BITS = st.integers(min_value=1, max_value=20)
+
+
+@given(QX, QB_BITS)
+@settings(max_examples=300, deadline=None)
+def test_qsketch_estimate_within_relative_bound(x, b):
+    est = SK.qb_value(SK.qb_of(x, b), b)
+    assert abs(est - x) <= abs(x) * SK.qsketch_error_bound(b) + 0.5
+    assert (est == 0) == (x == 0)
+    assert (est > 0) == (x > 0)
+
+
+@given(QX, QX, QB_BITS)
+@settings(max_examples=300, deadline=None)
+def test_qsketch_bucket_monotone(x, y, b):
+    # bucket ids order like values — the property the cumsum walk
+    # (and therefore every quantile answer) rests on
+    if x <= y:
+        assert SK.qb_of(x, b) <= SK.qb_of(y, b)
+    else:
+        assert SK.qb_of(x, b) >= SK.qb_of(y, b)
+
+
+@given(QX, QB_BITS)
+@settings(max_examples=300, deadline=None)
+def test_qsketch_estimate_same_bucket(x, b):
+    # the midpoint estimate lands back in the value's own bucket, so
+    # repeated sketch->estimate->sketch is a fixpoint after one step
+    qb = SK.qb_of(x, b)
+    est = SK.qb_value(qb, b)
+    assert SK.qb_of(est, b) == qb
+
+
+@given(st.integers(min_value=0, max_value=2**20), QB_BITS)
+@settings(max_examples=200, deadline=None)
+def test_qsketch_small_values_exact_below_2_pow_b(x, b):
+    if x < (1 << b):
+        assert SK.qb_value(SK.qb_of(x, b), b) == x
