@@ -119,7 +119,9 @@ OPT_STAGES = (
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", default="synth:200000",
-                    help="parquet path, or synth:N for distributed generation")
+                    help="parquet path, synth:N for distributed "
+                         "generation, or warc:PATH for raw WARC /"
+                         " .warc.gz crawl files (sources/warc.py)")
     ap.add_argument("--out", required=True, help="checkpoint warehouse dir")
     ap.add_argument("--stage", default="all",
                     choices=("all",) + STAGES + OPT_STAGES)
@@ -259,6 +261,18 @@ def main(argv=None):
     if args.pages.startswith("synth:"):
         n_pages = int(args.pages.split(":", 1)[1])
         pages = synth_dist.gen_pages_dist(spark, n_pages)
+    elif args.pages.startswith("warc:"):
+        # raw crawl ingest (sources/warc.py): response records →
+        # (url, warc_ts, html); no canonical text column, so text-
+        # needing stages route through --stage extract first (their
+        # guards already say so)
+        from o2g_spark.sources import warc as warc_src
+
+        pages = warc_src.read_warc(
+            spark, args.pages.split(":", 1)[1]
+        ).where(F.col("http_status") == 200).select(
+            "url", "warc_ts", "html"
+        )
     else:
         pages = spark.read.parquet(args.pages)
 
