@@ -23,7 +23,6 @@ into ``warc_skipped`` rather than silently dropped.
 from __future__ import annotations
 
 import gzip
-import io
 import zlib
 from collections.abc import Iterator
 from datetime import datetime, timezone
@@ -119,28 +118,36 @@ def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
 
 def _decompress(raw: bytes) -> bytes:
     """Plain or multi-member gzip (the standard .warc.gz layout: one
-    member per record; stdlib gzip handles concatenated members)."""
+    member per record). NOT stdlib ``gzip.decompress``: its member
+    loop re-slices the remaining buffer per member — O(members ×
+    bytes), measured 6.8 s on a 4 MB / 12.5k-member segment (~50 GB
+    of copying). This walk feeds bounded memoryview chunks to one
+    ``decompressobj`` per member and rewinds by ``unused_data``, so
+    it is O(bytes); a truncated tail keeps every COMPLETE leading
+    member and drops the partial one."""
     if raw[:2] != _GZ_MAGIC:
         return raw
-    try:
-        return gzip.decompress(raw)
-    except (OSError, EOFError, zlib.error):
-        # salvage complete leading members of a truncated tail:
-        # member-by-member decompressobj (GzipFile.read raises before
-        # returning what the complete members already yielded)
-        out = io.BytesIO()
-        rest = raw
-        while rest[:2] == _GZ_MAGIC:
-            d = zlib.decompressobj(wbits=31)
-            try:
-                chunk = d.decompress(rest)
-            except zlib.error:
-                break
-            if not d.eof:
-                break  # truncated member: its bytes are unusable
-            out.write(chunk)
-            rest = d.unused_data
-        return out.getvalue()
+    mv = memoryview(raw)
+    n = len(raw)
+    out: list[bytes] = []
+    pos = 0
+    chunk_sz = 1 << 20
+    while pos < n and raw[pos:pos + 2] == _GZ_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        member_start = len(out)
+        try:
+            while not d.eof and pos < n:
+                piece = mv[pos:pos + chunk_sz]
+                out.append(d.decompress(piece))
+                pos += len(piece)
+        except zlib.error:
+            del out[member_start:]  # corrupt member: unusable bytes
+            break
+        if not d.eof:
+            del out[member_start:]  # truncated member
+            break
+        pos -= len(d.unused_data)  # rewind the last chunk's overshoot
+    return b"".join(out)
 
 
 def parse_warc_bytes(
@@ -179,8 +186,10 @@ def read_warc(
 ) -> DataFrame:
     """Distributed WARC scan → one row per ``response`` record
     (:data:`WARC_SCHEMA`). Parallelism = files (binaryFile does not
-    split); ``warc_skipped`` repeats each file's skip count on its
-    rows so ``max(warc_skipped)`` grouped by ``src_file`` audits the
+    split them, and packs small ones per maxPartitionBytes — crawl
+    segments are partition-sized, so one task per file in practice);
+    ``warc_skipped`` repeats each file's skip count on its rows so
+    ``max(warc_skipped)`` grouped by ``src_file`` audits the
     no-silent-drop contract downstream."""
     import pandas as pd
 
