@@ -71,7 +71,8 @@ and rerun the same command):
             --mix-weights under a --mix-tokens budget — a committed
             copy plan (url, domain, tokens, n_copies) plus a
             per-domain accounting snapshot; exact-fill by default,
-            --mix-strategy rate for mega-domain corpora
+            --mix-strategy bucket for the skew-proof exact variant,
+            rate for the zero-shuffle approximation
     report  per-zone/lang + per-tile rollups (B9-B11)
 
 Prints one JSON metrics line per stage: rows, seconds, pages/sec. The
@@ -265,14 +266,37 @@ def main(argv=None):
         # raw crawl ingest (sources/warc.py): response records →
         # (url, warc_ts, html); no canonical text column, so text-
         # needing stages route through --stage extract first (their
-        # guards already say so)
+        # guards already say so). One audit pass FIRST: the source's
+        # counted-not-dropped contract (per-file skip counts, non-200
+        # records the 200-filter below removes) must reach the metrics
+        # stream, not be selected away.
         from o2g_spark.sources import warc as warc_src
 
-        pages = warc_src.read_warc(
-            spark, args.pages.split(":", 1)[1]
-        ).where(F.col("http_status") == 200).select(
-            "url", "warc_ts", "html"
-        )
+        t_warc = time.time()
+        raw_warc = warc_src.read_warc(spark, args.pages.split(":", 1)[1])
+        kept_cond = F.col("url").isNotNull() & (F.col("http_status") == 200)
+        audit = raw_warc.groupBy("src_file").agg(
+            F.max("warc_skipped").alias("sk"),
+            F.sum(kept_cond.cast("long")).alias("kept"),
+            F.sum((F.col("url").isNotNull() & ~kept_cond.eqNullSafe(True))
+                  .cast("long")).alias("non200"),
+        ).agg(
+            F.count("*").alias("files"),
+            F.sum("sk").alias("skipped"),
+            F.sum("kept").alias("kept"),
+            F.sum("non200").alias("non200"),
+        ).collect()[0]
+        m = {
+            "stage": "warc_ingest",
+            "files": int(audit["files"]),
+            "rows": int(audit["kept"] or 0),
+            "sec": round(time.time() - t_warc, 3),
+            "records_skipped": int(audit["skipped"] or 0),
+            "records_non200": int(audit["non200"] or 0),
+        }
+        metrics.append(m)
+        print(json.dumps(m), flush=True)
+        pages = raw_warc.where(kept_cond).select("url", "warc_ts", "html")
     else:
         pages = spark.read.parquet(args.pages)
 
@@ -1020,7 +1044,11 @@ def main(argv=None):
                 "input (run --stage extract first on raw crawls)")
 
         def build_stats():
-            lang = (F.col("lang") if "lang" in pages.columns
+            # lang coalesced to a sentinel: an inner equi-join never
+            # matches NULL keys, so NULL-lang docs would silently
+            # vanish from the report AND its totals
+            lang = (F.coalesce(F.col("lang"), F.lit("unknown"))
+                    if "lang" in pages.columns
                     else F.lit("all")).alias("lang")
             src = pages.select(lang, X.token_count("text").alias("toks"),
                                "text")
@@ -1038,7 +1066,10 @@ def main(argv=None):
             h = sketch_ops.hll_distinct(
                 words, ["lang"], "w", p=args.stats_hll_p
             ).select("lang", F.col("hll_est").alias("distinct_words_est"))
-            return base.join(q, "lang").join(h, "lang")
+            # left joins: a lang whose docs are all NULL-text (no toks
+            # rows) or wordless (no explode rows) must keep its base
+            # row rather than drop from the report
+            return base.join(q, "lang", "left").join(h, "lang", "left")
 
         def _stats_sum(col):
             return lambda: int(
@@ -1130,9 +1161,9 @@ def main(argv=None):
         run("report", build_report, key_col="tile_x")
 
     total = {
-        "total_sec": round(sum(m["sec"] for m in metrics), 3),
+        "total_sec": round(sum(m.get("sec", 0) for m in metrics), 3),
         "stages": len(metrics),
-        "resumed_stages": sum(1 for m in metrics if m["resumed"]),
+        "resumed_stages": sum(1 for m in metrics if m.get("resumed")),
     }
     print(json.dumps(total), flush=True)
     return 0

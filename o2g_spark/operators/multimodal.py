@@ -51,7 +51,16 @@ def html_to_text_udf():
 
     @F.pandas_udf(T.StringType())
     def _extract(html: pd.Series) -> pd.Series:
-        return html.map(lambda b: html_to_text_bytes(bytes(b)).decode("utf-8"))
+        # errors="replace": real crawls (--pages warc:) carry
+        # latin-1/GBK/broken pages — U+FFFD per bad byte is
+        # deterministic (the lineage text_sha stays stable) where a
+        # strict decode would kill the whole job on one page; valid
+        # UTF-8 (every gate fixture) is byte-unchanged
+        return html.map(
+            lambda b: html_to_text_bytes(bytes(b)).decode(
+                "utf-8", errors="replace"
+            )
+        )
 
     return _extract
 

@@ -15,9 +15,13 @@ Scale shape: ``binaryFile`` yields ONE ROW PER FILE and does not split
 files, so parallelism = number of WARC files per job — exactly how
 production crawl sets ship (Common Crawl segments are ~1 GB × 64k
 files). The parser is a streaming walk (no per-record regex, no
-whole-file splits); memory is bounded by the largest single record via
-a ``max_payload`` guard, and oversized/malformed records are COUNTED
-into ``warc_skipped`` rather than silently dropped.
+whole-file splits). Memory is O(ONE FILE) per task — raw bytes +
+decompressed bytes + the record rows, the standard binaryFile WARC
+shape — so size executors for ~3× the largest segment; ``max_payload``
+guards only the pathological single record, and oversized/malformed
+records are COUNTED into ``warc_skipped`` rather than silently
+dropped (a file whose parse yields ZERO rows still reports its count
+through a sentinel row with a NULL url).
 """
 
 from __future__ import annotations
@@ -73,7 +77,11 @@ def _iter_records(
         if pos >= n:
             return
         if raw[pos:pos + 5] != b"WARC/":
-            return  # not a record boundary: stop (tail garbage)
+            # not a record boundary: cannot resync, and everything
+            # after this point is lost — surface it as a skip rather
+            # than vanishing silently
+            yield None
+            return
         hdr_end = raw.find(_CRLF + _CRLF, pos)
         if hdr_end < 0:
             yield None
@@ -131,15 +139,19 @@ def _decompress(raw: bytes) -> bytes:
     n = len(raw)
     out: list[bytes] = []
     pos = 0
-    chunk_sz = 1 << 20
     while pos < n and raw[pos:pos + 2] == _GZ_MAGIC:
         d = zlib.decompressobj(wbits=31)
         member_start = len(out)
+        # chunks grow geometrically WITHIN a member (8 KB → 1 MB), so
+        # the unused_data overshoot copied per member is proportional
+        # to the member's own size — tiny-record segments stay O(bytes)
+        chunk_sz = 8 << 10
         try:
             while not d.eof and pos < n:
                 piece = mv[pos:pos + chunk_sz]
                 out.append(d.decompress(piece))
                 pos += len(piece)
+                chunk_sz = min(chunk_sz * 4, 1 << 20)
         except zlib.error:
             del out[member_start:]  # corrupt member: unusable bytes
             break
@@ -148,6 +160,17 @@ def _decompress(raw: bytes) -> bytes:
             break
         pos -= len(d.unused_data)  # rewind the last chunk's overshoot
     return b"".join(out)
+
+
+def _parse_warc_date(v: str):
+    """WARC-Date: whole-second (1.0) or fractional-second (1.1 —
+    wget / recent Heritrix write e.g. 00:00:00.123456Z)."""
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return datetime.strptime(v, fmt).replace(tzinfo=timezone.utc)
+        except ValueError:
+            continue
+    return None
 
 
 def parse_warc_bytes(
@@ -168,12 +191,8 @@ def parse_warc_bytes(
         url = headers.get("warc-target-uri")
         if wtype != "response" or not url:
             continue
-        ts = None
-        try:
-            ts = datetime.strptime(
-                headers.get("warc-date", ""), "%Y-%m-%dT%H:%M:%SZ"
-            ).replace(tzinfo=timezone.utc)
-        except ValueError:
+        ts = _parse_warc_date(headers.get("warc-date", ""))
+        if ts is None:
             skipped += 1
             continue
         status, ctype, body = _split_http(payload)
@@ -202,6 +221,12 @@ def read_warc(
                 rows, skipped = parse_warc_bytes(
                     bytes(row["content"]), row["path"], max_payload
                 )
+                if not rows:
+                    # a file that produced NOTHING must still surface
+                    # its skip count, else the audit reads clean
+                    # exactly when everything was dropped
+                    rows = [(None, None, None, None, None, None,
+                             row["path"])]
                 yield pd.DataFrame(
                     [(*r, skipped) for r in rows], columns=cols
                 )

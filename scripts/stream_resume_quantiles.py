@@ -146,7 +146,7 @@ def main() -> None:
     full = spark.read.parquet(src)
     twin = sketches.qsketch_window_batch(
         full, ["grp"], "v", "ts", WINDOW_S, QS
-    ).withColumnRenamed("grp", "grp")
+    )
     pusher_ws = PUSHER_MS // 1000 // WINDOW_S * WINDOW_S
     expected = Counter(
         tuple(r) for r in twin.where(f"ws_s < {pusher_ws}").collect()

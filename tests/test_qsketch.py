@@ -79,6 +79,21 @@ def test_buckets_match_python_reference(spark, data):
     assert got == {g: dict(c) for g, c in ref.items()}
 
 
+def test_qb_of_matches_jvm_buckets(spark, data):
+    """The shipped pure-python twin (SK.qb_of) equals the JVM
+    _q_bucket_cols expressions on real data — closes the loop the
+    property tests run on (they fuzz qb_of/qb_value against each
+    other; this pins qb_of to the production path)."""
+    rows, df = data
+    from collections import Counter as C
+
+    jvm = C()
+    for r in SK.qsketch_build(df, [], "v").collect():
+        jvm[r["__qb"]] += r["__cnt"]
+    py = C(SK.qb_of(v) for _, _, v in rows)
+    assert jvm == py
+
+
 def test_quantiles_match_brute_force(spark, data):
     rows, df = data
     out = {

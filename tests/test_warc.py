@@ -145,3 +145,44 @@ def test_cli_warc_to_extract(spark, tmp_path):
     got = spark.read.parquet(f"{wh}/extract/data")
     assert got.count() == 12
     assert got.where("text_sha IS NULL").count() == 0
+
+
+def test_warc11_fractional_seconds():
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.org/f\r\n"
+        b"WARC-Date: 2024-06-01T00:00:00.123456Z\r\n"
+        b"Content-Length: 5\r\n\r\nhello\r\n\r\n"
+    )
+    rows, skipped = W.parse_warc_bytes(raw)
+    assert skipped == 0 and len(rows) == 1
+    assert rows[0][1].microsecond == 123456
+
+
+def test_mid_file_garbage_counted():
+    raw = W.make_warc(RECS[:1]) + b"GARBAGE-NOT-A-RECORD" + W.make_warc(RECS[1:])
+    rows, skipped = W.parse_warc_bytes(raw)
+    # everything after the garbage is unreachable — that loss must be
+    # visible as a skip, not silent
+    assert [r[0] for r in rows] == [RECS[0][0]]
+    assert skipped >= 1
+
+
+def test_zero_row_file_surfaces_skips(spark, tmp_path):
+    d = str(tmp_path / "badwarcs")
+    os.makedirs(d)
+    # file whose only record has a bad length → zero rows, 1 skip
+    with open(os.path.join(d, "bad.warc"), "wb") as f:
+        f.write(b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: https://x.org\r\n"
+                b"Content-Length: nan\r\n\r\n")
+    with open(os.path.join(d, "good.warc"), "wb") as f:
+        f.write(W.make_warc(RECS[:1]))
+    df = W.read_warc(spark, d)
+    audit = {os.path.basename(r["src_file"]): r["mx"] for r in
+             df.groupBy("src_file").max("warc_skipped")
+             .withColumnRenamed("max(warc_skipped)", "mx").collect()}
+    assert audit["bad.warc"] == 1  # the sentinel row carried the count
+    assert audit["good.warc"] == 0
+    # sentinel rows are NULL-url and carry no payload
+    assert df.where("url IS NULL").count() == 1
