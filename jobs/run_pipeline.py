@@ -307,6 +307,23 @@ def main(argv=None):
 
     want = STAGES if args.stage == "all" else (args.stage,)
 
+    def text_pages(stage: str):
+        """pages WITH a text column: the input's own, or — the raw-
+        crawl path — the committed extract snapshot's extracted text
+        joined back on url. Every text stage routes through this, so
+        `--pages warc:… --stage extract` then `--stage clean/filter/…`
+        against the same --out composes."""
+        if "text" in pages.columns:
+            return pages
+        if ckpt.is_committed("extract"):
+            snap = ckpt.read_snapshot("extract")
+            if "text" in snap.columns:
+                return pages.join(snap.select("url", "text"), "url")
+        raise SystemExit(
+            f"--stage {stage} needs a `text` column: run --stage "
+            "extract first on raw crawls (its snapshot persists the "
+            "extracted text when the input carries none)")
+
     if "extract" in want:
         # html→text at scale through the checkpoint layer: the stage
         # output is (url, text_sha, byte_identical) — sha2 of the
@@ -319,7 +336,10 @@ def main(argv=None):
         # byte_identical attestation needs a canonical `text` column to
         # compare against — synth pages carry one; a real crawl parquet
         # usually doesn't, and referencing it would AnalysisException.
-        # Without it, emit NULL (the digest still attests text_sha).
+        # Without it, emit NULL (the digest still attests text_sha) AND
+        # PERSIST the extracted text itself: on the raw-crawl path
+        # (--pages warc:) this snapshot is the only place text exists,
+        # and every downstream text stage reads it back (text_pages()).
         has_canonical_text = "text" in pages.columns
 
         def build_extract():
@@ -329,11 +349,14 @@ def main(argv=None):
                 if has_canonical_text
                 else F.lit(None).cast("boolean")
             )
-            return ex.select(
+            cols = [
                 "url",
                 F.sha2("text_extracted", 256).alias("text_sha"),
                 identical.alias("byte_identical"),
-            )
+            ]
+            if not has_canonical_text:
+                cols.insert(1, F.col("text_extracted").alias("text"))
+            return ex.select(*cols)
 
         run(
             "extract", build_extract, key_col="url",
@@ -359,10 +382,7 @@ def main(argv=None):
         # recomputing the feature pass per counter:
         #   filter_labels: (url, reason) for EVERY input doc
         #   filter_kept:   the surviving (url, text[, lang]) rows
-        if "text" not in pages.columns:
-            raise SystemExit(
-                "--stage filter needs a `text` column on the pages "
-                "input (run --stage extract first on raw crawls)")
+        pages = text_pages("filter")
         lang_cols = ["lang"] if "lang" in pages.columns else []
 
         def build_filter_labels():
@@ -452,10 +472,7 @@ def main(argv=None):
         # duplicated >=k-token passages removed (globally-first
         # occurrence kept), committed + resumable like every stage.
         # Opt-in: the window-key exchange is a full-corpus shuffle.
-        if "text" not in pages.columns:
-            raise SystemExit(
-                "--stage passages needs a `text` column on the pages "
-                "input (run --stage extract first on raw crawls)")
+        pages = text_pages("passages")
 
         def build_passages():
             return passages.passage_dedup(
@@ -486,10 +503,7 @@ def main(argv=None):
         # CCNet/Dolma pre-dedup pass): committed + resumable, pure
         # codegen regex passes, idempotent — a crash-rerun over
         # already-clean text is a byte-identical no-op by construction.
-        if "text" not in pages.columns:
-            raise SystemExit(
-                "--stage clean needs a `text` column on the pages "
-                "input (run --stage extract first on raw crawls)")
+        pages = text_pages("clean")
 
         def build_clean():
             cleaned = X.clean_text(F.col("text"))
@@ -514,10 +528,7 @@ def main(argv=None):
         # release-time redaction (functions/pii.py): mask emails /
         # IPv4s / phones in every doc's text, committed + resumable.
         # Pure codegen regex passes — no shuffle beyond the write.
-        if "text" not in pages.columns:
-            raise SystemExit(
-                "--stage pii needs a `text` column on the pages "
-                "input (run --stage extract first on raw crawls)")
+        pages = text_pages("pii")
 
         def build_pii():
             return pii.scrub_pii(pages.select("url", "text"), "url", "text")
@@ -551,10 +562,7 @@ def main(argv=None):
         # the checkpoint layer, then encode every page with the
         # committed merges. Rerunning resumes: a committed merge table
         # is never retrained, a committed token table never re-encoded.
-        if "text" not in pages.columns:
-            raise SystemExit(
-                "--stage bpe needs a `text` column on the pages "
-                "input (run --stage extract first on raw crawls)")
+        pages = text_pages("bpe")
 
         def build_merges():
             return bpe.bpe_merges_df(
@@ -591,10 +599,7 @@ def main(argv=None):
         # the COMMITTED snapshot, and bucket pages into CCNet-style
         # head/middle/tail thirds by per-token NLL. Rerunning resumes:
         # a committed model is never retrained.
-        if "text" not in pages.columns:
-            raise SystemExit(
-                "--stage lm needs a `text` column on the pages "
-                "input (run --stage extract first on raw crawls)")
+        pages = text_pages("lm")
 
         if args.lm_target:
             lm_train_pages = spark.read.parquet(args.lm_target)
@@ -787,10 +792,7 @@ def main(argv=None):
         # command resumes every piece from its committed snapshot.
         from o2g_spark.operators import _delta_index, lsh_index
 
-        if "text" not in pages.columns:
-            raise SystemExit(
-                "--stage dedup-incremental needs a `text` column on the "
-                "pages input (run --stage extract first on raw crawls)")
+        pages = text_pages("dedup-incremental")
         if args.new_embeddings and not args.embeddings:
             raise SystemExit(
                 "--new-embeddings needs --embeddings (the indexed "
@@ -937,10 +939,7 @@ def main(argv=None):
         # the post-dedup corpus-curation path (operators/corpus.py +
         # packing.py): cluster labels → keep-best → split → domain cap
         # → chunking → sequence packing, each a checkpointed stage.
-        if "text" not in pages.columns:
-            raise SystemExit(
-                "--stage curate needs a `text` column on the pages "
-                "input (run --stage extract first on raw crawls)")
+        pages = text_pages("curate")
         # the dup-cluster labels: resume from the dedup stage's
         # snapshots when present, build them (uncounted) otherwise
         jpairs_c = ckpt.run_stage(
@@ -1038,10 +1037,7 @@ def main(argv=None):
         # shuffles are bounded by SKETCH size (≤ ~2e3 histogram rows /
         # 2^p registers per language), never by corpus size, so the
         # stage's cost is the scan + the word explode.
-        if "text" not in pages.columns:
-            raise SystemExit(
-                "--stage stats needs a `text` column on the pages "
-                "input (run --stage extract first on raw crawls)")
+        pages = text_pages("stats")
 
         def build_stats():
             # lang coalesced to a sentinel: an inner equi-join never
@@ -1091,10 +1087,7 @@ def main(argv=None):
         # per-domain token mass to --mix-weights under a --mix-tokens
         # budget. Deterministic (hash-ordered epochs), so a crash-
         # rerun re-derives the identical plan.
-        if "text" not in pages.columns:
-            raise SystemExit(
-                "--stage mix needs a `text` column on the pages "
-                "input (run --stage extract first on raw crawls)")
+        pages = text_pages("mix")
         if not args.mix_weights or args.mix_tokens is None:
             raise SystemExit(
                 "--stage mix needs --mix-weights (JSON domain→weight "

@@ -186,3 +186,60 @@ def test_zero_row_file_surfaces_skips(spark, tmp_path):
     assert audit["good.warc"] == 0
     # sentinel rows are NULL-url and carry no payload
     assert df.where("url IS NULL").count() == 1
+
+
+def test_cli_warc_text_chain(spark, tmp_path):
+    """The raw-crawl text path COMPOSES: --pages warc: + --stage
+    extract persists the extracted text, and the later text stages
+    (clean, stats) read it back through text_pages() on the same
+    warehouse — no canonical text column ever existed on the input."""
+    d = str(tmp_path / "crawl2")
+    os.makedirs(d)
+    recs = [
+        (f"https://chain.org/p{i}", "2024-06-01T00:00:00Z",
+         f"<html><body>“page” {i} —text {'x' * (i % 7)}</body></html>"
+         .encode())
+        for i in range(10)
+    ]
+    with open(os.path.join(d, "c.warc"), "wb") as f:
+        f.write(W.make_warc(recs))
+    wh = str(tmp_path / "wh2")
+
+    def run_stage(stage, extra=()):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "run_pipeline.py"),
+             "--pages", f"warc:{d}", "--out", wh, "--stage", stage,
+             *extra, "--master", "local[4]"],
+            env=dict(os.environ, SPARK_GRAFT_CPUS="4"),
+            capture_output=True, text=True, timeout=420,
+        )
+        assert out.returncode == 0, (stage, out.stderr[-2000:])
+        return [json.loads(ln) for ln in out.stdout.strip().splitlines()]
+
+    # without extract, a text stage must fail with the routing message
+    bad = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_pipeline.py"),
+         "--pages", f"warc:{d}", "--out", wh, "--stage", "clean",
+         "--master", "local[4]"],
+        capture_output=True, text=True, timeout=420,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="4"),
+    )
+    assert bad.returncode != 0
+    assert "--stage extract first" in (bad.stderr + bad.stdout)
+
+    run_stage("extract")
+    ex = spark.read.parquet(f"{wh}/extract/data")
+    assert "text" in ex.columns  # persisted on the raw-crawl path
+    assert ex.count() == 10
+
+    lines = run_stage("clean")
+    m = next(ln for ln in lines if ln.get("stage") == "clean")
+    assert m["rows"] == 10
+    assert m["docs_changed"] == 10  # every page carries curly quotes
+    cleaned = {r["url"]: r["text"] for r in
+               spark.read.parquet(f"{wh}/clean/data").collect()}
+    assert cleaned["https://chain.org/p3"].startswith('"page" 3 -text')
+
+    lines = run_stage("stats", ("--stats-hll-p", "4"))
+    m = next(ln for ln in lines if ln.get("stage") == "corpus_stats")
+    assert m["total_docs"] == 10
