@@ -664,7 +664,13 @@ def main(argv=None):
     # geotag: extraction + cell encode, salted against hot cells before
     # any downstream per-cell work (SURVEY.md §7.2: salt BEFORE Python)
     def build_geotag():
-        tagged = geotag.extract_coords(pages).select(
+        # raw crawls route text through the extract snapshot and may
+        # lack a lang column — the geospatial core composes with
+        # --pages warc: the same way the text stages do
+        src = text_pages("geotag")
+        if "lang" not in src.columns:
+            src = src.withColumn("lang", F.lit(None).cast("string"))
+        tagged = geotag.extract_coords(src).select(
             "url", "warc_ts", "lang", "lat", "lon", "mention"
         )
         tagged = tagged.withColumn(
@@ -718,6 +724,7 @@ def main(argv=None):
     if "dedup" in want:
         # df-capped jaccard near-dups over page text; the cap counter
         # rides on the SAME stage metrics line (no silent recall loss)
+        pages = text_pages("dedup")
         jpairs = run(
             "jaccard_dedup",
             lambda: dedup.jaccard_pairs(
@@ -800,7 +807,7 @@ def main(argv=None):
         idx_dir = args.index_dir or os.path.join(args.out, "lsh_index")
         if args.new_pages:
             new_docs = spark.read.parquet(args.new_pages).select("url", "text")
-            corpus = pages.select("url", "text")
+            corpus = text_pages("dedup").select("url", "text")
         else:
             is_new = F.pmod(F.crc32(F.col("url")), F.lit(20)) == 0
             new_docs = pages.filter(is_new).select("url", "text")

@@ -197,8 +197,9 @@ def test_cli_warc_text_chain(spark, tmp_path):
     os.makedirs(d)
     recs = [
         (f"https://chain.org/p{i}", "2024-06-01T00:00:00Z",
-         f"<html><body>“page” {i} —text {'x' * (i % 7)}</body></html>"
-         .encode())
+         (f"<html><body>“page” {i} —text {'x' * (i % 7)}"
+          + (f" Coordinates: {52.5 + i / 100:.2f}, 13.40" if i < 4 else "")
+          + "</body></html>").encode())
         for i in range(10)
     ]
     with open(os.path.join(d, "c.warc"), "wb") as f:
@@ -243,3 +244,10 @@ def test_cli_warc_text_chain(spark, tmp_path):
     lines = run_stage("stats", ("--stats-hll-p", "4"))
     m = next(ln for ln in lines if ln.get("stage") == "corpus_stats")
     assert m["total_docs"] == 10
+
+    # the geospatial core composes too: --stage all on the raw crawl
+    # (geotag routes text through the extract snapshot, lang NULLed)
+    lines = run_stage("all")
+    got = {ln["stage"]: ln for ln in lines if "stage" in ln}
+    assert got["geotag"]["rows"] == 4  # the planted coordinate pages
+    assert "report" in got
