@@ -46,6 +46,7 @@ from o2g_spark.operators import (
     gtfs,
     knn,
     lmfilter,
+    media_dedup,
     multimodal,
     packing,
     pip,
@@ -2450,6 +2451,218 @@ FROM agg a JOIN seg g ON a.media_id = g.media_id
 """
 
 
+def _q_image_phash(spark, sf_dir):
+    """Perceptual image hash under the gate: integer dHash computed
+    from REAL raster decodes of BMP fixtures (media_dedup.image_dhash).
+    The DuckDB twin re-derives every 64-bit signature from payload hex
+    alone — header parse, stride/top-down row order, luma 299R+587G+
+    114B, 8×9 block sums, cross-multiplied adjacent-mean comparisons —
+    so a hash match proves the perceptual hash is physically computed
+    from decoded pixels."""
+    media = media_dedup.synth_phash_media(spark)
+    return media_dedup.image_dhash(media)
+
+
+def _q_image_near_dup(spark, sf_dir):
+    """Image near-dup pairs: dHash + exact pigeonhole banding over
+    chunk combinations (guaranteed recall at hamming ≤ 6). The twin is
+    the brute all-pairs bit_count(xor) filter over the SQL-derived
+    signatures — equal SETS by the pigeonhole bound, so a value-hash
+    match certifies the banding loses nothing."""
+    return media_dedup.image_near_dup_pairs(media_dedup.synth_phash_media(spark))
+
+
+def _q_audio_fp(spark, sf_dir):
+    """Audio fingerprint under the gate: int64 frame-energy contour
+    over REAL PCM16 WAV decodes (frame=128 samples, matching the
+    fixture sizing). Short clips (< 2 frames) fingerprint as NULL —
+    the twin reproduces that via its LEFT JOIN."""
+    media = media_dedup.synth_afp_media(spark)
+    return media_dedup.audio_fingerprint(media, frame_samples=128)
+
+
+def _q_audio_near_dup(spark, sf_dir):
+    """Audio near-dup pairs: energy-contour fingerprint + the same
+    exact combination banding as images; brute SQL twin."""
+    return media_dedup.audio_near_dup_pairs(
+        media_dedup.synth_afp_media(spark), frame_samples=128
+    )
+
+
+def _phash_media_values() -> str:
+    return ", ".join(
+        f"({mid}, '{p.hex()}')"
+        for mid, _u, k, p, _m in media_dedup.synth_phash_media_rows()
+        if k == "image"
+    )
+
+
+def _afp_media_values() -> str:
+    return ", ".join(
+        f"({mid}, '{p.hex()}')"
+        for mid, _u, k, p, _m in media_dedup.synth_afp_media_rows()
+        if k == "audio"
+    )
+
+
+_BIT_WEIGHTS_SQL = ", ".join(f"({b}, CAST({1 << b} AS HUGEINT))" for b in range(64))
+
+# HUGEINT bit-pack → BIGINT two's-complement wrap (the simhash twin's
+# convention): numpy packs uint64 and reinterprets as int64, SQL sums
+# HUGEINT weights and subtracts 2^64 above 2^63.
+_WRAP_I64 = (
+    "CASE WHEN {v} >= CAST(9223372036854775808 AS HUGEINT) "
+    "THEN {v} - CAST(18446744073709551616 AS HUGEINT) ELSE {v} END"
+)
+
+
+def _dhash_sig_sql() -> str:
+    """Shared CTE chain: BMP payload hex → (media_id, width, height,
+    dhash), mirroring media_dedup.dhash_from_rgb bit for bit. Pixel p
+    enumerates row-major image coordinates (y = p//w, x = p%w); the
+    file row honours biHeight's sign (negative = top-down); luma and
+    block sums are exact BIGINTs; the adjacent-mean comparison is the
+    same cross-multiplication (no division anywhere)."""
+    fr = "(CASE WHEN h_raw < 0 THEN p // w ELSE h - 1 - p // w END)"
+    return f"""
+media(media_id, ph) AS (VALUES {_phash_media_values()}),
+hdr AS (
+  SELECT media_id, ph, {_le_sql(10, 4)} AS noff,
+         {_le_sql(18, 4, signed=True)} AS w,
+         {_le_sql(22, 4, signed=True)} AS h_raw
+  FROM media
+),
+dims AS (
+  SELECT media_id, ph, noff, w, abs(h_raw) AS h, h_raw,
+         ((w * 3 + 3) // 4) * 4 AS stride
+  FROM hdr
+),
+px AS (
+  SELECT media_id, ph, noff, w, h, h_raw, stride,
+         unnest(range(0, h * w)) AS p
+  FROM dims
+),
+lum AS (
+  SELECT media_id, w, h,
+         ((p // w) * 8) // h AS gy,
+         ((p % w) * 9) // w AS gx,
+         299 * {_hexbyte(f"noff + {fr} * stride + (p % w) * 3 + 2")}
+       + 587 * {_hexbyte(f"noff + {fr} * stride + (p % w) * 3 + 1")}
+       + 114 * {_hexbyte(f"noff + {fr} * stride + (p % w) * 3")} AS luma
+  FROM px
+),
+blocks AS (
+  SELECT media_id, w, h, gy, gx, sum(luma) AS s, count(*) AS n
+  FROM lum GROUP BY media_id, w, h, gy, gx
+),
+bits AS (
+  SELECT a.media_id, a.w, a.h, a.gy * 8 + a.gx AS b,
+         CASE WHEN a.s * bb.n > bb.s * a.n THEN 1 ELSE 0 END AS bit
+  FROM blocks a JOIN blocks bb
+    ON a.media_id = bb.media_id AND a.gy = bb.gy AND bb.gx = a.gx + 1
+  WHERE a.gx < 8
+),
+bw(b, wt) AS (VALUES {_BIT_WEIGHTS_SQL}),
+sig0 AS (
+  SELECT media_id, any_value(w) AS w, any_value(h) AS h,
+         sum(CASE WHEN bit = 1 THEN wt ELSE CAST(0 AS HUGEINT) END) AS s0
+  FROM bits JOIN bw USING (b) GROUP BY media_id
+),
+sig AS (
+  SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         CAST({_WRAP_I64.format(v="s0")} AS BIGINT) AS dhash
+  FROM sig0
+)"""
+
+
+def _image_phash_oracle_sql() -> str:
+    return f"WITH {_dhash_sig_sql()}\nSELECT media_id, width, height, dhash FROM sig"
+
+
+def _image_near_dup_oracle_sql(max_hamming: int = 6) -> str:
+    """Brute all-pairs twin (oracle scale): the Spark side's pigeonhole
+    combination banding guarantees every pair within hamming ≤
+    chunks − band_chunks = 6 shares a band, so the banded set EQUALS
+    this filter."""
+    return f"""
+WITH {_dhash_sig_sql()}
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+"""
+
+
+def _afp_sig_sql(frame_samples: int = 128) -> str:
+    """Shared CTE chain: WAV payload hex → (media_id, n_frames,
+    fingerprint). Channel-0 samples are the interleaved LE int16s at
+    byte 44 + 2·j·ch; frame energies are exact int64 sums of squares;
+    bit k compares e[k+1] > e[k] (lead window, first min(64, nfr−1)
+    transitions); clips under 2 frames keep a NULL fingerprint through
+    the LEFT JOIN."""
+    raw = (
+        f"({_hexbyte('44 + 2 * (s.j * ch)')}"
+        f" + 256 * {_hexbyte('45 + 2 * (s.j * ch)')})"
+    )
+    return f"""
+media(media_id, ph) AS (VALUES {_afp_media_values()}),
+hdr AS (
+  SELECT media_id, ph, {_le_sql(22, 2)} AS ch, {_le_sql(40, 4)} AS dlen
+  FROM media
+),
+dims AS (
+  SELECT media_id, ph, ch,
+         (dlen // (2 * ch)) // {frame_samples} AS nfr
+  FROM hdr
+),
+sv AS (
+  SELECT media_id, nfr, s.j // {frame_samples} AS k,
+         (CASE WHEN {raw} >= 32768 THEN {raw} - 65536 ELSE {raw} END) AS v
+  FROM dims, LATERAL (SELECT unnest(range(0, nfr * {frame_samples})) AS j) s
+),
+en AS (
+  SELECT media_id, nfr, k, sum(v * v) AS e
+  FROM sv GROUP BY media_id, nfr, k
+),
+tr AS (
+  SELECT media_id, k AS b,
+         CASE WHEN lead(e) OVER (PARTITION BY media_id ORDER BY k) > e
+              THEN 1 ELSE 0 END AS bit
+  FROM en
+  QUALIFY k < least(64, nfr - 1)
+),
+bw(b, wt) AS (VALUES {_BIT_WEIGHTS_SQL}),
+sig0 AS (
+  SELECT media_id,
+         sum(CASE WHEN bit = 1 THEN wt ELSE CAST(0 AS HUGEINT) END) AS s0
+  FROM tr JOIN bw USING (b) GROUP BY media_id
+),
+sig AS (
+  SELECT d.media_id, CAST(d.nfr AS BIGINT) AS n_frames,
+         CAST(CASE WHEN s0 IS NULL THEN NULL
+              ELSE {_WRAP_I64.format(v="s0")} END AS BIGINT) AS fingerprint
+  FROM dims d LEFT JOIN sig0 ON sig0.media_id = d.media_id
+)"""
+
+
+def _audio_fp_oracle_sql() -> str:
+    return (
+        f"WITH {_afp_sig_sql()}\n"
+        "SELECT media_id, n_frames, fingerprint FROM sig"
+    )
+
+
+def _audio_near_dup_oracle_sql(max_hamming: int = 6) -> str:
+    return f"""
+WITH {_afp_sig_sql()}
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.media_id < b.media_id
+WHERE a.fingerprint IS NOT NULL AND b.fingerprint IS NOT NULL
+  AND bit_count(xor(a.fingerprint, b.fingerprint)) <= {max_hamming}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core
@@ -2549,6 +2762,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode": _q_png_decode,
         "gif_decode": _q_gif_decode,
         "wav_decode": _q_wav_decode,
+        "image_phash": _q_image_phash,
+        "image_near_dup": _q_image_near_dup,
+        "audio_fp": _q_audio_fp,
+        "audio_near_dup": _q_audio_near_dup,
         "near_dup_stream": _q_near_dup_stream,
         "near_dup_emb_stream": _q_near_dup_emb_stream,
     }
@@ -2948,6 +3165,10 @@ FROM documents
         "png_decode": _png_decode_oracle_sql(),
         "gif_decode": _gif_decode_oracle_sql(),
         "wav_decode": _wav_decode_oracle_sql(),
+        "image_phash": _image_phash_oracle_sql(),
+        "image_near_dup": _image_near_dup_oracle_sql(),
+        "audio_fp": _audio_fp_oracle_sql(),
+        "audio_near_dup": _audio_near_dup_oracle_sql(),
         "near_dup_stream": _near_dup_stream_oracle_sql(),
         "near_dup_emb_stream": _near_dup_emb_stream_oracle_sql(),
         "gtfs_resolve": _gtfs_resolve_oracle_sql(),
