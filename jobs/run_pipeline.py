@@ -54,6 +54,14 @@ and rerun the same command):
             --merge-index folds the batch in as an O(batch) LSM delta
             AND rolls the persisted dup-cluster labels forward;
             --compact-index pays the explicit O(corpus) delta fold
+    media-dedup  (OPT-IN) perceptual near-dup over a --media
+            parquet (media_id, url, kind, payload, meta): integer
+            dHash / audio-fingerprint SIGNATURE stages committed first
+            (the decode never reruns on resume), then exact pigeonhole
+            pairing from the snapshots, dup_clusters transitive
+            closure, and the cluster-size report; metrics carry the
+            hot-bucket counter so the --media-max-bucket cap is
+            accounted, never silent
     curate  (OPT-IN) the post-dedup corpus-curation path a training
             pipeline runs (operators/corpus.py + packing.py): keep
             the highest-quality member per dup cluster →
@@ -97,8 +105,8 @@ from o2g_spark.functions import cellfns, geotag, pii  # noqa: E402
 from o2g_spark.functions import text as X  # noqa: E402
 from o2g_spark.operators import (  # noqa: E402
     boilerplate, bpe, clusters, decontam, dedup, knn, lmfilter,
-    multimodal, packing, passages, pip, repetition, similarity, skew,
-    tiles,
+    media_dedup, multimodal, packing, passages, pip, repetition,
+    similarity, skew, tiles,
 )
 from o2g_spark.operators import corpus as corpus_ops  # noqa: E402
 from o2g_spark.operators import sketches as sketch_ops  # noqa: E402
@@ -113,7 +121,7 @@ STAGES = ("geotag", "pip", "knn", "tiles", "dedup", "report")
 # across rounds)
 OPT_STAGES = (
     "extract", "clean", "filter", "passages", "pii", "bpe", "lm",
-    "dedup-incremental", "curate", "mix", "stats",
+    "dedup-incremental", "media-dedup", "curate", "mix", "stats",
 )
 
 
@@ -163,6 +171,27 @@ def main(argv=None):
                          "explicit O(corpus) maintenance op — run on "
                          "your schedule, e.g. when deltas approach the "
                          "base's size; readers are unchanged)")
+    ap.add_argument("--media", default=None,
+                    help="parquet of media rows (media_id, url, kind, "
+                         "payload, meta) for --stage media-dedup")
+    ap.add_argument("--media-max-hamming", type=int, default=6,
+                    help="near-dup threshold (bits) for --stage "
+                         "media-dedup; must be <= media-chunks - "
+                         "media-band-chunks")
+    ap.add_argument("--media-chunks", type=int, default=8,
+                    help="signature slices for media banding (8 -> 28 "
+                         "bands/16-bit keys, exact to hamming 6; use 4 "
+                         "with --media-max-hamming 2 past ~1M media "
+                         "rows: 6 bands/32-bit keys)")
+    ap.add_argument("--media-band-chunks", type=int, default=2,
+                    help="slices per band key for media banding")
+    ap.add_argument("--media-frame-samples", type=int, default=256,
+                    help="audio fingerprint frame size (samples) for "
+                         "--stage media-dedup")
+    ap.add_argument("--media-max-bucket", type=int, default=100_000,
+                    help="drop media band buckets larger than this "
+                         "before pairing (0 = exact/no cap); dropped "
+                         "bucket count rides the metrics line")
     ap.add_argument("--max-per-domain", type=int, default=1000,
                     help="curate: per-registered-domain page cap")
     ap.add_argument("--chunk-tokens", type=int, default=256,
@@ -941,6 +970,106 @@ def main(argv=None):
                 }
                 metrics.append(m)
                 print(json.dumps(m), flush=True)
+
+    if "media-dedup" in want:
+        # perceptual near-dup over raw media payloads (operators/
+        # media_dedup.py). The EXPENSIVE step — decoding every payload
+        # into a 64-bit signature — commits first, so a resumed run
+        # (or a re-pair with different banding knobs against the same
+        # --out) never touches payload bytes again; pairing, the
+        # transitive closure, and the job report then mirror the text
+        # dedup stage exactly.
+        if not args.media:
+            raise SystemExit("--stage media-dedup needs --media <parquet>")
+        media = spark.read.parquet(args.media)
+        cap = args.media_max_bucket or None
+        mh, mc, mbc = (
+            args.media_max_hamming, args.media_chunks, args.media_band_chunks
+        )
+
+        img_sig = run(
+            "media_sig_image",
+            lambda: media_dedup.image_dhash(media),
+            key_col="media_id",
+            extra={
+                "undecodable": lambda: int(
+                    ckpt.read_snapshot("media_sig_image")
+                    .where(F.col("dhash").isNull()).count()
+                ),
+            },
+        )
+        aud_sig = run(
+            "media_sig_audio",
+            lambda: media_dedup.audio_fingerprint(
+                media, frame_samples=args.media_frame_samples),
+            key_col="media_id",
+            extra={
+                "unfingerprintable": lambda: int(
+                    ckpt.read_snapshot("media_sig_audio")
+                    .where(F.col("fingerprint").isNull()).count()
+                ),
+            },
+        )
+
+        def _hot(sig_df, sig_col):
+            if cap is None:
+                return 0
+            return int(
+                media_dedup.band_bucket_sizes(sig_df, "media_id", sig_col, mc, mbc)
+                .where(F.col("k") > cap).count()
+            )
+
+        def build_media_pairs():
+            img = media_dedup.hamming_pairs(
+                img_sig, "media_id", "dhash",
+                max_hamming=mh, chunks=mc, band_chunks=mbc, max_bucket=cap,
+            ).withColumn("modality", F.lit("image"))
+            aud = media_dedup.hamming_pairs(
+                aud_sig, "media_id", "fingerprint",
+                max_hamming=mh, chunks=mc, band_chunks=mbc, max_bucket=cap,
+            ).withColumn("modality", F.lit("audio"))
+            return img.unionByName(aud)
+
+        mpairs = run(
+            "media_pairs", build_media_pairs, key_col="id_a",
+            extra={
+                "image_pairs": lambda: int(
+                    ckpt.read_snapshot("media_pairs")
+                    .where(F.col("modality") == "image").count()
+                ),
+                "audio_pairs": lambda: int(
+                    ckpt.read_snapshot("media_pairs")
+                    .where(F.col("modality") == "audio").count()
+                ),
+                "media_max_bucket": args.media_max_bucket,
+                "hot_buckets_image": lambda: _hot(img_sig, "dhash"),
+                "hot_buckets_audio": lambda: _hot(aud_sig, "fingerprint"),
+            },
+        )
+        mclusters = run(
+            "media_dedup_clusters",
+            lambda: clusters.dup_clusters(mpairs),
+            key_col="doc_id",
+            extra={
+                "clusters": lambda: int(
+                    ckpt.read_snapshot("media_dedup_clusters")
+                    .select("canon_id").distinct().count()
+                ),
+            },
+        )
+        run(
+            "media_dedup_stats",
+            lambda: clusters.dup_stats(
+                mclusters, corpus=media.select("media_id"), id_col="media_id",
+            ),
+            key_col="cluster_size",
+            extra={
+                "droppable": lambda: int(
+                    ckpt.read_snapshot("media_dedup_stats")
+                    .agg(F.sum("n_droppable")).collect()[0][0] or 0
+                ),
+            },
+        )
 
     if "curate" in want:
         # the post-dedup corpus-curation path (operators/corpus.py +

@@ -17,10 +17,16 @@ Why combinations and not single chunks (the simhash_pairs shape): a
 single 8-bit chunk has a 256-value key space, so at corpus scale
 every bucket degenerates to ~n/256 members and the band join goes
 quadratic — the corpus-sized-bucket-width lesson from the embedding
-stream (STATUS.md §mixed-modality funnel). Pairs of 8-bit chunks give
-C(8,2)=28 bands over a 65,536-value key space at the cost of
-tolerating Hamming ≤ 6 instead of ≤ 7 — the right trade at 100 TB,
-where fan-out is bounded per band and the key space scales.
+stream (STATUS.md §mixed-modality funnel). Combining ``band_chunks``
+slices per band key multiplies the key space 2^bits× per extra slice
+at the cost of one unit of Hamming tolerance each — and the key
+space must be CORPUS-SIZED (2^(band_chunks·bits) ≥ ~50× docs, the
+CLAUDE.md rule-11 bound): the default (chunks=8, band_chunks=2) gives
+C(8,2)=28 bands over 16-bit keys and guaranteed recall at Hamming ≤
+6, right up to ~1M docs; at web scale run (chunks=4, band_chunks=2)
+— C(4,2)=6 bands over 32-bit keys, Hamming ≤ 2, expected bucket size
+< 1 into the billions (scripts/bench_media_dedup.py measures the
+candidate fan-out of both at 1M planted images).
 
 Everything is INTEGER-exact end to end — luma = 299R + 587G + 114B,
 block means compared by cross-multiplication (no division), frame
@@ -208,6 +214,58 @@ def audio_fingerprint(media: DataFrame, frame_samples: int = 256) -> DataFrame:
     return aud.mapInPandas(batches, schema=AUDIO_FP_SCHEMA)
 
 
+def _banded(s: DataFrame, chunks: int, band_chunks: int) -> DataFrame:
+    """(__id, __sig) → one row per band: (__id, __sig, __b{idx, val}).
+
+    Band key = ``band_chunks`` signature slices packed side by side
+    (band_chunks·bits wide), one band per chunk combination. Shared by
+    :func:`hamming_pairs` and the fan-out accounting in
+    scripts/bench_media_dedup.py so the measured bucket stats are the
+    operator's own keys, not a re-implementation."""
+    bits = 64 // chunks
+
+    def chunk(c: int) -> F.Column:
+        return F.shiftrightunsigned(F.col("__sig"), c * bits).bitwiseAND(
+            F.lit((1 << bits) - 1)
+        )
+
+    combos = list(combinations(range(chunks), band_chunks))
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("idx"),
+            sum(
+                (chunk(c) * F.lit(1 << (j * bits)) for j, c in enumerate(combo)),
+                F.lit(0),
+            ).alias("val"),
+        )
+        for i, combo in enumerate(combos)
+    ]
+    return s.withColumn("__bands", F.array(*band_structs)).select(
+        "__id", "__sig", F.explode("__bands").alias("__b")
+    )
+
+
+def band_bucket_sizes(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    chunks: int = 8,
+    band_chunks: int = 2,
+) -> DataFrame:
+    """(band, key, k) — member count per band bucket, the operator's
+    OWN keys (shared :func:`_banded`). The observability companion to
+    ``hamming_pairs(max_bucket=)``: a production run reports how many
+    buckets its cap silenced instead of silently losing recall."""
+    s = sig.filter(F.col(sig_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig")
+    )
+    return (
+        _banded(s, chunks, band_chunks)
+        .groupBy(F.col("__b.idx").alias("band"), F.col("__b.val").alias("key"))
+        .agg(F.count("*").alias("k"))
+    )
+
+
 def hamming_pairs(
     sig: DataFrame,
     id_col: str,
@@ -260,26 +318,7 @@ def hamming_pairs(
         ),
     )
 
-    def chunk(c: int) -> F.Column:
-        return F.shiftrightunsigned(F.col("__sig"), c * bits).bitwiseAND(
-            F.lit((1 << bits) - 1)
-        )
-
-    combos = list(combinations(range(chunks), band_chunks))
-    # band key: chunk values packed side by side — band_chunks*bits wide
-    band_structs = [
-        F.struct(
-            F.lit(i).alias("idx"),
-            sum(
-                (chunk(c) * F.lit(1 << (j * bits)) for j, c in enumerate(combo)),
-                F.lit(0),
-            ).alias("val"),
-        )
-        for i, combo in enumerate(combos)
-    ]
-    banded = s.withColumn("__bands", F.array(*band_structs)).select(
-        "__id", "__sig", F.explode("__bands").alias("__b")
-    )
+    banded = _banded(s, chunks, band_chunks)
     if max_bucket is not None:
         counts = banded.groupBy(
             F.col("__b.idx").alias("__i"), F.col("__b.val").alias("__v")
@@ -305,8 +344,13 @@ def hamming_pairs(
                 "hamming"
             ),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # verify BEFORE dedup: hamming is deterministic per pair, and
+        # the candidate fan-out (shared-band pairs) can be orders of
+        # magnitude larger than the survivor set — filtering first
+        # keeps the dropDuplicates exchange sized by RESULTS, not
+        # candidates
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
