@@ -2663,6 +2663,56 @@ WHERE a.fingerprint IS NOT NULL AND b.fingerprint IS NOT NULL
 """
 
 
+def _q_near_dup_media_stream(spark, sf_dir):
+    """Batch twin of streaming.stateful.near_dup_media_stream (the
+    MEDIA-modality candidate funnel, completing the per-modality
+    stream family next to near_dup_stream / near_dup_emb_stream):
+    dHash chunk-combination bucket canonicals + (canonical, member,
+    band) pairs over the image fixtures. The streaming path is pinned
+    against this twin by tests/test_streaming_stateful.py."""
+    from o2g_spark.streaming import stateful
+
+    return stateful.near_dup_media_batch(
+        media_dedup.synth_phash_media(spark), kind="image", ts_col=None
+    )
+
+
+def _near_dup_media_stream_oracle_sql() -> str:
+    """DuckDB twin: the shared payload-hex dHash CTE, then the same
+    chunk-combination band keys (per-combo power-of-256 divisors on
+    the two's-complement-unwrapped HUGEINT signature) and min-VARCHAR
+    -id canonicals per bucket."""
+    from itertools import combinations as _combos
+
+    combos = ", ".join(
+        f"({i}, CAST({256 ** c1} AS HUGEINT), CAST({256 ** c2} AS HUGEINT))"
+        for i, (c1, c2) in enumerate(_combos(range(8), 2))
+    )
+    return f"""
+WITH {_dhash_sig_sql()},
+u AS (
+  SELECT media_id,
+         CASE WHEN dhash < 0
+              THEN CAST(dhash AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT)
+              ELSE CAST(dhash AS HUGEINT) END AS us
+  FROM sig
+),
+combos(band, d1, d2) AS (VALUES {combos}),
+keys AS (
+  SELECT CAST(media_id AS VARCHAR) AS did, band,
+         CAST((us // d1) % 256 + ((us // d2) % 256) * 256 AS BIGINT) AS key
+  FROM u CROSS JOIN combos
+),
+ranked AS (
+  SELECT band, key, did,
+         min(did) OVER (PARTITION BY band, key) AS canon
+  FROM keys
+)
+SELECT canon AS id_a, did AS id_b, CAST(band AS INTEGER) AS band
+FROM ranked WHERE did != canon
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core
@@ -2768,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup": _q_audio_near_dup,
         "near_dup_stream": _q_near_dup_stream,
         "near_dup_emb_stream": _q_near_dup_emb_stream,
+        "near_dup_media_stream": _q_near_dup_media_stream,
     }
 
 
@@ -3169,6 +3220,7 @@ FROM documents
         "image_near_dup": _image_near_dup_oracle_sql(),
         "audio_fp": _audio_fp_oracle_sql(),
         "audio_near_dup": _audio_near_dup_oracle_sql(),
+        "near_dup_media_stream": _near_dup_media_stream_oracle_sql(),
         "near_dup_stream": _near_dup_stream_oracle_sql(),
         "near_dup_emb_stream": _near_dup_emb_stream_oracle_sql(),
         "gtfs_resolve": _gtfs_resolve_oracle_sql(),

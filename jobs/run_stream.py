@@ -12,6 +12,10 @@ manifest — evidence protocol in scripts/stream_resume_demo.py):
                (doc_id, text, ts) — minhash-LSH candidate funnel
   neardup-emb  near_dup_embedding_stream over a vector stream
                (vec_id, embedding array<float>, ts) — hyperplane funnel
+  neardup-media  near_dup_media_stream over a raw media stream
+               (media_id, kind, payload binary, ts) — integer dHash /
+               audio-fingerprint funnel; --media-kind picks the
+               modality (one query per modality, shared machinery)
   hll          hll_window_stream over an event stream
                (grp string, v string, ts) — tumbling-window distinct
                sketch, 2^p bytes of state per open window
@@ -58,6 +62,8 @@ SCHEMAS = {
     "visits": "user_id long, event_id long, ts timestamp, cell long",
     "neardup": "doc_id string, text string, ts timestamp",
     "neardup-emb": "vec_id string, embedding array<float>, ts timestamp",
+    "neardup-media": "media_id long, kind string, payload binary, "
+                     "ts timestamp",
     "hll": "grp string, v string, ts timestamp",
     "quantiles": "grp string, v long, ts timestamp",
 }
@@ -90,6 +96,11 @@ def build_query(spark, args):
                              "(a stream cannot be sampled for vector width)")
         return stateful.near_dup_embedding_stream(
             stream, dim=args.dim, shards=args.shards or 1024, **common
+        )
+    if args.op == "neardup-media":
+        return stateful.near_dup_media_stream(
+            stream, kind=args.media_kind, shards=args.shards or 1024,
+            frame_samples=args.media_frame_samples, **common
         )
     if args.op == "hll":
         return stateful.hll_window_stream(
@@ -156,7 +167,8 @@ def drain(q, ckpt: str, timeout_s: int) -> None:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--op", required=True,
-                    choices=["visits", "neardup", "neardup-emb", "hll",
+                    choices=["visits", "neardup", "neardup-emb",
+                             "neardup-media", "hll",
                              "quantiles"])
     ap.add_argument("--src", required=True,
                     help="parquet directory consumed as a file stream")
@@ -181,6 +193,12 @@ def main(argv=None) -> int:
                          "bound 2^-(sub_bits+1))")
     ap.add_argument("--hll-p", type=int, default=10,
                     help="hll: sketch precision (state = 2^p bytes)")
+    ap.add_argument("--media-kind", default="image",
+                    choices=["image", "audio"],
+                    help="modality for --op neardup-media")
+    ap.add_argument("--media-frame-samples", type=int, default=256,
+                    help="audio fingerprint frame size for --op "
+                         "neardup-media --media-kind audio")
     ap.add_argument("--dim", type=int, default=None,
                     help="embedding width (neardup-emb only)")
     ap.add_argument("--state-store", default="hdfs",

@@ -215,13 +215,15 @@ def audio_fingerprint(media: DataFrame, frame_samples: int = 256) -> DataFrame:
 
 
 def _banded(s: DataFrame, chunks: int, band_chunks: int) -> DataFrame:
-    """(__id, __sig) → one row per band: (__id, __sig, __b{idx, val}).
+    """rows with an int64 ``__sig`` → one row per band, every input
+    column preserved plus ``__b{idx, val}``.
 
     Band key = ``band_chunks`` signature slices packed side by side
     (band_chunks·bits wide), one band per chunk combination. Shared by
-    :func:`hamming_pairs` and the fan-out accounting in
-    scripts/bench_media_dedup.py so the measured bucket stats are the
-    operator's own keys, not a re-implementation."""
+    :func:`hamming_pairs`, the streaming funnel's banding
+    (streaming.stateful._banded_media), and the fan-out accounting in
+    scripts/bench_media_dedup.py so bucket semantics are the
+    operator's own keys everywhere, not re-implementations."""
     bits = 64 // chunks
 
     def chunk(c: int) -> F.Column:
@@ -241,8 +243,44 @@ def _banded(s: DataFrame, chunks: int, band_chunks: int) -> DataFrame:
         for i, combo in enumerate(combos)
     ]
     return s.withColumn("__bands", F.array(*band_structs)).select(
-        "__id", "__sig", F.explode("__bands").alias("__b")
+        *s.columns, F.explode("__bands").alias("__b")
     )
+
+
+def media_signature_udf(kind: str = "image", frame_samples: int = 256):
+    """Arrow pandas UDF: raw payload bytes → int64 perceptual
+    signature (:func:`dhash_from_rgb` for images via the raster
+    dispatch, :func:`audio_fp_from_samples` for WAV audio), NULL for
+    undecodable / sub-grid / sub-2-frame media.
+
+    The column-expression form of the signature step — what the
+    STREAMING funnel needs (``mapInPandas`` ops like
+    :func:`image_dhash` return whole new frames; a watermarked stream
+    wants the signature as one added column, ArrowEvalPython being
+    its own plan node with no HOF-inlining risk). Batch callers keep
+    :func:`image_dhash` / :func:`audio_fingerprint`, which also carry
+    the dims/frame-count metadata."""
+    if kind not in ("image", "audio"):
+        raise ValueError("kind must be 'image' or 'audio'")
+
+    @F.pandas_udf(T.LongType())
+    def _sig(payloads: pd.Series) -> pd.Series:
+        out: list[int | None] = []
+        for p in payloads:
+            b = bytes(p)
+            if kind == "image":
+                r = _try_decode_raster(b)
+                out.append(None if r is None else dhash_from_rgb(r[2]))
+            else:
+                wav = try_decode_wav(b)
+                out.append(
+                    None
+                    if wav is None
+                    else audio_fp_from_samples(wav[2], frame_samples)[1]
+                )
+        return pd.Series(out, dtype="object")
+
+    return _sig
 
 
 def band_bucket_sizes(

@@ -884,6 +884,126 @@ def near_dup_embedding_stream(
     return _bucket_candidates_stream(banded, timeout_ms, time_mode, shards)
 
 
+# --------------------------------- streaming MEDIA near-dup
+
+def _banded_media(
+    df: DataFrame, kind: str, id_col: str, payload_col: str,
+    ts_col: str | None, chunks: int, band_chunks: int, frame_samples: int,
+) -> DataFrame:
+    """(did[, ts], band, key) rows via perceptual-signature chunk-
+    combination banding — the SAME signature kernels and band keys as
+    operators.media_dedup's batch pairing (media_signature_udf +
+    _banded), reusable on batch AND streaming frames. The signature is
+    a UDF output column (ArrowEvalPython is its own operator node), so
+    the downstream shift/pack expressions consume a real column — no
+    CollapseProject/HOF-inlining risk. Rows whose payload does not
+    decode (or is below the hash grid / 2 frames) band to nothing."""
+    from ..operators.media_dedup import _banded, media_signature_udf
+
+    sig_udf = media_signature_udf(kind, frame_samples)
+    src = df.filter(F.col("kind") == kind) if "kind" in df.columns else df
+    keep = [F.col(id_col).cast("string").alias("did")]
+    out_cols = ["did"]
+    if ts_col is not None:
+        keep.append(F.col(ts_col).alias("ts"))
+        out_cols.append("ts")
+    sig = src.select(*keep, sig_udf(F.col(payload_col)).alias("__sig")).filter(
+        F.col("__sig").isNotNull()
+    )
+    return _banded(sig, chunks, band_chunks).select(
+        *out_cols,
+        F.col("__b.idx").alias("band"),
+        F.col("__b.val").alias("key"),
+    )
+
+
+def near_dup_media_batch(
+    media: DataFrame,
+    kind: str = "image",
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    ts_col: str | None = None,
+    chunks: int = 8,
+    band_chunks: int = 2,
+    frame_samples: int = 256,
+) -> DataFrame:
+    """Batch twin of :func:`near_dup_media_stream`: per chunk-
+    combination band bucket the canonical media row is the first by
+    (ts, id) — every other member pairs with it. Output (id_a, id_b,
+    band), id_a = canonical."""
+    banded = _banded_media(
+        media, kind, id_col, payload_col, ts_col, chunks, band_chunks,
+        frame_samples,
+    )
+    order = ([F.col("ts").asc()] if ts_col is not None else []) + [
+        F.col("did").asc()
+    ]
+    w = Window.partitionBy("band", "key").orderBy(*order)
+    return (
+        banded.withColumn("__canon", F.first("did").over(w))
+        .filter(F.col("did") != F.col("__canon"))
+        .select(
+            F.col("__canon").alias("id_a"),
+            F.col("did").alias("id_b"),
+            F.col("band").cast(T.IntegerType()).alias("band"),
+        )
+    )
+
+
+def near_dup_media_stream(
+    stream: DataFrame,
+    kind: str = "image",
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    ts_col: str = "ts",
+    chunks: int = 8,
+    band_chunks: int = 2,
+    frame_samples: int = 256,
+    timeout_ms: int = 3_600_000,
+    time_mode: str = "event",
+    watermark: str | None = "10 minutes",
+    shards: int = 1024,
+) -> DataFrame:
+    """Streaming near-duplicate candidates for the MEDIA modality:
+    integer dHash / audio-fingerprint chunk-combination banding
+    (operators.media_dedup kernels, one Arrow pass per batch) feeds
+    the same sharded bounded-state machinery as the text and embedding
+    streams (:func:`_bucket_candidates_stream` — see
+    :func:`near_dup_candidates_stream` for the state/eviction
+    semantics, which are identical). With the text and embedding
+    funnels this completes the near-dup stream for every modality of
+    a mixed crawl.
+
+    A candidate pair shares ≥1 exact band; the pigeonhole bound means
+    every pair within Hamming ≤ chunks − band_chunks of the ACTIVE
+    horizon shares one, so funnel recall mirrors the batch operator's
+    guarantee (minus eviction, measured for the text stream in
+    scripts/bench_stream_recall.py — the machinery and trade curve
+    are shared). Exact Hamming verification happens downstream in
+    batch (operators.media_dedup.hamming_pairs), like jaccard for
+    text and cosine for embeddings.
+
+    SIZE THE BAND KEY SPACE TO THE ACTIVE HORIZON, not the stream
+    length: each bucket keeps ONE canonical, so 2^(band_chunks·bits)
+    should exceed ~50× the docs alive inside ``timeout_ms`` (the
+    corpus-sized-bucket rule). The (8, 2) default's 16-bit keys cover
+    horizons to ~1M media rows; use (4, 2) (32-bit keys, verify at
+    Hamming ≤ 2) beyond."""
+    if not stream.isStreaming:
+        raise ValueError(
+            "near_dup_media_stream expects a streaming DataFrame; "
+            "use near_dup_media_batch for batch backfill"
+        )
+    _check_time_mode(time_mode)
+    if time_mode == "event" and watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+    banded = _banded_media(
+        stream, kind, id_col, payload_col, ts_col, chunks, band_chunks,
+        frame_samples,
+    )
+    return _bucket_candidates_stream(banded, timeout_ms, time_mode, shards)
+
+
 # --------------------------------------------------------- windowed HLL
 
 _HLL_OUT_SCHEMA = T.StructType(

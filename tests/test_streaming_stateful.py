@@ -687,3 +687,101 @@ def test_near_dup_embedding_stream_matches_batch(spark, tmp_path):
         stateful.near_dup_embedding_stream(
             spark.createDataFrame(pdf), dim=16
         )
+
+
+# ---------------------- streaming MEDIA near-dup (r5)
+
+
+def _media_pdf():
+    """Image + audio fixture rows (media_dedup's gate fixtures, audio
+    ids offset to stay unique) with event timestamps: base rows first,
+    their planted near-dup twins ten+ minutes later — the cross-batch
+    shape the stream must catch."""
+    from o2g_spark.operators import media_dedup as M
+
+    base = dt.datetime(2024, 8, 1, 9, 0, 0)
+    rows = []
+    for mid, _u, kind, payload, _m in M.synth_phash_media_rows(n_base=8):
+        ts = base + dt.timedelta(minutes=(10 + mid % 37 if mid >= 1000 else mid % 7))
+        rows.append((mid, kind, payload, ts))
+    for mid, _u, kind, payload, _m in M.synth_afp_media_rows(n_base=6):
+        ts = base + dt.timedelta(minutes=(12 + mid % 31 if mid >= 1000 else mid % 5))
+        rows.append((mid + 50_000, kind, payload, ts))
+    return pd.DataFrame(rows, columns=["media_id", "kind", "payload", "ts"])
+
+
+def _media_df(spark, pdf):
+    return spark.createDataFrame(
+        [
+            (int(r.media_id), r.kind, bytes(r.payload), r.ts.to_pydatetime())
+            for r in pdf.itertuples(index=False)
+        ],
+        "media_id long, kind string, payload binary, ts timestamp",
+    )
+
+
+def test_near_dup_media_batch_shape(spark):
+    pdf = _media_pdf()
+    got = {
+        (r.id_a, r.id_b)
+        for r in stateful.near_dup_media_batch(
+            _media_df(spark, pdf), kind="image", ts_col="ts"
+        ).collect()
+    }
+    # the byte-identical duplicate (id 2000 duplicates id 1000's
+    # payload) shares every band with its earlier-ts canonical
+    assert ("1000", "2000") in got
+    # a planted near-dup twin (hamming <= 3) shares >= C(5,2)=10 of
+    # the 28 bands with its base -> must appear
+    assert ("0", "1000") in got
+    aud = {
+        (r.id_a, r.id_b)
+        for r in stateful.near_dup_media_batch(
+            _media_df(spark, pdf), kind="audio", ts_col="ts",
+            frame_samples=128,
+        ).collect()
+    }
+    assert ("50000", "51000") in aud
+
+
+def test_near_dup_media_stream_matches_batch(spark, tmp_path):
+    """Media stream == batch twin on a replayed 2-file stream for BOTH
+    kinds (the state machinery is shared with the text/embedding
+    streams; this pins the signature + banding plumbing end-to-end,
+    including the kind filter on a mixed stream)."""
+    pdf = _media_pdf()
+    early = pdf[pdf["media_id"] % 50_000 < 1000].reset_index(drop=True)
+    late = pdf[pdf["media_id"] % 50_000 >= 1000].reset_index(drop=True)
+    for kind, fs in (("image", 256), ("audio", 128)):
+        expected = sorted(
+            map(tuple, stateful.near_dup_media_batch(
+                _media_df(spark, pdf), kind=kind, ts_col="ts",
+                frame_samples=fs,
+            ).collect())
+        )
+        assert expected, kind  # fixture must actually plant pairs
+        src = str(tmp_path / f"media_src_{kind}")
+        _write_replay_files(src, [early, late])
+        stream = (
+            spark.readStream.schema(
+                "media_id long, kind string, payload binary, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stateful.near_dup_media_stream(
+            stream, kind=kind, timeout_ms=3_600_000, frame_samples=fs
+        )
+        rows = _drain_stream(spark, out, f"media_nd_{kind}", len(expected))
+        assert sorted((r.id_a, r.id_b, r.band) for r in rows) == expected
+
+
+def test_near_dup_media_stream_rejects_batch_frame(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        stateful.near_dup_media_stream(_media_df(spark, _media_pdf()))
+    with pytest.raises(ValueError):
+        stateful.near_dup_media_batch(
+            _media_df(spark, _media_pdf()), kind="video"
+        )
