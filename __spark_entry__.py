@@ -2663,6 +2663,52 @@ WHERE a.fingerprint IS NOT NULL AND b.fingerprint IS NOT NULL
 """
 
 
+def _q_media_incremental(spark, sf_dir):
+    """Incremental media near-dup pairing against the PERSISTED media
+    index (operators/media_index.py — the media twin of
+    lsh_incremental / emb_incremental): the image fixtures split by
+    media_id % 3 (twin ids sit at base+1000 ≡ base+1, so planted
+    pairs CROSS the split — the increment exercises new × index, not
+    just new × new), non-zero residues indexed, the rest arriving as the
+    new batch; output = pairs touching ≥1 new row. The DuckDB twin is
+    the full-corpus payload-hex brute twin filtered to the same pair
+    set — equal because the dHash is a pure function of the payload
+    bytes (splitting cannot change candidacy or hamming; also pinned
+    in tests/test_media_index.py). Rebuilds force=True under /tmp so
+    the query is self-contained and rerunnable."""
+    import hashlib
+    import tempfile
+
+    from o2g_spark.operators import media_index
+
+    media = media_dedup.synth_phash_media(spark)
+    base = (
+        f"{tempfile.gettempdir()}/o2g_gate_media_index_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    )
+    media_index.media_index_build(
+        spark, base, media.filter("media_id % 3 != 0"), kind="image",
+        force=True,
+    )
+    return media_index.media_near_dup_incremental(
+        spark, base, media.filter("media_id % 3 = 0")
+    )
+
+
+def _media_incremental_oracle_sql(max_hamming: int = 6) -> str:
+    """DuckDB twin: the full-corpus brute pair set (the image_near_dup
+    oracle) restricted to pairs touching ≥1 new (media_id % 5 = 0)
+    row."""
+    return f"""
+WITH {_dhash_sig_sql()}
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+  AND (a.media_id % 3 = 0 OR b.media_id % 3 = 0)
+"""
+
+
 def _q_near_dup_media_stream(spark, sf_dir):
     """Batch twin of streaming.stateful.near_dup_media_stream (the
     MEDIA-modality candidate funnel, completing the per-modality
@@ -2771,6 +2817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_stats": _q_dup_stats,
         "dedup_keep_best": _q_dedup_keep_best,
         "emb_incremental": _q_emb_incremental,
+        "media_incremental": _q_media_incremental,
         # corpus curation / temporal / sketches
         "train_split": _q_train_split,
         "strat_sample": _q_strat_sample,
@@ -3221,6 +3268,7 @@ FROM documents
         "audio_fp": _audio_fp_oracle_sql(),
         "audio_near_dup": _audio_near_dup_oracle_sql(),
         "near_dup_media_stream": _near_dup_media_stream_oracle_sql(),
+        "media_incremental": _media_incremental_oracle_sql(),
         "near_dup_stream": _near_dup_stream_oracle_sql(),
         "near_dup_emb_stream": _near_dup_emb_stream_oracle_sql(),
         "gtfs_resolve": _gtfs_resolve_oracle_sql(),

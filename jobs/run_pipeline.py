@@ -53,7 +53,10 @@ and rerun the same command):
             batch (--new-pages, or a crc32 carve-out of --pages);
             --merge-index folds the batch in as an O(batch) LSM delta
             AND rolls the persisted dup-cluster labels forward;
-            --compact-index pays the explicit O(corpus) delta fold
+            --compact-index pays the explicit O(corpus) delta fold;
+            with --media + --new-media the media modality rides the
+            same lifecycle (persisted signature index, payloads
+            decoded once ever, --media-kind per index)
     media-dedup  (OPT-IN) perceptual near-dup over a --media
             parquet (media_id, url, kind, payload, meta): integer
             dHash / audio-fingerprint SIGNATURE stages committed first
@@ -185,6 +188,15 @@ def main(argv=None):
                          "rows: 6 bands/32-bit keys)")
     ap.add_argument("--media-band-chunks", type=int, default=2,
                     help="slices per band key for media banding")
+    ap.add_argument("--new-media", default=None,
+                    help="parquet of the NEW media batch for the "
+                         "media half of --stage dedup-incremental "
+                         "(needs --media as the indexed corpus)")
+    ap.add_argument("--media-kind", default="image",
+                    choices=("image", "audio"),
+                    help="modality for the media half of --stage "
+                         "dedup-incremental (one persisted index per "
+                         "modality)")
     ap.add_argument("--media-frame-samples", type=int, default=256,
                     help="audio fingerprint frame size (samples) for "
                          "--stage media-dedup")
@@ -833,6 +845,9 @@ def main(argv=None):
             raise SystemExit(
                 "--new-embeddings needs --embeddings (the indexed "
                 "corpus) as well")
+        if args.new_media and not args.media:
+            raise SystemExit(
+                "--new-media needs --media (the indexed corpus) as well")
         idx_dir = args.index_dir or os.path.join(args.out, "lsh_index")
         if args.new_pages:
             new_docs = spark.read.parquet(args.new_pages).select("url", "text")
@@ -967,6 +982,72 @@ def main(argv=None):
                     "sec": round(time.time() - t0, 3),
                     "resumed": False,
                     "index_dir": eidx_dir,
+                }
+                metrics.append(m)
+                print(json.dumps(m), flush=True)
+
+        if args.media and args.new_media:
+            # the media-modality half, same lifecycle: persisted
+            # perceptual-signature index + O(batch) incremental
+            # pairing — committed payloads are never re-decoded
+            from o2g_spark.operators import media_index
+
+            midx_dir = idx_dir + "_media"
+            m_corpus = spark.read.parquet(args.media)
+            m_new = spark.read.parquet(args.new_media)
+            midx_ckpt = CheckpointManager(spark, midx_dir)
+            t0 = time.time()
+            m_built = not midx_ckpt.is_committed(media_index.BANDS_STAGE)
+            media_index.media_index_build(
+                spark, midx_dir, m_corpus, kind=args.media_kind,
+                chunks=args.media_chunks,
+                band_chunks=args.media_band_chunks,
+                frame_samples=args.media_frame_samples)
+            m = {
+                "stage": "media_index_build",
+                "rows": _delta_index.total_row_count(
+                    midx_ckpt, media_index.BANDS_STAGE),
+                "sec": round(time.time() - t0, 3),
+                "resumed": not m_built,
+                "index_dir": midx_dir,
+            }
+            metrics.append(m)
+            print(json.dumps(m), flush=True)
+            run(
+                "media_dedup_incremental",
+                lambda: media_index.media_near_dup_incremental(
+                    spark, midx_dir, m_new,
+                    max_hamming=args.media_max_hamming,
+                    max_bucket=args.media_max_bucket or None),
+                key_col="id_a",
+                extra={"index_dir": midx_dir,
+                       "media_kind": args.media_kind,
+                       "media_max_bucket": args.media_max_bucket},
+            )
+            if args.merge_index:
+                t0 = time.time()
+                media_index.media_index_merge(spark, midx_dir, m_new)
+                m = {
+                    "stage": "media_index_merge",
+                    "rows": _delta_index.total_row_count(
+                        midx_ckpt, media_index.BANDS_STAGE),
+                    "sec": round(time.time() - t0, 3),
+                    "resumed": False,
+                    "index_dir": midx_dir,
+                }
+                metrics.append(m)
+                print(json.dumps(m), flush=True)
+            if args.compact_index:
+                t0 = time.time()
+                n_folded = media_index.media_index_compact(spark, midx_dir)
+                m = {
+                    "stage": "media_index_compact",
+                    "rows": _delta_index.total_row_count(
+                        midx_ckpt, media_index.BANDS_STAGE),
+                    "deltas_folded": n_folded,
+                    "sec": round(time.time() - t0, 3),
+                    "resumed": False,
+                    "index_dir": midx_dir,
                 }
                 metrics.append(m)
                 print(json.dumps(m), flush=True)

@@ -155,3 +155,72 @@ def test_resume_skips_decode(cli):
     first = _by_stage(cli["lines"])
     for s in ("media_sig_image", "media_sig_audio", "media_pairs"):
         assert stages[s]["rows"] == first[s]["rows"]
+
+
+def test_dedup_incremental_media(spark, tmp_path_factory):
+    """--stage dedup-incremental --media/--new-media: persisted media
+    index build → O(batch) pairing → --merge-index LSM fold; a SECOND
+    batch (fresh --out, same --index-dir) pairs against old ∪ merged —
+    proving the merge landed — and committed payloads are never
+    re-decoded (the second run's build line is resumed)."""
+    root = tmp_path_factory.mktemp("media_inc")
+    rows = [r for r in _media_rows() if r[2] == "image"]
+    old = [r for r in rows if r[0] < 1000]
+    new1 = [r for r in rows if r[0] >= 1000]
+    # batch 2: a byte-identical repost of id 1000 (which arrived in
+    # batch 1 — only a MERGED index can pair it)
+    src1000 = next(r for r in new1 if r[0] == 1000)
+    new2 = [(5000, "u5000", "image", src1000[3], src1000[4])]
+
+    paths = {}
+    for name, data in (("old", old), ("new1", new1), ("new2", new2)):
+        paths[name] = str(root / name)
+        spark.createDataFrame(data, MEDIA_SCHEMA).write.parquet(paths[name])
+    idx = str(root / "idx")
+
+    common = ["--pages", "synth:200", "--stage", "dedup-incremental",
+              "--media", paths["old"], "--index-dir", idx,
+              "--merge-index", "--master", "local[4]"]
+    lines1 = _run_cli(["--out", str(root / "wh1"),
+                       "--new-media", paths["new1"], *common])
+    st1 = _by_stage(lines1)
+    assert st1["media_index_build"]["resumed"] is False
+    assert st1["media_index_merge"]["rows"] > st1["media_index_build"]["rows"]
+
+    sigs = {}
+    for mid, _u, _k, payload, _m in old + new1 + new2:
+        w_h_rgb = _try_decode_raster(bytes(payload))
+        sigs[mid] = M.dhash_from_rgb(w_h_rgb[2])
+
+    def brute(touching):
+        out = set()
+        ids = sorted(sigs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if a in touching or b in touching:
+                    hm = bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+                    if hm <= 6:
+                        out.add((a, b, hm))
+        return out
+
+    got1 = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in spark.read.parquet(
+            os.path.join(str(root / "wh1"), "media_dedup_incremental", "data")
+        ).collect()
+    }
+    assert got1 == {p for p in brute({r[0] for r in new1})
+                    if p[0] != 5000 and p[1] != 5000}
+
+    lines2 = _run_cli(["--out", str(root / "wh2"),
+                       "--new-media", paths["new2"], *common])
+    st2 = _by_stage(lines2)
+    assert st2["media_index_build"]["resumed"] is True  # never re-decoded
+    got2 = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in spark.read.parquet(
+            os.path.join(str(root / "wh2"), "media_dedup_incremental", "data")
+        ).collect()
+    }
+    assert got2 == brute({5000})
+    assert (1000, 5000, 0) in got2  # the batch-1 row, via the merge
