@@ -5,13 +5,14 @@ Each piece is gate-checked alone; this script evidences the COMPOSED
 candidate funnels feeding their batch verifiers, with planted
 cross-batch duplicates and end-to-end precision/recall reported.
 
-    crawl (docs with text + embedding, multi-file stream)
-      ├─ near_dup_candidates_stream (minhash-LSH, text)   ─┐
-      │                                                    ├─ candidate
-      └─ near_dup_embedding_stream (hyperplane, vectors)  ─┘  pairs
+    crawl (docs with text + embedding + image payload, stream)
+      ├─ near_dup_candidates_stream (minhash-LSH, text)    ─┐
+      ├─ near_dup_embedding_stream (hyperplane, vectors)    ├─ candidate
+      └─ near_dup_media_stream (integer dHash, payloads)   ─┘  pairs
                                │
               batch verify: n-gram Jaccard ≥ τ_text (exact string
-              shingles) / cosine ≥ τ_emb (exact dot product)
+              shingles) / cosine ≥ τ_emb (exact dot product) /
+              bit_count(xor) ≤ h_media (exact dHash hamming)
                                │
               verified duplicate pairs vs the PLANTED ground truth
 
@@ -22,6 +23,8 @@ machinery, not within-batch pairing):
   - embedding dups: near-identical vector (cos ≥ ~0.99), fresh text
     (the "paraphrase/translation" proxy — text-invisible)
   - both-modality dups: identical text AND near-identical vector
+  - media dups: near-identical image payload (1-2 dHash bits), fresh
+    text AND fresh embedding — invisible to the other two funnels
 
 Run: python scripts/demo_mixed_dedup.py [--docs 20000] [--files 16]
          [--out /tmp/mixed_dedup]
@@ -47,6 +50,14 @@ BASE_MS = 1_717_243_200_000  # 2024-06-01T12:00:00Z, pinned
 DIM = 64
 SIM_T = 0.95
 JAC_T = 0.5
+HAM_T = 6
+
+
+def _grid_bmp(v):
+    from o2g_spark.operators.multimodal import make_bmp
+
+    gray = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1).astype(np.uint8)
+    return make_bmp(np.stack([gray] * 3, axis=-1))
 
 
 def synth_crawl(n: int, seed: int = 17):
@@ -66,6 +77,10 @@ def synth_crawl(n: int, seed: int = 17):
     ]
     vecs = rng.standard_normal((n, DIM))
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    # block-constant image payloads: dHash bits are exactly the block
+    # comparisons, so a media twin's hamming is controlled, not hoped
+    grids = [rng.integers(0, 251, size=(8, 9)).astype(np.int64)
+             for _ in range(n)]
     gap = n // 10
     planted: dict[tuple[str, str], str] = {}
 
@@ -89,10 +104,20 @@ def synth_crawl(n: int, seed: int = 17):
         v = vecs[i - gap] + 0.01 * rng.standard_normal(DIM)
         vecs[i] = v / np.linalg.norm(v)
         planted[key] = "both"
+    for i in range(gap + 41, n, 79):  # media dups (image-only visible)
+        key = (pid(i - gap), pid(i))
+        if key in planted:
+            continue
+        t = grids[i - gap].copy()
+        for r in range(1 + i % 2):    # flip exactly 1-2 dHash bits
+            t[r, 0] = t[r, 1] if t[r, 0] > t[r, 1] else t[r, 1] + 1
+        grids[i] = t
+        planted[key] = "media"
     pdf = pd.DataFrame({
         "doc_id": [pid(i) for i in range(n)],
         "text": texts,
         "embedding": [v.astype(np.float32).tolist() for v in vecs],
+        "payload": [_grid_bmp(g) for g in grids],
         "ts": pd.to_datetime(BASE_MS + np.arange(n, dtype=np.int64) * 500,
                              unit="ms"),
     })
@@ -108,6 +133,7 @@ def write_files(pdf: pd.DataFrame, n_files: int, out: str) -> None:
         pa.field("doc_id", pa.string()),
         pa.field("text", pa.string()),
         pa.field("embedding", pa.list_(pa.float32())),
+        pa.field("payload", pa.binary()),
         pa.field("ts", pa.timestamp("us")),
     ])
     per = len(pdf) // n_files
@@ -172,14 +198,16 @@ def main() -> int:
     write_files(pdf, args.files, src)
     n_text = sum(1 for m in planted.values() if m in ("text", "both"))
     n_emb = sum(1 for m in planted.values() if m in ("emb", "both"))
+    n_media = sum(1 for m in planted.values() if m == "media")
     print(json.dumps({"stage": "synth", "docs": args.docs,
                       "planted": len(planted), "planted_text_visible": n_text,
-                      "planted_emb_visible": n_emb}), flush=True)
+                      "planted_emb_visible": n_emb,
+                      "planted_media_visible": n_media}), flush=True)
 
     spark = get_spark("mixed-dedup-demo", master=args.master,
                       shuffle_partitions=8)
     schema = ("doc_id string, text string, embedding array<float>, "
-              "ts timestamp")
+              "payload binary, ts timestamp")
 
     def stream():
         return (spark.readStream.schema(schema)
@@ -205,30 +233,48 @@ def main() -> int:
     ).localCheckpoint()
     n_cand_emb = cand_emb.count()
     t_emb = time.time() - t0
+    t0 = time.time()
+    cand_media = drain_to_memory(
+        spark,
+        stateful.near_dup_media_stream(
+            stream(), kind="image", id_col="doc_id",
+            timeout_ms=86_400_000, watermark="1 minute"),
+        "cand_media",
+    ).localCheckpoint()
+    n_cand_media = cand_media.count()
+    t_media = time.time() - t0
     print(json.dumps({"stage": "funnels", "cand_text": int(n_cand_text),
                       "cand_emb": int(n_cand_emb),
+                      "cand_media": int(n_cand_media),
                       "sec_text": round(t_text, 1),
-                      "sec_emb": round(t_emb, 1)}), flush=True)
+                      "sec_emb": round(t_emb, 1),
+                      "sec_media": round(t_media, 1)}), flush=True)
 
     # ---- batch verification over the UNION of candidates
+    from o2g_spark.operators.media_dedup import media_signature_udf
+
     docs = spark.read.parquet(src)
     sh = docs.select(
         F.col("doc_id").alias("__id"),
         X.shingles("text", 3).alias("__sh"),
         F.col("embedding").alias("__v"),
+        media_signature_udf("image")(F.col("payload")).alias("__sig"),
     ).localCheckpoint()
-    cands = cand_text.unionByName(cand_emb).distinct()
+    cands = cand_text.unionByName(cand_emb).unionByName(cand_media).distinct()
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"),
-                  F.col("__v").alias("v_a"))
+                  F.col("__v").alias("v_a"), F.col("__sig").alias("s_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"),
-                  F.col("__v").alias("v_b"))
+                  F.col("__v").alias("v_b"), F.col("__sig").alias("s_b"))
     scored = (
         cands.join(a, "id_a").join(b, "id_b")
         .withColumn("jac", F.size(F.array_intersect("sh_a", "sh_b"))
                     / F.size(F.array_union("sh_a", "sh_b")))
         .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .withColumn("ham", F.coalesce(
+            F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))), F.lit(64)))
         .withColumn("verified",
-                    (F.col("jac") >= JAC_T) | (F.col("cos") >= SIM_T))
+                    (F.col("jac") >= JAC_T) | (F.col("cos") >= SIM_T)
+                    | (F.col("ham") <= HAM_T))
     )
     # ONE collect derives both the verified set and the scored count —
     # a separate scored.count() would re-execute the double join +
@@ -264,9 +310,9 @@ def main() -> int:
     cluster_recall = len(caught) / len(planted_set)
     by_mod = {m: sum(1 for p, mm in planted.items()
                      if mm == m and p in caught)
-              for m in ("text", "emb", "both")}
+              for m in ("text", "emb", "both", "media")}
     tot_mod = {m: sum(1 for mm in planted.values() if mm == m)
-               for m in ("text", "emb", "both")}
+               for m in ("text", "emb", "both", "media")}
     out = {
         "stage": "verdict", "planted": len(planted_set),
         "candidate_pairs": int(n_pairs_scored),
@@ -279,8 +325,9 @@ def main() -> int:
     }
     print(json.dumps(out), flush=True)
     print(f"| {args.docs:,} | {len(planted_set)} | {n_cand_text:,} / "
-          f"{n_cand_emb:,} | {n_pairs_scored:,} | {len(verified)} | "
-          f"{precision:.3f} | {recall:.3f} | {cluster_recall:.3f} |")
+          f"{n_cand_emb:,} / {n_cand_media:,} | {n_pairs_scored:,} | "
+          f"{len(verified)} | {precision:.3f} | {recall:.3f} | "
+          f"{cluster_recall:.3f} |")
     spark.stop()
     return 0
 
