@@ -57,6 +57,7 @@ from o2g_spark.operators import (
     sketches,
     temporal,
     tiles,
+    video,
 )
 from o2g_spark.sources import synth, tables
 from o2g_spark.streaming import windows as W
@@ -2759,6 +2760,144 @@ FROM ranked WHERE did != canon
 """
 
 
+def _q_avi_decode(spark, sf_dir):
+    """REAL video decode under the gate: decode_video over raw-DIB AVI
+    fixtures — width/height/fps/frame-count from an actual RIFF chunk
+    walk (kernels/avi.py). The DuckDB twin re-parses the SAME payload
+    hex (LE header ints at the canonical offsets the writer pins), so
+    a hash match proves the container parse is physically true."""
+    return video.decode_video(video.synth_avi_media(spark))
+
+
+def _q_video_frame_hash(spark, sf_dir):
+    """Per-frame perceptual hashing under the gate: video_frame_dhash
+    over the AVI fixtures — every frame physically decoded (bottom-up
+    BGR stride unpack) and dHashed. The twin re-derives every frame's
+    64-bit signature from payload hex alone: frame f's pixel bytes
+    sit at arithmetic offsets of the canonical writer (kernels/
+    avi.py docstring), then the same luma/block/cross-multiplication
+    pipeline as the image twin."""
+    return video.video_frame_dhash(video.synth_avi_media(spark))
+
+
+def _q_video_near_dup(spark, sf_dir):
+    """Video near-dup pairs: frame-dHash-SET jaccard ≥ 0.5 (trim /
+    re-order robust by construction). Twin: the same sets from the
+    SQL-derived frame hashes, brute set-jaccard at oracle scale."""
+    return video.video_near_dup_pairs(video.synth_avi_media(spark), threshold=0.5)
+
+
+def _avi_media_values() -> str:
+    return ", ".join(
+        f"({mid}, '{p.hex()}')"
+        for mid, _u, _k, p, _m in video.synth_avi_media_rows()
+    )
+
+
+def _avi_hdr_cte() -> str:
+    """Header ints at the canonical writer's fixed offsets: width/
+    height at 64/68 (avih), total frames at 48, fps = strh rate/scale
+    at 132/128."""
+    return f"""
+media(media_id, ph) AS (VALUES {_avi_media_values()}),
+hdr AS (
+  SELECT media_id, ph, {_le_sql(64, 4)} AS w, {_le_sql(68, 4)} AS h,
+         {_le_sql(48, 4)} AS n, {_le_sql(132, 4)} // {_le_sql(128, 4)} AS fps
+  FROM media
+)"""
+
+
+def _avi_vsig_cte() -> str:
+    """(media_id, f, dhash) per frame from payload hex: frame f's
+    pixel (y, x) bytes at 224 + f·(8 + stride·h) + 8 + (h−1−y)·stride
+    + 3x (bottom-up BGR, 4-byte stride — kernels/avi.py's canonical
+    layout), then the image twin's exact luma/block/cross-multiply
+    dHash pipeline grouped per frame."""
+    off = "fb + (h - 1 - p // w) * stride + (p % w) * 3"
+    return f"""{_avi_hdr_cte()},
+dims AS (
+  SELECT media_id, ph, w, h, n, fps, ((w * 3 + 3) // 4) * 4 AS stride
+  FROM hdr
+),
+fr AS (
+  SELECT media_id, ph, w, h, stride, unnest(range(0, n)) AS f
+  FROM dims
+),
+px AS (
+  SELECT media_id, w, h, f,
+         224 + f * (8 + stride * h) + 8 AS fb, stride,
+         ph, unnest(range(0, h * w)) AS p
+  FROM fr
+),
+lum AS (
+  SELECT media_id, f, w, h,
+         ((p // w) * 8) // h AS gy,
+         ((p % w) * 9) // w AS gx,
+         299 * {_hexbyte(off + " + 2")}
+       + 587 * {_hexbyte(off + " + 1")}
+       + 114 * {_hexbyte(off)} AS luma
+  FROM px
+),
+blocks AS (
+  SELECT media_id, f, gy, gx, sum(luma) AS s, count(*) AS cnt
+  FROM lum GROUP BY media_id, f, gy, gx
+),
+bits AS (
+  SELECT a.media_id, a.f, a.gy * 8 + a.gx AS b,
+         CASE WHEN a.s * bb.cnt > bb.s * a.cnt THEN 1 ELSE 0 END AS bit
+  FROM blocks a JOIN blocks bb
+    ON a.media_id = bb.media_id AND a.f = bb.f
+   AND a.gy = bb.gy AND bb.gx = a.gx + 1
+  WHERE a.gx < 8
+),
+bw(b, wt) AS (VALUES {_BIT_WEIGHTS_SQL}),
+sig0 AS (
+  SELECT media_id, f,
+         sum(CASE WHEN bit = 1 THEN wt ELSE CAST(0 AS HUGEINT) END) AS s0
+  FROM bits JOIN bw USING (b) GROUP BY media_id, f
+),
+vsig AS (
+  SELECT media_id, f,
+         CAST({_WRAP_I64.format(v="s0")} AS BIGINT) AS dhash
+  FROM sig0
+)"""
+
+
+def _avi_decode_oracle_sql() -> str:
+    return f"""
+WITH {_avi_hdr_cte()}
+SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(fps AS INTEGER) AS fps, CAST(n AS INTEGER) AS n_frames,
+       CAST(n * 1000 // fps AS BIGINT) AS duration_ms
+FROM hdr
+"""
+
+
+def _video_frame_hash_oracle_sql() -> str:
+    return (
+        f"WITH {_avi_vsig_cte()}\n"
+        "SELECT media_id, CAST(f AS INTEGER) AS frame_idx, dhash FROM vsig"
+    )
+
+
+def _video_near_dup_oracle_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH {_avi_vsig_cte()},
+sets AS (SELECT DISTINCT media_id, dhash FROM vsig),
+sizes AS (SELECT media_id, count(*) AS n FROM sets GROUP BY media_id),
+shared AS (
+  SELECT a.media_id AS ia, b.media_id AS ib, count(*) AS s
+  FROM sets a JOIN sets b ON a.dhash = b.dhash AND a.media_id < b.media_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       round(s / (na.n + nb.n - s), 6) AS jaccard
+FROM shared JOIN sizes na ON na.media_id = ia
+            JOIN sizes nb ON nb.media_id = ib
+WHERE round(s / (na.n + nb.n - s), 6) >= {threshold}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core
@@ -2866,6 +3005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_stream": _q_near_dup_stream,
         "near_dup_emb_stream": _q_near_dup_emb_stream,
         "near_dup_media_stream": _q_near_dup_media_stream,
+        "avi_decode": _q_avi_decode,
+        "video_frame_hash": _q_video_frame_hash,
+        "video_near_dup": _q_video_near_dup,
     }
 
 
@@ -3269,6 +3411,9 @@ FROM documents
         "audio_near_dup": _audio_near_dup_oracle_sql(),
         "near_dup_media_stream": _near_dup_media_stream_oracle_sql(),
         "media_incremental": _media_incremental_oracle_sql(),
+        "avi_decode": _avi_decode_oracle_sql(),
+        "video_frame_hash": _video_frame_hash_oracle_sql(),
+        "video_near_dup": _video_near_dup_oracle_sql(),
         "near_dup_stream": _near_dup_stream_oracle_sql(),
         "near_dup_emb_stream": _near_dup_emb_stream_oracle_sql(),
         "gtfs_resolve": _gtfs_resolve_oracle_sql(),

@@ -59,12 +59,14 @@ and rerun the same command):
             decoded once ever, --media-kind per index)
     media-dedup  (OPT-IN) perceptual near-dup over a --media
             parquet (media_id, url, kind, payload, meta): integer
-            dHash / audio-fingerprint SIGNATURE stages committed first
-            (the decode never reruns on resume), then exact pigeonhole
-            pairing from the snapshots, dup_clusters transitive
-            closure, and the cluster-size report; metrics carry the
-            hot-bucket counter so the --media-max-bucket cap is
-            accounted, never silent
+            dHash / audio-fingerprint / per-frame video-dHash
+            SIGNATURE stages committed first (payloads decode once,
+            never again on resume or re-pair), then exact pigeonhole
+            pairing (images/audio) + frame-set jaccard (video) from
+            the snapshots, one dup_clusters transitive closure over
+            all modalities, and the cluster-size report; metrics
+            carry hot-bucket / hot-frame-hash counters so the caps
+            are accounted, never silent
     curate  (OPT-IN) the post-dedup corpus-curation path a training
             pipeline runs (operators/corpus.py + packing.py): keep
             the highest-quality member per dup cluster →
@@ -109,7 +111,7 @@ from o2g_spark.functions import text as X  # noqa: E402
 from o2g_spark.operators import (  # noqa: E402
     boilerplate, bpe, clusters, decontam, dedup, knn, lmfilter,
     media_dedup, multimodal, packing, passages, pip, repetition,
-    similarity, skew, tiles,
+    similarity, skew, tiles, video,
 )
 from o2g_spark.operators import corpus as corpus_ops  # noqa: E402
 from o2g_spark.operators import sketches as sketch_ops  # noqa: E402
@@ -200,6 +202,13 @@ def main(argv=None):
     ap.add_argument("--media-frame-samples", type=int, default=256,
                     help="audio fingerprint frame size (samples) for "
                          "--stage media-dedup")
+    ap.add_argument("--video-threshold", type=float, default=0.5,
+                    help="frame-set jaccard threshold for the video "
+                         "half of --stage media-dedup")
+    ap.add_argument("--video-max-df", type=int, default=10_000,
+                    help="drop frame hashes shared by more than this "
+                         "many videos before video pairing (0 = "
+                         "exact); hot count rides the metrics line")
     ap.add_argument("--media-max-bucket", type=int, default=100_000,
                     help="drop media band buckets larger than this "
                          "before pairing (0 = exact/no cap); dropped "
@@ -1091,6 +1100,17 @@ def main(argv=None):
                 ),
             },
         )
+        vid_fh = run(
+            "media_sig_video",
+            lambda: video.video_frame_dhash(media),
+            key_col="media_id",
+            extra={
+                "videos": lambda: int(
+                    ckpt.read_snapshot("media_sig_video")
+                    .select("media_id").distinct().count()
+                ),
+            },
+        )
 
         def _hot(sig_df, sig_col):
             if cap is None:
@@ -1127,9 +1147,26 @@ def main(argv=None):
                 "hot_buckets_audio": lambda: _hot(aud_sig, "fingerprint"),
             },
         )
+        vcap = args.video_max_df or None
+        vpairs = run(
+            "media_pairs_video",
+            lambda: video.video_near_dup_pairs_from_hashes(
+                vid_fh, threshold=args.video_threshold, max_df=vcap),
+            key_col="id_a",
+            extra={
+                "video_threshold": args.video_threshold,
+                "video_max_df": args.video_max_df,
+                "hot_frame_hashes": lambda: int(
+                    video.video_hot_frame_hashes_from_hashes(
+                        vid_fh, vcap).count()
+                ) if vcap is not None else 0,
+            },
+        )
+        all_pairs = mpairs.select("id_a", "id_b").unionByName(
+            vpairs.select("id_a", "id_b"))
         mclusters = run(
             "media_dedup_clusters",
-            lambda: clusters.dup_clusters(mpairs),
+            lambda: clusters.dup_clusters(all_pairs),
             key_col="doc_id",
             extra={
                 "clusters": lambda: int(

@@ -111,8 +111,11 @@ FRAME_SCHEMA = T.StructType(
 # pure numpy/stdlib — so those formats decode FOR REAL inside the
 # existing mapInPandas batches: physically-true width/height/pixels
 # and sample-rate/duration/RMS (JPEG covers 4:4:4 through 4:2:0
-# sampling). Progressive JPEGs, MP3 and video still fall back to the
-# deterministic sha256 stand-in below.
+# sampling). VIDEO decodes for real too for AVI containers — raw-DIB
+# and MJPEG frames via kernels/avi.py, surfaced by operators/video.py
+# (decode_video / video_frame_dhash / video_near_dup_pairs).
+# Progressive JPEGs, MP3 and non-AVI video containers (MP4/H.264)
+# still fall back to the deterministic sha256 stand-in below.
 
 
 def try_decode_bmp(b: bytes) -> tuple[int, int, np.ndarray] | None:
@@ -731,10 +734,10 @@ def decode_images(
     if use_real_decoder and not HAVE_PIL:
         raise NotImplementedError(
             "real decode of the remaining codec formats (progressive "
-            "JPEG, MP3, video) needs PIL/pillow or ffmpeg — "
-            "not in this container; BMP, PNG, GIF and baseline JPEG "
-            "(4:4:4 through 4:2:0) already decode for real on the "
-            "default path"
+            "JPEG, MP3, MP4/H.264 video) needs PIL/pillow or ffmpeg — "
+            "not in this container; BMP, PNG, GIF, baseline JPEG "
+            "(4:4:4 through 4:2:0) and AVI video (raw-DIB/MJPEG via "
+            "operators/video.py) already decode for real"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -35,8 +35,15 @@ Claims measured:
    likely), twins flip exactly bit 0 via frame 0 (it feeds one
    comparison).
 
+4. **Video symmetry** at --video-n clips of 6 block-constant raw-DIB
+   AVI frames each (kernels/avi.py): every 20th base gets a twin
+   that drops the last frame — frame-set jaccard exactly 5/6 — and
+   found == planted as sets including the jaccard values. The rate
+   row covers the full decode: 6 real frame unpacks + 6 dHashes per
+   payload.
+
 Run: python scripts/bench_media_dedup.py [--n 1000000]
-     [--audio-n 200000] [--master local[32]]
+     [--audio-n 200000] [--video-n 100000] [--master local[32]]
 One JSON line per measurement to stdout.
 """
 
@@ -138,6 +145,41 @@ def _synth_audio(spark, n: int):
     return spark.range(n).mapInPandas(gen, schema=mm.MEDIA_SCHEMA)
 
 
+VIDEO_FRAMES = 6
+
+
+def _video_payload(i: int, n_frames: int) -> bytes:
+    from o2g_spark.kernels.avi import make_avi
+
+    rng = np.random.default_rng(2 * 10**9 + i)
+    grids = [rng.integers(0, 251, size=(8, 9)).astype(np.int64)
+             for _ in range(n_frames)]
+    frames = [
+        np.stack([np.repeat(np.repeat(g, 2, axis=0), 2, axis=1)
+                  .astype(np.uint8)] * 3, axis=-1)
+        for g in grids
+    ]
+    return make_avi(frames, fps=10)
+
+
+def _synth_videos(spark, n: int):
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                payload = _video_payload(i, VIDEO_FRAMES)
+                rows.append((i, f"v{i}", "video", payload, {}))
+                if i % PLANT_EVERY == 0:
+                    # twin: identical frames minus the last one -> the
+                    # byte-exact frame chunks re-wrap into a new AVI
+                    twin = _video_payload(i, VIDEO_FRAMES - 1)
+                    rows.append((i + n, f"v{i}t", "video", twin, {}))
+            yield pd.DataFrame(rows, columns=MEDIA_COLS)
+
+    return spark.range(n).mapInPandas(gen, schema=mm.MEDIA_SCHEMA)
+
+
 def _planted_images_df(spark, n: int):
     return (
         spark.range(0, n, PLANT_EVERY)
@@ -180,6 +222,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--audio-n", type=int, default=200_000)
+    ap.add_argument("--video-n", type=int, default=100_000)
     ap.add_argument("--master", default="local[32]")
     args = ap.parse_args()
     spark = get_spark("bench_media_dedup", master=args.master)
@@ -236,6 +279,37 @@ def main() -> None:
     print(json.dumps({
         "op": "audio_near_dup", "payloads": n_audio,
         "wall_s": round(dt, 2), "payloads_per_s": int(n_audio / dt), **res,
+    }), flush=True)
+    assert res["exact"], res
+
+    # ---- video
+    from o2g_spark.operators import video as V
+
+    vmedia = _synth_videos(spark, args.video_n)
+    _synth_videos(spark, 2_000).count()
+    t0 = time.time()
+    found = V.video_near_dup_pairs(vmedia, threshold=0.5)
+    jac = round((VIDEO_FRAMES - 1) / VIDEO_FRAMES, 6)
+    vplanted = (
+        spark.range(0, args.video_n, PLANT_EVERY)
+        .select(
+            F.col("id").alias("id_a"),
+            (F.col("id") + args.video_n).alias("id_b"),
+            F.lit(jac).alias("jaccard"),
+        )
+    )
+    n_vf, n_vp = found.count(), vplanted.count()
+    n_match = found.join(vplanted, ["id_a", "id_b", "jaccard"]).count()
+    res = {"found": n_vf, "planted": n_vp,
+           "exact": bool(n_vf == n_vp == n_match)}
+    dt = time.time() - t0
+    n_vid = args.video_n + args.video_n // PLANT_EVERY
+    n_frames_total = n_vid * VIDEO_FRAMES - args.video_n // PLANT_EVERY
+    print(json.dumps({
+        "op": "video_near_dup", "payloads": n_vid,
+        "frames_decoded": n_frames_total,
+        "wall_s": round(dt, 2), "payloads_per_s": int(n_vid / dt),
+        "frames_per_s": int(n_frames_total / dt), **res,
     }), flush=True)
     assert res["exact"], res
 

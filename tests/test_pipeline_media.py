@@ -14,7 +14,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from o2g_spark.kernels.avi import try_decode_avi  # noqa: E402
 from o2g_spark.operators import media_dedup as M  # noqa: E402
+from o2g_spark.operators import video as V  # noqa: E402
 from o2g_spark.operators.multimodal import (  # noqa: E402
     MEDIA_SCHEMA,
     _try_decode_raster,
@@ -22,6 +24,7 @@ from o2g_spark.operators.multimodal import (  # noqa: E402
 )
 
 AUDIO_OFFSET = 10_000  # keep media_id unique across modalities
+VIDEO_OFFSET = 100_000
 FRAME = 128
 
 
@@ -29,7 +32,28 @@ def _media_rows():
     rows = list(M.synth_phash_media_rows())
     for mid, url, kind, payload, meta in M.synth_afp_media_rows():
         rows.append((mid + AUDIO_OFFSET, url, kind, payload, meta))
+    for mid, url, kind, payload, meta in V.synth_avi_media_rows():
+        rows.append((mid + VIDEO_OFFSET, url, kind, payload, meta))
     return rows
+
+
+def _expected_video_pairs(rows, threshold=0.5):
+    sets = {}
+    for mid, _u, kind, payload, _m in rows:
+        if kind != "video":
+            continue
+        sets[mid] = {M.dhash_from_rgb(f)
+                     for f in try_decode_avi(bytes(payload))[3]}
+    out = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                jac = round(inter / len(sets[a] | sets[b]), 6)
+                if jac >= threshold:
+                    out.add((a, b, jac))
+    return out
 
 
 def _expected_pairs(rows, max_hamming=6):
@@ -87,7 +111,8 @@ def _by_stage(lines):
 
 def test_all_stages_present(cli):
     stages = _by_stage(cli["lines"])
-    for s in ("media_sig_image", "media_sig_audio", "media_pairs",
+    for s in ("media_sig_image", "media_sig_audio", "media_sig_video",
+              "media_pairs", "media_pairs_video",
               "media_dedup_clusters", "media_dedup_stats"):
         assert s in stages, s
         assert stages[s]["resumed"] is False
@@ -103,6 +128,12 @@ def test_signature_stage_rows(cli):
     assert stages["media_sig_image"]["undecodable"] == 0
     # the short clip fingerprints as NULL
     assert stages["media_sig_audio"]["unfingerprintable"] == 1
+    n_frames = sum(
+        len(try_decode_avi(bytes(r[3]))[3])
+        for r in rows if r[2] == "video")
+    assert stages["media_sig_video"]["rows"] == n_frames
+    assert stages["media_sig_video"]["videos"] == sum(
+        1 for r in rows if r[2] == "video")
 
 
 def test_pair_set_exact(cli, spark):
@@ -119,11 +150,21 @@ def test_pair_set_exact(cli, spark):
         1 for p in want if p[3] == "audio")
     assert stages["media_pairs"]["hot_buckets_image"] == 0
     assert stages["media_pairs"]["hot_buckets_audio"] == 0
+    vwant = _expected_video_pairs(_media_rows())
+    vgot = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(
+            os.path.join(cli["wh"], "media_pairs_video", "data")).collect()
+    }
+    assert vgot == vwant and len(vwant) >= 3
+    assert stages["media_pairs_video"]["hot_frame_hashes"] == 0
 
 
 def test_cluster_report(cli):
     stages = _by_stage(cli["lines"])
-    want = _expected_pairs(_media_rows())
+    want = set(_expected_pairs(_media_rows()))
+    want |= {(a, b, j, "video") for a, b, j in
+             _expected_video_pairs(_media_rows())}
     # union-find over expected pairs → clusters and droppable count
     parent = {}
 
@@ -149,11 +190,13 @@ def test_cluster_report(cli):
 
 def test_resume_skips_decode(cli):
     stages = _by_stage(cli["resumed"])
-    for s in ("media_sig_image", "media_sig_audio", "media_pairs",
+    for s in ("media_sig_image", "media_sig_audio", "media_sig_video",
+              "media_pairs", "media_pairs_video",
               "media_dedup_clusters", "media_dedup_stats"):
         assert stages[s]["resumed"] is True
     first = _by_stage(cli["lines"])
-    for s in ("media_sig_image", "media_sig_audio", "media_pairs"):
+    for s in ("media_sig_image", "media_sig_audio", "media_sig_video",
+              "media_pairs", "media_pairs_video"):
         assert stages[s]["rows"] == first[s]["rows"]
 
 

@@ -1,0 +1,163 @@
+"""AVI video codec kernel + video operators: real container decode
+(raw-DIB exact, MJPEG through the pure-numpy JPEG codec), per-frame
+dHash parity with the image kernel, and frame-set near-dup pairs
+pinned against brute-force set jaccard."""
+
+import numpy as np
+import pytest
+
+from o2g_spark.kernels.avi import MOVI_DATA_OFFSET, make_avi, try_decode_avi
+from o2g_spark.operators import video as V
+from o2g_spark.operators.media_dedup import dhash_from_rgb
+from o2g_spark.operators.multimodal import MEDIA_SCHEMA
+
+
+def _frames(n, h=12, w=18, seed=5):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+# --------------------------------------------------------------- kernel
+
+
+def test_rawdib_round_trip_exact():
+    frames = _frames(5)
+    w, h, fps, out = try_decode_avi(make_avi(frames, fps=8))
+    assert (w, h, fps, len(out)) == (18, 12, 8, 5)
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+
+
+def test_rawdib_arithmetic_frame_offsets():
+    # the property the DuckDB gate twin relies on: frame f's pixel
+    # (y, x, c) sits at a pure-arithmetic payload offset
+    frames = _frames(4)
+    b = make_avi(frames, fps=10)
+    h, w = 12, 18
+    stride = (w * 3 + 3) & ~3
+    for f, y, x, c in ((0, 0, 0, 0), (2, 3, 5, 0), (3, 11, 17, 2)):
+        off = (MOVI_DATA_OFFSET + f * (8 + stride * h) + 8
+               + (h - 1 - y) * stride + x * 3 + (2 - c))
+        assert b[off] == frames[f][y, x, c]
+
+
+def test_mjpeg_round_trip_within_lossy_bound():
+    # flat-ish frames: quantization error bounded like the JPEG bench
+    rng = np.random.default_rng(7)
+    frames = []
+    for i in range(3):
+        f = np.empty((16, 16, 3), dtype=np.uint8)
+        f[..., 0], f[..., 1], f[..., 2] = 40 * i + 30, 90, 150
+        frames.append(f)
+    w, h, fps, out = try_decode_avi(make_avi(frames, fps=5, codec="mjpeg"))
+    assert (w, h, fps, len(out)) == (16, 16, 5, 3)
+    for a, b in zip(frames, out):
+        assert np.abs(a.astype(int) - b.astype(int)).mean() < 3.0
+
+
+def test_truncated_tail_keeps_leading_frames():
+    frames = _frames(5)
+    b = make_avi(frames, fps=8)
+    for cut in (1, 100, 700):
+        r = try_decode_avi(b[: len(b) - cut])
+        assert r is not None and 0 < len(r[3]) < 5
+        for a, got in zip(frames, r[3]):
+            assert np.array_equal(a, got)
+
+
+def test_odd_width_and_rejects():
+    f = _frames(1, h=9, w=13, seed=9)
+    w, h, fps, out = try_decode_avi(make_avi(f, fps=1))
+    assert (w, h) == (13, 9) and np.array_equal(out[0], f[0])
+    assert try_decode_avi(b"\x00" * 64) is None
+    assert try_decode_avi(b"RIFF\x10\x00\x00\x00WAVE" + b"\x00" * 24) is None
+    with pytest.raises(ValueError):
+        make_avi(f, codec="h264")
+    with pytest.raises(ValueError):
+        make_avi([])
+
+
+# ------------------------------------------------------------ operators
+
+
+def test_decode_video_metadata(spark):
+    media = V.synth_avi_media(spark)
+    rows = {r.media_id: r for r in V.decode_video(media).collect()}
+    for mid, _u, _k, payload, _m in V.synth_avi_media_rows():
+        w, h, fps, frames = try_decode_avi(bytes(payload))
+        r = rows[mid]
+        assert (r.width, r.height, r.fps, r.n_frames) == (w, h, fps, len(frames))
+        assert r.duration_ms == len(frames) * 1000 // fps
+    # undecodable payload -> NULL metadata
+    bad = spark.createDataFrame(
+        [(9, "u", "video", b"\x00garbage", {})], MEDIA_SCHEMA)
+    r = V.decode_video(bad).collect()[0]
+    assert r.width is None and r.n_frames is None
+
+
+def test_frame_dhash_matches_image_kernel(spark):
+    media = V.synth_avi_media(spark)
+    got = {(r.media_id, r.frame_idx): r.dhash
+           for r in V.video_frame_dhash(media).collect()}
+    want = {}
+    for mid, _u, _k, payload, _m in V.synth_avi_media_rows():
+        for idx, frame in enumerate(try_decode_avi(bytes(payload))[3]):
+            want[(mid, idx)] = dhash_from_rgb(frame)
+    assert got == want
+
+
+def test_frame_sampling_every_k(spark):
+    media = V.synth_avi_media(spark)
+    all_rows = V.video_frame_dhash(media, every_k=1).collect()
+    sampled = V.video_frame_dhash(media, every_k=2).collect()
+    assert {(r.media_id, r.frame_idx) for r in sampled} == {
+        (r.media_id, r.frame_idx) for r in all_rows if r.frame_idx % 2 == 0}
+    with pytest.raises(ValueError):
+        V.video_frame_dhash(media, every_k=0)
+
+
+def _brute_pairs(rows, threshold):
+    sets = {}
+    for mid, _u, _k, payload, _m in rows:
+        sets[mid] = {dhash_from_rgb(f)
+                     for f in try_decode_avi(bytes(payload))[3]}
+    out = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                jac = round(inter / len(sets[a] | sets[b]), 6)
+                if jac >= threshold:
+                    out.add((a, b, jac))
+    return out
+
+
+def test_video_near_dup_equals_brute(spark):
+    media = V.synth_avi_media(spark)
+    got = {(r.id_a, r.id_b, r.jaccard)
+           for r in V.video_near_dup_pairs(media, threshold=0.5).collect()}
+    want = _brute_pairs(V.synth_avi_media_rows(), 0.5)
+    assert got == want
+    assert (1000, 2000, 1.0) in got  # the byte-identical dup (of id 1000)
+    assert len(got) >= 3  # planted twins actually pair
+    assert any(j < 1.0 for _, _, j in got)  # non-trivial overlaps too
+
+
+def test_video_near_dup_max_df_cap(spark):
+    # a "test card" frame shared by many videos trips the cap; the
+    # hot-hash report names it and capped pairing drops only it
+    rng = np.random.default_rng(31)
+    card = rng.integers(0, 251, size=(8, 9)).astype(np.int64)
+    rows = []
+    for i in range(8):
+        own = rng.integers(0, 251, size=(8, 9)).astype(np.int64)
+        frames = [V._grid_frame(card)] + [V._grid_frame(own)] * 3
+        rows.append((i, f"u{i}", "video", make_avi(frames, fps=4), {}))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hot = V.video_hot_frame_hashes(media, max_df=3).collect()
+    assert len(hot) == 1 and hot[0].n_videos == 8
+    capped = V.video_near_dup_pairs(media, threshold=0.1, max_df=3)
+    assert capped.count() == 0  # only the card was shared
+    uncapped = V.video_near_dup_pairs(media, threshold=0.1)
+    assert uncapped.count() == 8 * 7 // 2  # card links every pair
