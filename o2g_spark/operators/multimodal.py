@@ -110,11 +110,11 @@ FRAME_SCHEMA = T.StructType(
 # YCbCr, 4:4:4/grayscale envelope) and WAV (PCM16) are parseable in
 # pure numpy/stdlib — so those formats decode FOR REAL inside the
 # existing mapInPandas batches: physically-true width/height/pixels
-# and sample-rate/duration/RMS (JPEG covers 4:4:4 through 4:2:0
-# sampling). VIDEO decodes for real too for AVI containers — raw-DIB
-# and MJPEG frames via kernels/avi.py, surfaced by operators/video.py
-# (decode_video / video_frame_dhash / video_near_dup_pairs).
-# Progressive JPEGs, MP3 and non-AVI video containers (MP4/H.264)
+# and sample-rate/duration/RMS (JPEG covers baseline AND progressive
+# SOF2, 4:4:4 through 4:2:0 sampling). VIDEO decodes for real too for
+# AVI containers — raw-DIB and MJPEG frames via kernels/avi.py,
+# surfaced by operators/video.py (decode_video / video_frame_dhash /
+# video_near_dup_pairs). MP3 and non-AVI video containers (MP4/H.264)
 # still fall back to the deterministic sha256 stand-in below.
 
 
@@ -676,10 +676,10 @@ def _bmp_feature(rgb: np.ndarray) -> np.ndarray:
 
 def _try_decode_raster(b: bytes) -> tuple[int, int, np.ndarray] | None:
     """Sniff-and-decode the raster formats this container handles for
-    real: 24-bit BMP, 8-bit PNG, palette GIF, then baseline JPEG
-    (kernels/jpeg.py — pure-numpy Huffman + IDCT; 4:4:4 through 4:2:0
-    sampling + grayscale, progressive files fall through to the
-    stand-in). One (w, h, rgb) contract."""
+    real: 24-bit BMP, 8-bit PNG, palette GIF, then JPEG
+    (kernels/jpeg.py — pure-numpy Huffman + IDCT; baseline AND
+    progressive SOF2, 4:4:4 through 4:2:0 sampling + grayscale).
+    One (w, h, rgb) contract."""
     out = try_decode_bmp(b)
     if out is None:
         out = try_decode_png(b)
@@ -721,7 +721,7 @@ def decode_images(
     shape that survives 100 TB of media.
 
     Payloads are sniffed per row: 24-bit BMP, 8-bit PNG, palette GIF
-    and baseline 4:4:4/grayscale JPEG decode FOR REAL (pure numpy +
+    and JPEG (baseline + progressive) decode FOR REAL (pure numpy +
     stdlib zlib + a general LZW decoder + a Huffman/IDCT JPEG kernel,
     :func:`try_decode_bmp` / :func:`try_decode_png` /
     :func:`try_decode_gif` / ``kernels.jpeg.try_decode_jpeg``) with
@@ -733,11 +733,12 @@ def decode_images(
     """
     if use_real_decoder and not HAVE_PIL:
         raise NotImplementedError(
-            "real decode of the remaining codec formats (progressive "
-            "JPEG, MP3, MP4/H.264 video) needs PIL/pillow or ffmpeg — "
-            "not in this container; BMP, PNG, GIF, baseline JPEG "
-            "(4:4:4 through 4:2:0) and AVI video (raw-DIB/MJPEG via "
-            "operators/video.py) already decode for real"
+            "real decode of the remaining codec formats (MP3, "
+            "MP4/H.264 video) needs PIL/pillow or ffmpeg — not in "
+            "this container; BMP, PNG, GIF, JPEG (baseline AND "
+            "progressive, 4:4:4 through 4:2:0) and AVI video "
+            "(raw-DIB/MJPEG via operators/video.py) already decode "
+            "for real"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -77,13 +77,17 @@ def _make_payload(kind: str, i: int) -> bytes:
         if kind == "bmp":
             return mm.make_bmp(rgb, top_down=(i % 5 == 0))
         return mm.make_png(rgb, filter_type=i % 5, stored=False)
-    if kind == "jpeg":
+    if kind in ("jpeg", "jpeg_prog"):
         from o2g_spark.kernels import jpeg as J
 
         rgb = np.empty((h, w, 3), dtype=np.uint8)
         rgb[..., 0] = i % 251
         rgb[..., 1] = (i * 7) % 256
         rgb[..., 2] = (i * 13) % 256
+        if kind == "jpeg_prog":
+            return J.make_progressive_jpeg(
+                rgb, quality=90, subsample=(i % 3 == 0),
+                spectral_only=(i % 2 == 0))
         return J.make_jpeg(rgb, quality=90,
                            restart_interval=(3 if i % 4 == 0 else 0),
                            subsample=(i % 3 == 0))
@@ -125,11 +129,11 @@ def main() -> None:
     args = ap.parse_args()
     spark = get_spark("bench_multimodal", master=args.master)
 
-    for kind in ("bmp", "png", "gif", "jpeg", "wav"):
+    for kind in ("bmp", "png", "gif", "jpeg", "jpeg_prog", "wav"):
         # JPEG entropy-decodes block-by-block in Python (the honest
         # cost of a real Huffman stream without libjpeg) — bench it at
         # a tenth of the lossless formats' row count
-        n = args.n // 10 if kind == "jpeg" else args.n
+        n = args.n // 10 if kind.startswith("jpeg") else args.n
         media = _synth(spark, kind, n)
         if kind == "wav":
             out = mm.audio_features(media)
@@ -145,7 +149,7 @@ def main() -> None:
             # lossless formats must hit the planted constant exactly;
             # JPEG is lossy — flat-block DC quant + YCbCr round-trip
             # bounds the channel mean within ±2.5/255
-            tol = 2.5 / 255.0 if kind == "jpeg" else 1e-6
+            tol = 2.5 / 255.0 if kind.startswith("jpeg") else 1e-6
             cond = (
                 F.abs(F.element_at("feature", 1) - planted / F.lit(255.0))
                 < tol

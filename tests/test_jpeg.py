@@ -111,9 +111,15 @@ def test_rejects_out_of_envelope():
     assert J.try_decode_jpeg(b"") is None
     assert J.try_decode_jpeg(good[:60]) is None           # truncated header
     assert J.try_decode_jpeg(good[:-30]) is None          # truncated stream
-    prog = bytearray(good)
     sof_at = good.find(b"\xff\xc0")
-    prog[sof_at + 1] = 0xC2                               # progressive
+    arith = bytearray(good)
+    arith[sof_at + 1] = 0xC9                              # arithmetic
+    assert J.try_decode_jpeg(bytes(arith)) is None
+    # SOF2 is now in-envelope (test_jpeg_progressive.py) — but a
+    # baseline scan script under an SOF2 header is malformed
+    # progressive (interleaved full-band AC scan) and must reject
+    prog = bytearray(good)
+    prog[sof_at + 1] = 0xC2
     assert J.try_decode_jpeg(bytes(prog)) is None
     sub = bytearray(good)
     # SOF0 body: len(2) prec(1) h(2) w(2) nf(1) then per-comp id,hv,tq
