@@ -2898,6 +2898,39 @@ WHERE round(s / (na.n + nb.n - s), 6) >= {threshold}
 """
 
 
+def _q_near_dup_video_stream(spark, sf_dir):
+    """Batch twin of streaming.stateful.near_dup_video_stream (the
+    VIDEO-modality candidate funnel — frame dHashes as the band keys,
+    completing the stream family across all four modalities): per
+    frame-hash bucket the min-string-id clip is canonical, every
+    other clip sharing that PHYSICAL frame pairs with it, one row per
+    shared bucket. The streaming path is pinned against this twin by
+    tests/test_streaming_stateful.py."""
+    from o2g_spark.streaming import stateful
+
+    return stateful.near_dup_video_batch(
+        video.synth_avi_media(spark), ts_col=None
+    )
+
+
+def _near_dup_video_stream_oracle_sql() -> str:
+    """DuckDB twin: the shared payload-hex per-frame dHash CTE
+    (every frame's signature re-derived from raw AVI bytes), distinct
+    frame-hash sets per clip, min-VARCHAR-id canonicals per bucket."""
+    return f"""
+WITH {_avi_vsig_cte()},
+sets AS (
+  SELECT DISTINCT CAST(media_id AS VARCHAR) AS did, dhash FROM vsig
+),
+ranked AS (
+  SELECT did, dhash, min(did) OVER (PARTITION BY dhash) AS canon
+  FROM sets
+)
+SELECT canon AS id_a, did AS id_b, CAST(0 AS INTEGER) AS band
+FROM ranked WHERE did != canon
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core
@@ -3008,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avi_decode": _q_avi_decode,
         "video_frame_hash": _q_video_frame_hash,
         "video_near_dup": _q_video_near_dup,
+        "near_dup_video_stream": _q_near_dup_video_stream,
     }
 
 
@@ -3414,6 +3448,7 @@ FROM documents
         "avi_decode": _avi_decode_oracle_sql(),
         "video_frame_hash": _video_frame_hash_oracle_sql(),
         "video_near_dup": _video_near_dup_oracle_sql(),
+        "near_dup_video_stream": _near_dup_video_stream_oracle_sql(),
         "near_dup_stream": _near_dup_stream_oracle_sql(),
         "near_dup_emb_stream": _near_dup_emb_stream_oracle_sql(),
         "gtfs_resolve": _gtfs_resolve_oracle_sql(),

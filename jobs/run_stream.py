@@ -15,7 +15,9 @@ manifest — evidence protocol in scripts/stream_resume_demo.py):
   neardup-media  near_dup_media_stream over a raw media stream
                (media_id, kind, payload binary, ts) — integer dHash /
                audio-fingerprint funnel; --media-kind picks the
-               modality (one query per modality, shared machinery)
+               modality (one query per modality, shared machinery);
+               --media-kind video routes to near_dup_video_stream
+               (real AVI decode, per-frame dHashes as band keys)
   hll          hll_window_stream over an event stream
                (grp string, v string, ts) — tumbling-window distinct
                sketch, 2^p bytes of state per open window
@@ -98,6 +100,11 @@ def build_query(spark, args):
             stream, dim=args.dim, shards=args.shards or 1024, **common
         )
     if args.op == "neardup-media":
+        if args.media_kind == "video":
+            return stateful.near_dup_video_stream(
+                stream, every_k=args.video_every_k,
+                shards=args.shards or 1024, **common
+            )
         return stateful.near_dup_media_stream(
             stream, kind=args.media_kind, shards=args.shards or 1024,
             frame_samples=args.media_frame_samples, **common
@@ -194,8 +201,13 @@ def main(argv=None) -> int:
     ap.add_argument("--hll-p", type=int, default=10,
                     help="hll: sketch precision (state = 2^p bytes)")
     ap.add_argument("--media-kind", default="image",
-                    choices=["image", "audio"],
-                    help="modality for --op neardup-media")
+                    choices=["image", "audio", "video"],
+                    help="modality for --op neardup-media (video "
+                         "routes to the frame-hash funnel, "
+                         "near_dup_video_stream)")
+    ap.add_argument("--video-every-k", type=int, default=1,
+                    help="sample every k-th frame for --media-kind "
+                         "video")
     ap.add_argument("--media-frame-samples", type=int, default=256,
                     help="audio fingerprint frame size for --op "
                          "neardup-media --media-kind audio")

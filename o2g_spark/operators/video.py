@@ -203,6 +203,38 @@ def video_near_dup_pairs_from_hashes(
     )
 
 
+def video_frame_dhash_udf(every_k: int = 1):
+    """Arrow pandas UDF: raw AVI payload bytes → array<long> of the
+    clip's DISTINCT sampled-frame dHashes, sorted (set semantics — a
+    repeated frame contributes once; pure function of the payload).
+    The column-expression form of :func:`video_frame_dhash`, for the
+    STREAMING funnel: a watermarked stream wants the signature set as
+    one added column (ArrowEvalPython is its own plan node, so the
+    posexplode downstream consumes a real column — no HOF-inlining
+    risk). NULL for undecodable payloads; frames below the 9×8 dHash
+    grid are skipped."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(payloads: pd.Series) -> pd.Series:
+        out: list[list[int] | None] = []
+        for p in payloads:
+            dec = try_decode_avi(bytes(p))
+            if dec is None:
+                out.append(None)
+                continue
+            hashes = {
+                h
+                for idx in range(0, len(dec[3]), every_k)
+                if (h := dhash_from_rgb(dec[3][idx])) is not None
+            }
+            out.append(sorted(hashes))
+        return pd.Series(out, dtype="object")
+
+    return _sig
+
+
 # ------------------------------------------------------------- fixtures
 
 

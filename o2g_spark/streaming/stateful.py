@@ -1004,6 +1004,107 @@ def near_dup_media_stream(
     return _bucket_candidates_stream(banded, timeout_ms, time_mode, shards)
 
 
+# --------------------------------- streaming VIDEO near-dup
+
+def _banded_video(
+    df: DataFrame, id_col: str, payload_col: str,
+    ts_col: str | None, every_k: int,
+) -> DataFrame:
+    """(did[, ts], band, key) rows for the VIDEO modality: the clip's
+    DISTINCT frame dHashes ARE the band keys (band ≡ 0) — two clips
+    sharing any physical frame share a bucket, exactly the doc→band
+    structure the text stream has with minhash bands (frame hashes as
+    the shingles). Real AVI decode per row via one Arrow UDF column
+    (operators.video.video_frame_dhash_udf), then posexplode of the
+    REAL array column (rule-1 safe: ArrowEvalPython materializes it)."""
+    from ..operators.video import video_frame_dhash_udf
+
+    sig_udf = video_frame_dhash_udf(every_k)
+    src = df.filter(F.col("kind") == "video") if "kind" in df.columns else df
+    keep = [F.col(id_col).cast("string").alias("did")]
+    out_cols = ["did"]
+    if ts_col is not None:
+        keep.append(F.col(ts_col).alias("ts"))
+        out_cols.append("ts")
+    sig = src.select(*keep, sig_udf(F.col(payload_col)).alias("__fh")).filter(
+        F.col("__fh").isNotNull()
+    )
+    return sig.select(
+        *out_cols, F.posexplode("__fh").alias("__i", "key")
+    ).select(*out_cols, F.lit(0).alias("band"), "key")
+
+
+def near_dup_video_batch(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    ts_col: str | None = None,
+    every_k: int = 1,
+) -> DataFrame:
+    """Batch twin of :func:`near_dup_video_stream`: per frame-hash
+    bucket the canonical clip is the first by (ts, id) — every other
+    clip sharing that frame pairs with it. Output (id_a, id_b, band),
+    id_a = canonical, band ≡ 0 — one row per shared bucket, like the
+    stream (a pair sharing k frames appears k times; downstream
+    verify dedups, so neither side pays a distinct exchange here)."""
+    banded = _banded_video(media, id_col, payload_col, ts_col, every_k)
+    order = ([F.col("ts").asc()] if ts_col is not None else []) + [
+        F.col("did").asc()
+    ]
+    w = Window.partitionBy("band", "key").orderBy(*order)
+    return (
+        banded.withColumn("__canon", F.first("did").over(w))
+        .filter(F.col("did") != F.col("__canon"))
+        .select(
+            F.col("__canon").alias("id_a"),
+            F.col("did").alias("id_b"),
+            F.col("band").cast(T.IntegerType()).alias("band"),
+        )
+    )
+
+
+def near_dup_video_stream(
+    stream: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    ts_col: str = "ts",
+    every_k: int = 1,
+    timeout_ms: int = 3_600_000,
+    time_mode: str = "event",
+    watermark: str | None = "10 minutes",
+    shards: int = 1024,
+) -> DataFrame:
+    """Streaming near-duplicate candidates for the VIDEO modality:
+    per-frame integer dHashes (real AVI decode, operators/video.py)
+    feed the same sharded bounded-state machinery as the text /
+    embedding / image-audio streams — the frame hash plays the
+    shingle's role, so clips that share ANY sampled frame with the
+    ACTIVE canonical become candidates regardless of trims or
+    re-ordering (set semantics, like the batch operator's frame-set
+    jaccard). Exact verification happens downstream in batch
+    (operators.video.video_near_dup_pairs_from_hashes) from committed
+    frame-hash snapshots. A clip emits one candidate row per SHARED
+    frame hash bucket; downstream verify dedups, exactly like the
+    text stream's multi-band hits.
+
+    Blank/test-card frames are the stop-words of this keying: at a
+    real crawl scale pair it with the batch-side ``max_df`` counters
+    (operators.video.video_hot_frame_hashes) and keep the bucket
+    timeout matched to the active horizon. State is O(active frame
+    hashes), sharded; eviction semantics identical to
+    :func:`near_dup_candidates_stream`."""
+    if not stream.isStreaming:
+        raise ValueError(
+            "near_dup_video_stream expects a streaming DataFrame; "
+            "use near_dup_video_batch for batch backfill"
+        )
+    _check_time_mode(time_mode)
+    if time_mode == "event" and watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+    banded = _banded_video(stream, id_col, payload_col, ts_col, every_k)
+    return _bucket_candidates_stream(banded, timeout_ms, time_mode, shards)
+
+
 # --------------------------------------------------------- windowed HLL
 
 _HLL_OUT_SCHEMA = T.StructType(

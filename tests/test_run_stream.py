@@ -101,3 +101,58 @@ def test_run_stream_quantiles_drain(spark, tmp_path):
     assert len(got) == payload["sink_rows"]
     for r in got:
         assert batch[(r["grp"], r["ws_s"])] == (r["p50"], r["p90"], r["p99"])
+
+
+def test_run_stream_neardup_video_drain(spark, tmp_path):
+    """--op neardup-media --media-kind video drains to a sink that
+    matches the batch twin (stateful.near_dup_video_batch) exactly —
+    the real-AVI-decode frame-hash funnel through the production CLI."""
+    import datetime as dt
+
+    from o2g_spark.operators import video as V
+    from o2g_spark.streaming import stateful
+
+    src = str(tmp_path / "vsrc")
+    sink = str(tmp_path / "vsink")
+    ckpt = str(tmp_path / "vckpt")
+    t0 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        (mid, kind, payload,
+         t0 + dt.timedelta(minutes=(10 + mid % 37 if mid >= 1000
+                                    else mid % 7)))
+        for mid, _u, kind, payload, _m in V.synth_avi_media_rows()
+    ]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "ts"])
+    os.makedirs(src)
+    # base clips in the first micro-batch, twins in the second — the
+    # cross-batch dup shape; timestamps to µs (ns is stream-unreadable)
+    for j, part in enumerate((pdf[pdf["media_id"] < 1000],
+                              pdf[pdf["media_id"] >= 1000])):
+        part.reset_index(drop=True).to_parquet(
+            os.path.join(src, f"part{j}.parquet"),
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_stream.py"),
+         "--op", "neardup-media", "--media-kind", "video",
+         "--src", src, "--sink", sink, "--ckpt", ckpt,
+         "--timeout-ms", "86400000", "--watermark", "1 minute",
+         "--mode", "drain"],
+        env=dict(os.environ, SPARK_GRAFT_CPUS="4"),
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["op"] == "neardup-media" and payload["mode"] == "drain"
+
+    expected = sorted(
+        map(tuple, stateful.near_dup_video_batch(
+            spark.createDataFrame(pdf), ts_col="ts"
+        ).collect())
+    )
+    assert payload["sink_rows"] == len(expected) > 0
+    got = sorted(
+        (r.id_a, r.id_b, r.band)
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == expected

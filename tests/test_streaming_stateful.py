@@ -785,3 +785,75 @@ def test_near_dup_media_stream_rejects_batch_frame(spark):
         stateful.near_dup_media_batch(
             _media_df(spark, _media_pdf()), kind="video"
         )
+
+
+# ---------------------- streaming VIDEO near-dup (r5)
+
+
+def _video_pdf():
+    """AVI fixture rows (operators/video's gate fixtures) with event
+    timestamps: base clips first, their planted frame-subset twins
+    ten+ minutes later — the cross-batch shape the stream must catch."""
+    from o2g_spark.operators import video as V
+
+    base = dt.datetime(2024, 8, 1, 9, 0, 0)
+    rows = []
+    for mid, _u, kind, payload, _m in V.synth_avi_media_rows():
+        ts = base + dt.timedelta(
+            minutes=(10 + mid % 37 if mid >= 1000 else mid % 7))
+        rows.append((mid, kind, payload, ts))
+    return pd.DataFrame(rows, columns=["media_id", "kind", "payload", "ts"])
+
+
+def test_near_dup_video_batch_shape(spark):
+    pdf = _video_pdf()
+    got = {
+        (r.id_a, r.id_b)
+        for r in stateful.near_dup_video_batch(
+            _media_df(spark, pdf), ts_col="ts"
+        ).collect()
+    }
+    # twin 1000 drops base 0's last frame (its frames ⊂ base 0's) and
+    # clip 2000 is byte-identical to 1000 — base 0 has the earliest
+    # ts, so it is the canonical of every shared frame bucket
+    assert ("0", "1000") in got
+    assert ("0", "2000") in got
+    # twinless base clips (1, 2: 8×9 random grids) share no frame
+    ids_in_pairs = {x for p in got for x in p}
+    assert "1" not in ids_in_pairs and "2" not in ids_in_pairs
+
+
+def test_near_dup_video_stream_matches_batch(spark, tmp_path):
+    """Video stream == batch twin on a replayed 2-file stream: one
+    candidate row per shared frame-hash bucket, canonical = first
+    arrival (the state machinery is shared with the other three
+    modality streams; this pins the AVI decode + frame-hash banding
+    plumbing end-to-end)."""
+    pdf = _video_pdf()
+    early = pdf[pdf["media_id"] < 1000].reset_index(drop=True)
+    late = pdf[pdf["media_id"] >= 1000].reset_index(drop=True)
+    expected = sorted(
+        map(tuple, stateful.near_dup_video_batch(
+            _media_df(spark, pdf), ts_col="ts",
+        ).collect())
+    )
+    assert len(expected) >= 6  # fixtures must actually plant pairs
+    src = str(tmp_path / "video_src")
+    _write_replay_files(src, [early, late])
+    stream = (
+        spark.readStream.schema(
+            "media_id long, kind string, payload binary, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful.near_dup_video_stream(stream, timeout_ms=3_600_000)
+    rows = _drain_stream(spark, out, "video_nd", len(expected))
+    assert sorted((r.id_a, r.id_b, r.band) for r in rows) == expected
+
+
+def test_near_dup_video_stream_rejects_batch_frame(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        stateful.near_dup_video_stream(_media_df(spark, _video_pdf()))
