@@ -2880,7 +2880,8 @@ def _video_frame_hash_oracle_sql() -> str:
     )
 
 
-def _video_near_dup_oracle_sql(threshold: float = 0.5) -> str:
+def _video_near_dup_oracle_sql(threshold: float = 0.5,
+                               extra_where: str = "") -> str:
     return f"""
 WITH {_avi_vsig_cte()},
 sets AS (SELECT DISTINCT media_id, dhash FROM vsig),
@@ -2894,8 +2895,41 @@ SELECT ia AS id_a, ib AS id_b,
        round(s / (na.n + nb.n - s), 6) AS jaccard
 FROM shared JOIN sizes na ON na.media_id = ia
             JOIN sizes nb ON nb.media_id = ib
-WHERE round(s / (na.n + nb.n - s), 6) >= {threshold}
+WHERE round(s / (na.n + nb.n - s), 6) >= {threshold}{extra_where}
 """
+
+
+def _q_video_incremental(spark, sf_dir):
+    """Incremental video near-dup pairing against the PERSISTED
+    frame-hash index (operators/video_index.py — the video member of
+    the lsh/emb/media index family): base clips (media_id < 1000)
+    indexed, twins + the byte dup (>= 1000) arriving as the new batch
+    — every planted pair CROSSES the split except (1000, 2000), which
+    exercises new × new. The DuckDB twin is the full-corpus
+    payload-hex set-jaccard twin filtered to new-touching pairs —
+    equal because frame hashes are pure functions of payload bytes
+    (also pinned in tests/test_video_index.py). Rebuilds force=True
+    under /tmp so the query is self-contained and rerunnable."""
+    import hashlib
+    import tempfile
+
+    from o2g_spark.operators import video_index
+
+    media = video.synth_avi_media(spark)
+    base = (
+        f"{tempfile.gettempdir()}/o2g_gate_video_index_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    )
+    video_index.video_index_build(
+        spark, base, media.filter("media_id < 1000"), force=True)
+    return video_index.video_near_dup_incremental(
+        spark, base, media.filter("media_id >= 1000"),
+        threshold=0.5, max_df=None)
+
+
+def _video_incremental_oracle_sql() -> str:
+    return _video_near_dup_oracle_sql(
+        0.5, "\n  AND (ia >= 1000 OR ib >= 1000)")
 
 
 def _q_near_dup_video_stream(spark, sf_dir):
@@ -3042,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_hash": _q_video_frame_hash,
         "video_near_dup": _q_video_near_dup,
         "near_dup_video_stream": _q_near_dup_video_stream,
+        "video_incremental": _q_video_incremental,
     }
 
 
@@ -3449,6 +3484,7 @@ FROM documents
         "video_frame_hash": _video_frame_hash_oracle_sql(),
         "video_near_dup": _video_near_dup_oracle_sql(),
         "near_dup_video_stream": _near_dup_video_stream_oracle_sql(),
+        "video_incremental": _video_incremental_oracle_sql(),
         "near_dup_stream": _near_dup_stream_oracle_sql(),
         "near_dup_emb_stream": _near_dup_emb_stream_oracle_sql(),
         "gtfs_resolve": _gtfs_resolve_oracle_sql(),

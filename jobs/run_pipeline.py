@@ -195,10 +195,11 @@ def main(argv=None):
                          "media half of --stage dedup-incremental "
                          "(needs --media as the indexed corpus)")
     ap.add_argument("--media-kind", default="image",
-                    choices=("image", "audio"),
+                    choices=("image", "audio", "video"),
                     help="modality for the media half of --stage "
                          "dedup-incremental (one persisted index per "
-                         "modality)")
+                         "modality; video uses the frame-hash "
+                         "set-jaccard index, operators/video_index)")
     ap.add_argument("--media-frame-samples", type=int, default=256,
                     help="audio fingerprint frame size (samples) for "
                          "--stage media-dedup")
@@ -997,49 +998,73 @@ def main(argv=None):
 
         if args.media and args.new_media:
             # the media-modality half, same lifecycle: persisted
-            # perceptual-signature index + O(batch) incremental
-            # pairing — committed payloads are never re-decoded
-            from o2g_spark.operators import media_index
+            # perceptual-signature (image/audio) or frame-hash (video)
+            # index + O(batch) incremental pairing — committed
+            # payloads are never re-decoded
+            from o2g_spark.operators import media_index, video_index
 
-            midx_dir = idx_dir + "_media"
+            is_video = args.media_kind == "video"
+            midx_dir = idx_dir + ("_video" if is_video else "_media")
             m_corpus = spark.read.parquet(args.media)
             m_new = spark.read.parquet(args.new_media)
             midx_ckpt = CheckpointManager(spark, midx_dir)
+            main_stage = (video_index.FRAMES_STAGE if is_video
+                          else media_index.BANDS_STAGE)
             t0 = time.time()
-            m_built = not midx_ckpt.is_committed(media_index.BANDS_STAGE)
-            media_index.media_index_build(
-                spark, midx_dir, m_corpus, kind=args.media_kind,
-                chunks=args.media_chunks,
-                band_chunks=args.media_band_chunks,
-                frame_samples=args.media_frame_samples)
+            m_built = not midx_ckpt.is_committed(main_stage)
+            if is_video:
+                video_index.video_index_build(spark, midx_dir, m_corpus)
+            else:
+                media_index.media_index_build(
+                    spark, midx_dir, m_corpus, kind=args.media_kind,
+                    chunks=args.media_chunks,
+                    band_chunks=args.media_band_chunks,
+                    frame_samples=args.media_frame_samples)
             m = {
                 "stage": "media_index_build",
                 "rows": _delta_index.total_row_count(
-                    midx_ckpt, media_index.BANDS_STAGE),
+                    midx_ckpt, main_stage),
                 "sec": round(time.time() - t0, 3),
                 "resumed": not m_built,
                 "index_dir": midx_dir,
             }
             metrics.append(m)
             print(json.dumps(m), flush=True)
-            run(
-                "media_dedup_incremental",
-                lambda: media_index.media_near_dup_incremental(
-                    spark, midx_dir, m_new,
-                    max_hamming=args.media_max_hamming,
-                    max_bucket=args.media_max_bucket or None),
-                key_col="id_a",
-                extra={"index_dir": midx_dir,
-                       "media_kind": args.media_kind,
-                       "media_max_bucket": args.media_max_bucket},
-            )
+            if is_video:
+                run(
+                    "media_dedup_incremental",
+                    lambda: video_index.video_near_dup_incremental(
+                        spark, midx_dir, m_new,
+                        threshold=args.video_threshold,
+                        max_df=args.video_max_df or None),
+                    key_col="id_a",
+                    extra={"index_dir": midx_dir,
+                           "media_kind": args.media_kind,
+                           "video_threshold": args.video_threshold,
+                           "video_max_df": args.video_max_df},
+                )
+            else:
+                run(
+                    "media_dedup_incremental",
+                    lambda: media_index.media_near_dup_incremental(
+                        spark, midx_dir, m_new,
+                        max_hamming=args.media_max_hamming,
+                        max_bucket=args.media_max_bucket or None),
+                    key_col="id_a",
+                    extra={"index_dir": midx_dir,
+                           "media_kind": args.media_kind,
+                           "media_max_bucket": args.media_max_bucket},
+                )
             if args.merge_index:
                 t0 = time.time()
-                media_index.media_index_merge(spark, midx_dir, m_new)
+                if is_video:
+                    video_index.video_index_merge(spark, midx_dir, m_new)
+                else:
+                    media_index.media_index_merge(spark, midx_dir, m_new)
                 m = {
                     "stage": "media_index_merge",
                     "rows": _delta_index.total_row_count(
-                        midx_ckpt, media_index.BANDS_STAGE),
+                        midx_ckpt, main_stage),
                     "sec": round(time.time() - t0, 3),
                     "resumed": False,
                     "index_dir": midx_dir,
@@ -1048,11 +1073,16 @@ def main(argv=None):
                 print(json.dumps(m), flush=True)
             if args.compact_index:
                 t0 = time.time()
-                n_folded = media_index.media_index_compact(spark, midx_dir)
+                if is_video:
+                    n_folded = video_index.video_index_compact(
+                        spark, midx_dir)
+                else:
+                    n_folded = media_index.media_index_compact(
+                        spark, midx_dir)
                 m = {
                     "stage": "media_index_compact",
                     "rows": _delta_index.total_row_count(
-                        midx_ckpt, media_index.BANDS_STAGE),
+                        midx_ckpt, main_stage),
                     "deltas_folded": n_folded,
                     "sec": round(time.time() - t0, 3),
                     "resumed": False,

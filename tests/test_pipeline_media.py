@@ -267,3 +267,63 @@ def test_dedup_incremental_media(spark, tmp_path_factory):
     }
     assert got2 == brute({5000})
     assert (1000, 5000, 0) in got2  # the batch-1 row, via the merge
+
+
+def test_cli_video_incremental_lifecycle(spark, tmp_path_factory):
+    """--stage dedup-incremental --media-kind video: persisted
+    frame-hash index → O(batch) set-jaccard pairing → --merge-index
+    LSM fold; a SECOND batch (fresh --out, same --index-dir) pairs
+    against old ∪ merged, and committed payloads are never re-decoded
+    (the second run's build line is resumed)."""
+    root = tmp_path_factory.mktemp("video_inc")
+    rows = [r for r in _media_rows() if r[2] == "video"]
+    old = [r for r in rows if r[0] < VIDEO_OFFSET + 1000]
+    new1 = [r for r in rows if r[0] >= VIDEO_OFFSET + 1000]
+    # batch 2: a byte-identical repost of the clip that arrived in
+    # batch 1 — only a MERGED index can pair it
+    src = next(r for r in new1 if r[0] == VIDEO_OFFSET + 1000)
+    new2 = [(VIDEO_OFFSET + 5000, "u5000v", "video", src[3], src[4])]
+
+    paths = {}
+    for name, data in (("old", old), ("new1", new1), ("new2", new2)):
+        paths[name] = str(root / name)
+        spark.createDataFrame(data, MEDIA_SCHEMA).write.parquet(paths[name])
+    idx = str(root / "idx")
+
+    common = ["--pages", "synth:200", "--stage", "dedup-incremental",
+              "--media", paths["old"], "--index-dir", idx,
+              "--media-kind", "video", "--video-max-df", "0",
+              "--merge-index", "--master", "local[4]"]
+    lines1 = _run_cli(["--out", str(root / "wh1"),
+                       "--new-media", paths["new1"], *common])
+    st1 = _by_stage(lines1)
+    assert st1["media_index_build"]["resumed"] is False
+    assert st1["media_index_merge"]["rows"] > st1["media_index_build"]["rows"]
+
+    all_pairs = _expected_video_pairs(old + new1 + new2)
+    new1_ids = {r[0] for r in new1}
+    got1 = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(
+            os.path.join(str(root / "wh1"), "media_dedup_incremental", "data")
+        ).collect()
+    }
+    want1 = {p for p in all_pairs
+             if (p[0] in new1_ids or p[1] in new1_ids)
+             and VIDEO_OFFSET + 5000 not in (p[0], p[1])}
+    assert got1 == want1 and len(want1) >= 3
+
+    lines2 = _run_cli(["--out", str(root / "wh2"),
+                       "--new-media", paths["new2"], *common])
+    st2 = _by_stage(lines2)
+    assert st2["media_index_build"]["resumed"] is True  # never re-decoded
+    got2 = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(
+            os.path.join(str(root / "wh2"), "media_dedup_incremental", "data")
+        ).collect()
+    }
+    want2 = {p for p in all_pairs if VIDEO_OFFSET + 5000 in (p[0], p[1])}
+    assert got2 == want2
+    # the batch-1 twin row, reachable only through the merged delta
+    assert (VIDEO_OFFSET + 1000, VIDEO_OFFSET + 5000, 1.0) in got2
