@@ -59,6 +59,8 @@ def make_avi(
         raise ValueError("codec must be 'rawdib' or 'mjpeg'")
     if not frames:
         raise ValueError("need at least one frame")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
     h, w, _ = frames[0].shape
     if any(f.shape != (h, w, 3) for f in frames):
         raise ValueError("all frames must share one (h, w, 3) shape")
@@ -124,11 +126,13 @@ def _walk_chunks(b: bytes, pos: int, end: int):
         cid = b[pos : pos + 4]
         size = int.from_bytes(b[pos + 4 : pos + 8], "little")
         data = pos + 8
-        if cid == b"LIST" and size >= 4 and data + 4 <= len(b):
+        if cid == b"LIST" and size >= 4 and data + 4 <= end:
             # a truncated tail may chop inside this list: clamp its
-            # extent so the complete leading children still decode
+            # extent so the complete leading children still decode.
+            # Clamp to the ENCLOSING walk's end, not len(b) — a lying
+            # inner size must not leak the scan past its parent list
             yield (b"LIST:" + b[data : data + 4], data + 4,
-                   min(size - 4, len(b) - data - 4))
+                   min(size - 4, end - data - 4))
         elif data + size > len(b):  # truncated leaf chunk: stop here
             return
         else:
@@ -151,19 +155,25 @@ def try_decode_avi(
     w = h = None
     rate, scale = 0, 1
     compression = None
+    last_stream = None  # fourcc of the most recent strh (strf follows it)
     frames: list[np.ndarray] = []
 
     def scan(pos: int, end: int) -> None:
-        nonlocal w, h, rate, scale, compression
+        nonlocal w, h, rate, scale, compression, last_stream
         for cid, dstart, dsize in _walk_chunks(b, pos, end):
             if cid.startswith(b"LIST:"):
                 scan(dstart, dstart + dsize)
             elif cid == b"avih" and dsize >= 40:
                 vals = struct.unpack_from("<10I", b, dstart)
                 w, h = int(vals[8]), int(vals[9])
-            elif cid == b"strh" and dsize >= 28 and b[dstart:dstart + 4] == b"vids":
-                scale, rate = struct.unpack_from("<II", b, dstart + 20)
-            elif cid == b"strf" and dsize >= 20:
+            elif cid == b"strh" and dsize >= 28:
+                last_stream = b[dstart : dstart + 4]
+                if last_stream == b"vids":
+                    scale, rate = struct.unpack_from("<II", b, dstart + 20)
+            elif (cid == b"strf" and dsize >= 20
+                  and last_stream == b"vids" and compression is None):
+                # only the VIDEO stream's format chunk — an audio
+                # stream's WAVEFORMAT must not overwrite biCompression
                 compression = struct.unpack_from("<I", b, dstart + 16)[0]
             elif cid in (b"00db", b"00dc"):
                 frames.append((cid, dstart, dsize))  # type: ignore[arg-type]
@@ -173,10 +183,16 @@ def try_decode_avi(
         return None
     fps = rate // scale if scale else 0
     stride = _stride(w)
+    mjpg = int.from_bytes(b"MJPG", "little")
+    if compression is not None and compression not in (0, mjpg):
+        return None  # a codec fourcc this decoder does not speak
     out: list[np.ndarray] = []
     for cid, dstart, dsize in frames:  # type: ignore[misc]
         raw = b[dstart : dstart + dsize]
-        if cid == b"00dc" or (compression not in (0, None) and cid != b"00db"):
+        # biCompression decides the frame codec when present (real
+        # muxers put JPEG frames in '00db' and raw frames in '00dc'
+        # often enough); the chunk id is only the fallback
+        if compression == mjpg or (compression is None and cid == b"00dc"):
             from . import jpeg as J
 
             dec = J.try_decode_jpeg(raw)

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..kernels import CODEC_REV
 from ..plans.checkpoint import CheckpointManager
 from . import _delta_index as D
 from .media_dedup import _banded, media_signature_udf
@@ -50,6 +51,21 @@ BANDS_STAGE = "media_bands"
 SIGS_STAGE = "media_sigs"
 
 _PARAM_KEYS = ("kind", "chunks", "band_chunks", "frame_samples", "id_col")
+
+
+def _check_codec_rev(m: dict, base_dir: str, rebuild: str) -> None:
+    """A payload undecodable at build time has NO signature row; if a
+    newer decode envelope can decode it, a re-crawled byte-identical
+    copy would silently miss its indexed twin. Refuse the stale index."""
+    rev = m.get("codec_rev")
+    if rev != CODEC_REV:
+        raise RuntimeError(
+            f"index at {base_dir!r} was built under media decode "
+            f"envelope rev {rev}; this build is rev {CODEC_REV} — "
+            f"payloads undecodable then may decode now, so incremental "
+            f"pairing would no longer equal the full run. Rerun "
+            f"{rebuild}(force=True)"
+        )
 
 
 def _sig_rows(
@@ -101,7 +117,8 @@ def media_index_build(
     Idempotent; ``force=True`` retires the old snapshots."""
     ckpt = CheckpointManager(spark, base_dir)
     params = {"kind": kind, "chunks": chunks, "band_chunks": band_chunks,
-              "frame_samples": frame_samples, "id_col": id_col}
+              "frame_samples": frame_samples, "id_col": id_col,
+              "codec_rev": CODEC_REV}
 
     def build_sigs() -> DataFrame:
         return _sig_rows(media, kind, id_col, payload_col, frame_samples)
@@ -143,6 +160,7 @@ def _index_params(ckpt: CheckpointManager, base_dir: str) -> dict:
                 f"across stages/deltas {vals} (interrupted rebuild?) — "
                 "rerun media_index_build"
             )
+    _check_codec_rev(m, base_dir, "media_index_build")
     D.check_delta_lockstep(ckpt, [BANDS_STAGE, SIGS_STAGE], base_dir)
     return m
 
@@ -256,7 +274,7 @@ def media_index_merge(
         params["frame_samples"],
     ).localCheckpoint()
     digest = D.batch_digest(new_sigs, "did")
-    extra = {k: params[k] for k in _PARAM_KEYS}
+    extra = {k: params[k] for k in _PARAM_KEYS} | {"codec_rev": CODEC_REV}
     D.commit_delta(ckpt, SIGS_STAGE, lambda: new_sigs, key_col="did",
                    digest=digest, manifest_extra=extra)
     D.commit_delta(
@@ -274,7 +292,7 @@ def media_index_compact(spark: SparkSession, base_dir: str) -> int:
     construction (pinned by test)."""
     ckpt = CheckpointManager(spark, base_dir)
     params = _index_params(ckpt, base_dir)
-    extra = {k: params[k] for k in _PARAM_KEYS}
+    extra = {k: params[k] for k in _PARAM_KEYS} | {"codec_rev": CODEC_REV}
     n = D.compact(ckpt, SIGS_STAGE, key_col="did", manifest_extra=extra)
     D.compact(ckpt, BANDS_STAGE, key_col="did", partition_by="band",
               manifest_extra=extra)

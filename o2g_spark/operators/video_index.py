@@ -38,8 +38,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..kernels import CODEC_REV
 from ..plans.checkpoint import CheckpointManager
 from . import _delta_index as D
+from .media_index import _check_codec_rev
 
 FRAMES_STAGE = "video_frames"
 SIZES_STAGE = "video_sizes"
@@ -90,7 +92,8 @@ def video_index_build(
     frame hashes hive-partitioned by fpart plus the per-clip size
     table. Idempotent; ``force=True`` retires the old snapshots."""
     ckpt = CheckpointManager(spark, base_dir)
-    params = {"every_k": every_k, "id_col": id_col}
+    params = {"every_k": every_k, "id_col": id_col,
+              "codec_rev": CODEC_REV}
 
     def build_frames() -> DataFrame:
         return _frame_rows(media, id_col, payload_col, every_k)
@@ -131,6 +134,7 @@ def _index_params(ckpt: CheckpointManager, base_dir: str) -> dict:
                 f"across stages/deltas {vals} (interrupted rebuild?) — "
                 "rerun video_index_build"
             )
+    _check_codec_rev(m, base_dir, "video_index_build")
     D.check_delta_lockstep(ckpt, [FRAMES_STAGE, SIZES_STAGE], base_dir)
     return m
 
@@ -240,7 +244,7 @@ def video_index_merge(
         new_media, id_col, payload_col, params["every_k"]
     ).localCheckpoint()
     digest = D.batch_digest(new_frames, "did")
-    extra = {k: params[k] for k in _PARAM_KEYS}
+    extra = {k: params[k] for k in _PARAM_KEYS} | {"codec_rev": CODEC_REV}
     D.commit_delta(ckpt, FRAMES_STAGE, lambda: new_frames, key_col="did",
                    digest=digest, partition_by="fpart",
                    manifest_extra=extra)
@@ -255,7 +259,7 @@ def video_index_compact(spark: SparkSession, base_dir: str) -> int:
     construction (pinned by test)."""
     ckpt = CheckpointManager(spark, base_dir)
     params = _index_params(ckpt, base_dir)
-    extra = {k: params[k] for k in _PARAM_KEYS}
+    extra = {k: params[k] for k in _PARAM_KEYS} | {"codec_rev": CODEC_REV}
     n = D.compact(ckpt, FRAMES_STAGE, key_col="did", partition_by="fpart",
                   manifest_extra=extra)
     D.compact(ckpt, SIZES_STAGE, key_col="did", manifest_extra=extra)

@@ -150,16 +150,12 @@ VIDEO_FRAMES = 6
 
 def _video_payload(i: int, n_frames: int) -> bytes:
     from o2g_spark.kernels.avi import make_avi
+    from o2g_spark.operators.video import _grid_frame
 
     rng = np.random.default_rng(2 * 10**9 + i)
     grids = [rng.integers(0, 251, size=(8, 9)).astype(np.int64)
              for _ in range(n_frames)]
-    frames = [
-        np.stack([np.repeat(np.repeat(g, 2, axis=0), 2, axis=1)
-                  .astype(np.uint8)] * 3, axis=-1)
-        for g in grids
-    ]
-    return make_avi(frames, fps=10)
+    return make_avi([_grid_frame(g) for g in grids], fps=10)
 
 
 def _synth_videos(spark, n: int):

@@ -5,14 +5,16 @@ Each piece is gate-checked alone; this script evidences the COMPOSED
 candidate funnels feeding their batch verifiers, with planted
 cross-batch duplicates and end-to-end precision/recall reported.
 
-    crawl (docs with text + embedding + image payload, stream)
+    crawl (docs with text + embedding + image + video, stream)
       ├─ near_dup_candidates_stream (minhash-LSH, text)    ─┐
       ├─ near_dup_embedding_stream (hyperplane, vectors)    ├─ candidate
-      └─ near_dup_media_stream (integer dHash, payloads)   ─┘  pairs
+      ├─ near_dup_media_stream (integer dHash, payloads)    │  pairs
+      └─ near_dup_video_stream (frame dHashes, AVI clips)  ─┘
                                │
               batch verify: n-gram Jaccard ≥ τ_text (exact string
               shingles) / cosine ≥ τ_emb (exact dot product) /
-              bit_count(xor) ≤ h_media (exact dHash hamming)
+              bit_count(xor) ≤ h_media (exact dHash hamming) /
+              frame-set Jaccard ≥ τ_video (exact hash sets)
                                │
               verified duplicate pairs vs the PLANTED ground truth
 
@@ -25,6 +27,8 @@ machinery, not within-batch pairing):
   - both-modality dups: identical text AND near-identical vector
   - media dups: near-identical image payload (1-2 dHash bits), fresh
     text AND fresh embedding — invisible to the other two funnels
+  - video dups: same clip minus its last frame (frame-set jaccard
+    exactly 5/6), everything else fresh — video-only visible
 
 Run: python scripts/demo_mixed_dedup.py [--docs 20000] [--files 16]
          [--out /tmp/mixed_dedup]
@@ -51,6 +55,8 @@ DIM = 64
 SIM_T = 0.95
 JAC_T = 0.5
 HAM_T = 6
+VJAC_T = 0.5
+V_FRAMES = 6
 
 
 def _grid_bmp(v):
@@ -60,11 +66,18 @@ def _grid_bmp(v):
     return make_bmp(np.stack([gray] * 3, axis=-1))
 
 
+def _clip(grids) -> bytes:
+    from o2g_spark.operators.video import _grid_frame, make_avi
+
+    return make_avi([_grid_frame(g) for g in grids], fps=10)
+
+
 def synth_crawl(n: int, seed: int = 17):
-    """Docs with (doc_id, text, embedding, ts); returns (pdf, planted)
-    where planted maps pair → modality in {text, emb, both}. Dup
-    members sit ~n/10 positions apart (different files for any
-    files ≥ 4), inside the idle-timeout horizon."""
+    """Docs with (doc_id, text, embedding, payload, video, ts);
+    returns (pdf, planted) where planted maps pair → modality in
+    {text, emb, both, media, video}. Dup members sit ~n/10 positions
+    apart (different files for any files ≥ 4), inside the
+    idle-timeout horizon."""
     rng = np.random.default_rng(seed)
     words = np.array(
         "crawl spark tile cell union page shard route vector raster "
@@ -81,6 +94,13 @@ def synth_crawl(n: int, seed: int = 17):
     # comparisons, so a media twin's hamming is controlled, not hoped
     grids = [rng.integers(0, 251, size=(8, 9)).astype(np.int64)
              for _ in range(n)]
+    # per-doc video clips: V_FRAMES block-constant raw-DIB frames —
+    # every frame dHash is ground truth by construction
+    vgrids = [
+        [rng.integers(0, 251, size=(8, 9)).astype(np.int64)
+         for _ in range(V_FRAMES)]
+        for _ in range(n)
+    ]
     gap = n // 10
     planted: dict[tuple[str, str], str] = {}
 
@@ -113,11 +133,20 @@ def synth_crawl(n: int, seed: int = 17):
             t[r, 0] = t[r, 1] if t[r, 0] > t[r, 1] else t[r, 1] + 1
         grids[i] = t
         planted[key] = "media"
+    for i in range(gap + 53, n, 73):  # video dups (video-only visible)
+        key = (pid(i - gap), pid(i))
+        if key in planted:
+            continue
+        # same clip minus the last frame: frame-set jaccard exactly
+        # (V_FRAMES-1)/V_FRAMES; text/embedding/image stay fresh
+        vgrids[i] = [g.copy() for g in vgrids[i - gap][:-1]]
+        planted[key] = "video"
     pdf = pd.DataFrame({
         "doc_id": [pid(i) for i in range(n)],
         "text": texts,
         "embedding": [v.astype(np.float32).tolist() for v in vecs],
         "payload": [_grid_bmp(g) for g in grids],
+        "video": [_clip(g) for g in vgrids],
         "ts": pd.to_datetime(BASE_MS + np.arange(n, dtype=np.int64) * 500,
                              unit="ms"),
     })
@@ -134,6 +163,7 @@ def write_files(pdf: pd.DataFrame, n_files: int, out: str) -> None:
         pa.field("text", pa.string()),
         pa.field("embedding", pa.list_(pa.float32())),
         pa.field("payload", pa.binary()),
+        pa.field("video", pa.binary()),
         pa.field("ts", pa.timestamp("us")),
     ])
     per = len(pdf) // n_files
@@ -199,15 +229,17 @@ def main() -> int:
     n_text = sum(1 for m in planted.values() if m in ("text", "both"))
     n_emb = sum(1 for m in planted.values() if m in ("emb", "both"))
     n_media = sum(1 for m in planted.values() if m == "media")
+    n_video = sum(1 for m in planted.values() if m == "video")
     print(json.dumps({"stage": "synth", "docs": args.docs,
                       "planted": len(planted), "planted_text_visible": n_text,
                       "planted_emb_visible": n_emb,
-                      "planted_media_visible": n_media}), flush=True)
+                      "planted_media_visible": n_media,
+                      "planted_video_visible": n_video}), flush=True)
 
     spark = get_spark("mixed-dedup-demo", master=args.master,
                       shuffle_partitions=8)
     schema = ("doc_id string, text string, embedding array<float>, "
-              "payload binary, ts timestamp")
+              "payload binary, video binary, ts timestamp")
 
     def stream():
         return (spark.readStream.schema(schema)
@@ -243,15 +275,28 @@ def main() -> int:
     ).localCheckpoint()
     n_cand_media = cand_media.count()
     t_media = time.time() - t0
+    t0 = time.time()
+    cand_video = drain_to_memory(
+        spark,
+        stateful.near_dup_video_stream(
+            stream(), id_col="doc_id", payload_col="video",
+            timeout_ms=86_400_000, watermark="1 minute"),
+        "cand_video",
+    ).localCheckpoint()
+    n_cand_video = cand_video.count()
+    t_video = time.time() - t0
     print(json.dumps({"stage": "funnels", "cand_text": int(n_cand_text),
                       "cand_emb": int(n_cand_emb),
                       "cand_media": int(n_cand_media),
+                      "cand_video": int(n_cand_video),
                       "sec_text": round(t_text, 1),
                       "sec_emb": round(t_emb, 1),
-                      "sec_media": round(t_media, 1)}), flush=True)
+                      "sec_media": round(t_media, 1),
+                      "sec_video": round(t_video, 1)}), flush=True)
 
     # ---- batch verification over the UNION of candidates
     from o2g_spark.operators.media_dedup import media_signature_udf
+    from o2g_spark.operators.video import video_frame_dhash_udf
 
     docs = spark.read.parquet(src)
     sh = docs.select(
@@ -259,12 +304,16 @@ def main() -> int:
         X.shingles("text", 3).alias("__sh"),
         F.col("embedding").alias("__v"),
         media_signature_udf("image")(F.col("payload")).alias("__sig"),
+        video_frame_dhash_udf()(F.col("video")).alias("__fh"),
     ).localCheckpoint()
-    cands = cand_text.unionByName(cand_emb).unionByName(cand_media).distinct()
+    cands = (cand_text.unionByName(cand_emb).unionByName(cand_media)
+             .unionByName(cand_video).distinct())
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"),
-                  F.col("__v").alias("v_a"), F.col("__sig").alias("s_a"))
+                  F.col("__v").alias("v_a"), F.col("__sig").alias("s_a"),
+                  F.col("__fh").alias("fh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"),
-                  F.col("__v").alias("v_b"), F.col("__sig").alias("s_b"))
+                  F.col("__v").alias("v_b"), F.col("__sig").alias("s_b"),
+                  F.col("__fh").alias("fh_b"))
     scored = (
         cands.join(a, "id_a").join(b, "id_b")
         .withColumn("jac", F.size(F.array_intersect("sh_a", "sh_b"))
@@ -272,9 +321,12 @@ def main() -> int:
         .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
         .withColumn("ham", F.coalesce(
             F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))), F.lit(64)))
+        .withColumn("vjac", F.coalesce(
+            F.size(F.array_intersect("fh_a", "fh_b"))
+            / F.size(F.array_union("fh_a", "fh_b")), F.lit(0.0)))
         .withColumn("verified",
                     (F.col("jac") >= JAC_T) | (F.col("cos") >= SIM_T)
-                    | (F.col("ham") <= HAM_T))
+                    | (F.col("ham") <= HAM_T) | (F.col("vjac") >= VJAC_T))
     )
     # ONE collect derives both the verified set and the scored count —
     # a separate scored.count() would re-execute the double join +
@@ -310,9 +362,9 @@ def main() -> int:
     cluster_recall = len(caught) / len(planted_set)
     by_mod = {m: sum(1 for p, mm in planted.items()
                      if mm == m and p in caught)
-              for m in ("text", "emb", "both", "media")}
+              for m in ("text", "emb", "both", "media", "video")}
     tot_mod = {m: sum(1 for mm in planted.values() if mm == m)
-               for m in ("text", "emb", "both", "media")}
+               for m in ("text", "emb", "both", "media", "video")}
     out = {
         "stage": "verdict", "planted": len(planted_set),
         "candidate_pairs": int(n_pairs_scored),
@@ -325,7 +377,8 @@ def main() -> int:
     }
     print(json.dumps(out), flush=True)
     print(f"| {args.docs:,} | {len(planted_set)} | {n_cand_text:,} / "
-          f"{n_cand_emb:,} / {n_cand_media:,} | {n_pairs_scored:,} | "
+          f"{n_cand_emb:,} / {n_cand_media:,} / {n_cand_video:,} | "
+          f"{n_pairs_scored:,} | "
           f"{len(verified)} | {precision:.3f} | {recall:.3f} | "
           f"{cluster_recall:.3f} |")
     spark.stop()

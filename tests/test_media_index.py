@@ -173,3 +173,17 @@ def test_bands_snapshot_partitioned_by_band(spark, corpus, tmp_path):
     data_dir = os.path.join(base, media_index.BANDS_STAGE, "data")
     parts = [d for d in os.listdir(data_dir) if d.startswith("band=")]
     assert len(parts) == 28  # C(8,2) chunk combinations
+
+
+def test_codec_rev_mismatch_raises(spark, corpus, tmp_path, monkeypatch):
+    """An index built under an older decode envelope (e.g. before
+    progressive JPEG decoded for real) must refuse to serve — a
+    re-crawled byte-identical payload would otherwise silently miss
+    its indexed twin because the twin has no signature row."""
+    base = str(tmp_path / "midx_rev")
+    media_index.media_index_build(
+        spark, base, corpus.filter("media_id < 40"), kind="image")
+    monkeypatch.setattr(media_index, "CODEC_REV", 99)
+    with pytest.raises(RuntimeError, match="decode envelope"):
+        media_index.media_near_dup_incremental(
+            spark, base, corpus.filter("media_id >= 40"))

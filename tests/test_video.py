@@ -161,3 +161,94 @@ def test_video_near_dup_max_df_cap(spark):
     assert capped.count() == 0  # only the card was shared
     uncapped = V.video_near_dup_pairs(media, threshold=0.1)
     assert uncapped.count() == 8 * 7 // 2  # card links every pair
+
+
+# ------------------------------------------- review-hardening (s6)
+
+
+def test_routing_honours_bicompression_over_chunk_id():
+    """Real muxers mix chunk ids and codecs: JPEG frames in '00db'
+    (biCompression='MJPG') and raw frames in '00dc' (biCompression 0)
+    must route by the FORMAT header, not the chunk fourcc."""
+    rng = np.random.default_rng(13)
+    flat = np.full((16, 16, 3), 120, np.uint8)
+    mj = bytearray(make_avi([flat, flat], fps=5, codec="mjpeg"))
+    want = try_decode_avi(bytes(mj))
+    # rewrite every frame chunk id 00dc -> 00db; compression stays MJPG
+    patched = bytes(mj).replace(b"00dc", b"00db")
+    got = try_decode_avi(patched)
+    assert got is not None and len(got[3]) == 2
+    for a, b in zip(want[3], got[3]):
+        assert np.array_equal(a, b)
+
+    raw = _frames(3, seed=int(rng.integers(1 << 30)))
+    rd = bytes(make_avi(raw, fps=8)).replace(b"00db", b"00dc")
+    got = try_decode_avi(rd)  # compression 0 -> raw path despite 00dc
+    assert got is not None
+    for a, b in zip(raw, got[3]):
+        assert np.array_equal(a, b)
+
+
+def test_unknown_codec_fourcc_rejected():
+    b = bytearray(make_avi(_frames(2), fps=8))
+    at = bytes(b).index(b"strf") + 8 + 16  # biCompression field
+    b[at : at + 4] = b"XVID"
+    assert try_decode_avi(bytes(b)) is None
+
+
+def test_audio_strf_does_not_clobber_video_compression():
+    """A second 'auds' stream's WAVEFORMAT strf (whose bytes at offset
+    16 are arbitrary) must not overwrite the video biCompression."""
+    import struct
+
+    b = bytes(make_avi(_frames(3), fps=8))
+    strh = (b"auds" + b"\x00" * 4
+            + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, 8000, 0, 100,
+                          0, 0, -1)
+            + struct.pack("<4H", 0, 0, 0, 0))
+    # 20+ byte WAVEFORMAT whose offset-16 dword is garbage
+    strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16) + b"\xde\xad\xbe\xef"
+    strl = (b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf))
+            + b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh
+            + b"strf" + struct.pack("<I", len(strf)) + strf)
+    movi_at = b.index(b"LIST", 12, None)
+    # insert the audio strl right before the movi LIST
+    movi_list = b.index(b"movi") - 8
+    patched = bytearray(b[:movi_list] + strl + b[movi_list:])
+    # fix the RIFF size
+    patched[4:8] = struct.pack("<I", len(patched) - 8)
+    got = try_decode_avi(bytes(patched))
+    assert got is not None and len(got[3]) == 3
+    assert movi_at  # silence linters
+
+
+def test_lying_inner_list_size_stays_inside_parent():
+    """A nested LIST whose declared size overshoots its parent must
+    not leak the scan past the parent's extent (no duplicate/phantom
+    frames)."""
+    import struct
+
+    frames = _frames(2)
+    b = bytes(make_avi(frames, fps=8))
+    # wrap the first frame chunk in a LIST lying about its size
+    stride = (18 * 3 + 3) & ~3
+    fsize = stride * 12
+    first = MOVI_DATA_OFFSET
+    lie = (b"LIST" + struct.pack("<I", 1 << 24) + b"rec "
+           + b[first : first + 8 + fsize])
+    patched = bytearray(b[:first] + lie + b[first + 8 + fsize:])
+    movi_list_size_at = b.index(b"movi") - 4
+    old = struct.unpack_from("<I", bytes(patched), movi_list_size_at)[0]
+    struct.pack_into("<I", patched, movi_list_size_at, old + 12)
+    patched[4:8] = struct.pack("<I", len(patched) - 8)
+    got = try_decode_avi(bytes(patched))
+    assert got is not None and len(got[3]) == 2
+    for a, bb in zip(frames, got[3]):
+        assert np.array_equal(a, bb)
+
+
+def test_make_avi_rejects_nonpositive_fps():
+    with pytest.raises(ValueError, match="fps"):
+        make_avi(_frames(1), fps=0)
+    with pytest.raises(ValueError, match="fps"):
+        make_avi(_frames(1), fps=-3)

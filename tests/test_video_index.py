@@ -169,3 +169,19 @@ def test_frames_snapshot_partitioned_by_fpart(spark, corpus, tmp_path):
     data_dir = os.path.join(base, video_index.FRAMES_STAGE, "data")
     parts = [d for d in os.listdir(data_dir) if d.startswith("fpart=")]
     assert 1 < len(parts) <= video_index.N_FPART
+
+
+def test_codec_rev_mismatch_raises(spark, corpus, tmp_path, monkeypatch):
+    """An index built under an older decode envelope must refuse to
+    serve: payloads undecodable then may decode now, so the increment
+    would silently miss true pairs a full run finds."""
+    from o2g_spark.operators import media_index
+
+    base = str(tmp_path / "vidx_rev")
+    video_index.video_index_build(
+        spark, base, corpus.filter("media_id < 20"))
+    # _check_codec_rev lives in media_index and reads ITS module global
+    monkeypatch.setattr(media_index, "CODEC_REV", 99)
+    with pytest.raises(RuntimeError, match="decode envelope"):
+        video_index.video_near_dup_incremental(
+            spark, base, corpus.filter("media_id >= 20"))
