@@ -109,6 +109,42 @@ def dhash_from_rgb(rgb: np.ndarray) -> int | None:
     return int(sig.astype(np.int64))
 
 
+def dhash_from_rgb_batch(frames: np.ndarray) -> list[int] | None:
+    """Batched :func:`dhash_from_rgb` over (n, h, w, 3) uint8 frames
+    sharing one shape (a video clip): BIT-IDENTICAL results — the
+    pipeline is pure int64 arithmetic, and integer addition is exactly
+    associative, so folding the block sums through matmuls instead of
+    ``np.add.at`` cannot change a single bit (pinned by test). One
+    numpy pass per CLIP instead of ~20 numpy calls per FRAME — the
+    per-frame call overhead dominates at thumbnail sizes. Returns
+    None when the shared shape is below the 9×8 grid (the per-frame
+    function's None, once for the whole clip)."""
+    n, h, w = frames.shape[0], int(frames.shape[1]), int(frames.shape[2])
+    if h < GRID_H or w < GRID_W:
+        return None
+    px = frames.astype(np.int64)
+    luma = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+    gy = (np.arange(h, dtype=np.int64) * GRID_H) // h
+    gx = (np.arange(w, dtype=np.int64) * GRID_W) // w
+    my = np.zeros((GRID_H, h), dtype=np.int64)
+    my[gy, np.arange(h)] = 1
+    mx = np.zeros((w, GRID_W), dtype=np.int64)
+    mx[np.arange(w), gx] = 1
+    sums = my @ luma @ mx  # (n, 8, 9), exact int64 block sums
+    counts = np.outer(
+        np.bincount(gy, minlength=GRID_H), np.bincount(gx, minlength=GRID_W)
+    ).astype(np.int64)
+    bits = sums[:, :, :-1] * counts[None, :, 1:] \
+        > sums[:, :, 1:] * counts[None, :, :-1]
+    weights = (
+        np.uint64(1)
+        << np.arange(64, dtype=np.uint64).reshape(GRID_H, GRID_W - 1)
+    )
+    sigs = (bits.astype(np.uint64) * weights[None]).sum(
+        axis=(1, 2), dtype=np.uint64)
+    return [int(s) for s in sigs.astype(np.int64)]
+
+
 def audio_fp_from_samples(
     samples: np.ndarray, frame_samples: int = 256
 ) -> tuple[int, int | None]:

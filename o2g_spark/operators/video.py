@@ -35,8 +35,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..kernels.avi import make_avi, try_decode_avi
-from .media_dedup import dhash_from_rgb
+from .media_dedup import dhash_from_rgb_batch
 from .multimodal import MEDIA_SCHEMA
+
+
+def _clip_hashes(frames: list, every_k: int) -> tuple[list[int], list]:
+    """(sampled frame indices, per-frame dHashes) for one decoded
+    clip — all frames share one shape, so the whole clip hashes in a
+    single batched numpy pass (bit-identical to per-frame hashing,
+    pinned by test). Sub-grid clips hash to Nones, like the scalar."""
+    idxs = list(range(0, len(frames), every_k))
+    if not idxs:
+        return idxs, []
+    hs = dhash_from_rgb_batch(np.stack([frames[i] for i in idxs]))
+    if hs is None:
+        return idxs, [None] * len(idxs)
+    return idxs, hs
 
 VIDEO_META_SCHEMA = T.StructType(
     [
@@ -101,8 +115,8 @@ def video_frame_dhash(media: DataFrame, every_k: int = 1) -> DataFrame:
                 dec = try_decode_avi(bytes(payload))
                 if dec is None:
                     continue
-                for idx in range(0, len(dec[3]), every_k):
-                    rows.append((mid, idx, dhash_from_rgb(dec[3][idx])))
+                idxs, hs = _clip_hashes(dec[3], every_k)
+                rows.extend((mid, idx, h) for idx, h in zip(idxs, hs))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "dhash"]
             )
@@ -224,12 +238,8 @@ def video_frame_dhash_udf(every_k: int = 1):
             if dec is None:
                 out.append(None)
                 continue
-            hashes = {
-                h
-                for idx in range(0, len(dec[3]), every_k)
-                if (h := dhash_from_rgb(dec[3][idx])) is not None
-            }
-            out.append(sorted(hashes))
+            _idxs, hs = _clip_hashes(dec[3], every_k)
+            out.append(sorted({h for h in hs if h is not None}))
         return pd.Series(out, dtype="object")
 
     return _sig

@@ -252,3 +252,18 @@ def test_make_avi_rejects_nonpositive_fps():
         make_avi(_frames(1), fps=0)
     with pytest.raises(ValueError, match="fps"):
         make_avi(_frames(1), fps=-3)
+
+
+def test_batched_dhash_bit_identical_to_scalar():
+    """The batched clip hasher must be BIT-IDENTICAL to the per-frame
+    function across shapes (incl. non-divisible grid dims) — pure
+    int64 arithmetic, so the matmul block-sum fold cannot differ."""
+    from o2g_spark.operators.media_dedup import (
+        dhash_from_rgb, dhash_from_rgb_batch)
+
+    rng = np.random.default_rng(3)
+    for shape in [(16, 18), (9, 9), (8, 9), (12, 16), (33, 47)]:
+        fr = rng.integers(0, 256, (7,) + shape + (3,), dtype=np.uint8)
+        assert dhash_from_rgb_batch(fr) == [dhash_from_rgb(f) for f in fr]
+    assert dhash_from_rgb_batch(
+        rng.integers(0, 256, (3, 5, 7, 3), dtype=np.uint8)) is None
