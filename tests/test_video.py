@@ -267,3 +267,36 @@ def test_batched_dhash_bit_identical_to_scalar():
         assert dhash_from_rgb_batch(fr) == [dhash_from_rgb(f) for f in fr]
     assert dhash_from_rgb_batch(
         rng.integers(0, 256, (3, 5, 7, 3), dtype=np.uint8)) is None
+
+
+def test_video_frames_resample_exact(spark):
+    """video_frames: every sampled frame resampled by the same
+    nearest-neighbor index arithmetic as multimodal.resize_images —
+    pinned against a per-frame numpy reference on the decoded clip."""
+    media = V.synth_avi_media(spark, n_base=3)
+    out = {
+        (r.media_id, r.frame_idx): r
+        for r in V.video_frames(media, width=10, height=6,
+                                every_k=2).collect()
+    }
+    rows = V.synth_avi_media_rows(n_base=3)
+    n_expected = 0
+    for mid, _u, _k, payload, _m in rows:
+        w, h, _fps, frames = try_decode_avi(bytes(payload))
+        ys = np.arange(6) * h // 6
+        xs = np.arange(10) * w // 10
+        for idx in range(0, len(frames), 2):
+            n_expected += 1
+            r = out[(mid, idx)]
+            assert (r.width, r.height) == (10, 6)
+            want = frames[idx][ys][:, xs].tobytes()
+            assert bytes(r.pixels) == want
+    assert len(out) == n_expected
+
+
+def test_video_frames_validates_args(spark):
+    media = V.synth_avi_media(spark, n_base=1)
+    with pytest.raises(ValueError):
+        V.video_frames(media, every_k=0)
+    with pytest.raises(ValueError):
+        V.video_frames(media, width=0)
