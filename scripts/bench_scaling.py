@@ -69,6 +69,42 @@ print(json.dumps({"cpus": cpus, "median_sec": round(times[1], 3),
 """
 
 
+def _spin(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def _host_probe(lo: int, hi: int, work: int = 160_000_000) -> dict:
+    """Pinned pure-CPU N-vs-4N probe (zero Spark, zero disk): what the
+    HOST itself grants from lo to hi cores right now. The engine can
+    never exceed this ceiling, so a FAIL reading whose probe is also
+    degraded is the machine's window, not a regression — the same
+    self-attribution role bench.py's cpu_control_sec plays (CLAUDE.md
+    rule 10: clean windows read ~0.95 on this VM; degraded ones have
+    measured 0.72-0.76 across half an hour of idling)."""
+    import multiprocessing as mp
+
+    def run(cores: int) -> float:
+        os.system(f"taskset -cp 0-{cores - 1} {os.getpid()} >/dev/null")
+        t0 = time.time()
+        with mp.Pool(cores) as p:
+            p.map(_spin, [work // cores] * cores)
+        return time.time() - t0
+
+    try:
+        t_lo, t_hi = run(lo), run(hi)
+    finally:
+        os.system(f"taskset -cp 0-{os.cpu_count() - 1} {os.getpid()} "
+                  ">/dev/null")
+    return {
+        "probe_sec_n": round(t_lo, 2),
+        "probe_sec_4n": round(t_hi, 2),
+        "host_ceiling_efficiency": round(t_lo / (4 * t_hi), 3),
+    }
+
+
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     n_level = int(sys.argv[2]) if len(sys.argv) > 2 else 4  # N vs 4N
@@ -122,6 +158,10 @@ def main():
     # carries its own df check
     stat = os.statvfs("/tmp")
     disk_avail_gb = round(stat.f_bavail * stat.f_frsize / 2**30, 1)
+    # CPU self-attribution (session-6 forensics): measure the host's
+    # OWN lo-vs-hi ceiling in the same window so the artifact carries
+    # its noise control, like bench.py's cpu_control_sec
+    probe = _host_probe(lo, hi)
     summary = {
         "n_pages": n_pages,
         "levels": list(levels),
@@ -131,6 +171,9 @@ def main():
         "scaling_efficiency": efficiency,
         "pass_0.8": efficiency >= 0.8,
         "tmp_avail_gb_after": disk_avail_gb,
+        **probe,
+        "engine_to_host_ratio": round(
+            efficiency / probe["host_ceiling_efficiency"], 3),
     }
     with open(os.path.join(bench_dir, "scaling.json"), "w") as f:
         json.dump(summary, f, indent=1)
@@ -144,6 +187,11 @@ def main():
 
 - speedup N→4N: **{summary['speedup_n_to_4n']}×** (ideal 4×)
 - scaling efficiency: **{efficiency}** (threshold 0.8 → {"PASS" if efficiency >= 0.8 else "FAIL"})
+- host's own pure-CPU ceiling this window: \
+**{probe['host_ceiling_efficiency']}** → engine at \
+**{summary['engine_to_host_ratio']}** of the host (clean windows \
+read ~0.95 host / ~0.92 engine; a FAIL whose probe is also degraded \
+is the VM's window, not the engine)
 - {n_pages:,} pages; result row counts identical at both levels
   ({results[lo]['result_rows']} tiles) — partition-invariance of the
   kernels is what makes the comparison meaningful (SURVEY.md §7.2).
