@@ -150,15 +150,15 @@ def jaccard_pairs(
     :func:`jaccard_dropped_shingles` == 0 evidence or small corpora.
 
     ``candidate_strategy``: "auto" (default) uses the inverted-index
-    self-join — MEASURED faster (289 s vs 342 s at 5M pages, local[32])
-    than the seemingly-cheaper "bucket" alternative, which expands
-    pairs inside one groupBy over the capped shingle buckets
-    (collect_list + array_sort + HOF expansion costs more than the
-    sort-merge join AQE already optimizes). "bucket" stays available
-    (requires ``max_df``; pair arrays bounded at C(max_df, 2)) for
-    executors where the join build/sort spills. Candidate SETS are
-    identical either way — only the physical plan differs (pinned by
-    test).
+    self-join (measured faster than "bucket" at 5M pages on the r5
+    shape, 289 s vs 342 s, and still the default after the r6
+    count-based verification rewrite — see
+    :func:`_pair_intersections`). "bucket" expands pairs inside one
+    groupBy over the capped shingle buckets instead of self-joining
+    (requires ``max_df``; pair arrays bounded at C(max_df, 2)) and
+    stays available for executors where the join build/sort spills.
+    Candidate SETS are identical either way — only the physical plan
+    differs (pinned by test).
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, rounded 6dp,
     ≥ threshold.
@@ -166,25 +166,6 @@ def jaccard_pairs(
     if max_df is _USE_DEFAULT_CAP:
         _warn_default_cap()
         max_df = _DEFAULT_MAX_DF
-    # cache_latest: the candidate join + array lookups re-scan this
-    # 3-4×; the columnar cache beats RDD-checkpoint blocks 2-3× here,
-    # and the registry bounds CacheManager growth per session.
-    sh_full = cache_latest(
-        "dedup.jaccard.sh_full", _shingle_sets(df, id_col, text_col, n)
-    )
-    # CANDIDATE GENERATION on 60-bit HASHED shingles: the inverted-
-    # index self-join and the df aggregate shuffle 8-byte longs instead
-    # of n-gram strings (~30-40 bytes each) — 3-5× less shuffle volume
-    # at corpus scale, the hash-once rule applied to the join key.
-    # Collision safety: a hash collision can only ADD a candidate pair,
-    # which the STRING-set verification below scores honestly (shared
-    # strings ⇒ shared hashes, so no true candidate is ever lost) —
-    # output equality with the exact string-path SQL twin therefore
-    # rests on that verification plus threshold > 0, NOT on the twin
-    # hashing (it doesn't; it unnests raw shingles). With max_df a
-    # collision could also merge two shingles' df counts past the cap
-    # (P ≈ 2⁻⁶⁰ per shingle pair); the gate's dropped == 0 assertion
-    # keeps the capped-vs-exact-twin comparison sound at gate scale.
     if candidate_strategy not in ("auto", "join", "bucket"):
         raise ValueError("candidate_strategy must be auto|join|bucket")
     if candidate_strategy == "bucket" and max_df is None:
@@ -193,9 +174,59 @@ def jaccard_pairs(
             "pair expansion is only plan/memory-safe when bucket size "
             "is capped"
         )
-    # auto = join: measured faster at corpus scale (see docstring)
-    use_bucket = candidate_strategy == "bucket"
-    sh = sh_full.select("__id", F.explode("__hset").alias("__sh"))
+    # cache_latest: candidate generation + the hot-doc projection
+    # re-scan this 2-3×; the columnar cache beats RDD-checkpoint blocks
+    # 2-3× here, and the registry bounds CacheManager growth.
+    sh_full = cache_latest(
+        "dedup.jaccard.sh_full", _shingle_sets(df, id_col, text_col, n)
+    )
+    pair_counts = _pair_intersections(
+        sh_full, max_df, candidate_strategy == "bucket"
+    )
+    inter = F.col("__inter")
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    return (
+        pair_counts
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _pair_intersections(
+    sh_full: DataFrame, max_df: "int | None", use_bucket: bool
+) -> DataFrame:
+    """(id_a, id_b, sz_a, sz_b, __inter) for every pair sharing ≥ 1
+    capped shingle, where ``__inter`` is the FULL shingle-set
+    intersection size and ``sz_*`` the full set sizes.
+
+    The r6 rewrite of the verification step (guide §2.3 — aggregate
+    before you shuffle; shuffle counts, not payloads). The inverted-
+    index join emits one row per SHARED capped shingle, so
+    ``groupBy(pair).count()`` IS the capped intersection size — the
+    old plan instead deduplicated the join output (same shuffle), then
+    re-joined the full STRING shingle arrays back to both sides and ran
+    array_intersect per candidate (measured the dominant cost: at 50k
+    synthetic docs the candidate set is 114M pairs for 2.5k survivors,
+    each paying a ~48×48 string-array intersection). Hot shingles
+    (df > max_df, excluded from candidate generation but NOT from
+    jaccard) are added back per pair from a per-doc hot-shingle array:
+    inter_full = inter_capped + |hot(A) ∩ hot(B)|, exact because a
+    doc's shingle set partitions into capped ∪ hot.
+
+    Everything is computed over the 60-bit HASHED shingles (8-byte
+    longs, not 30-40-byte strings — the hash-once rule). The output now
+    depends on hash equality: two DISTINCT shingles colliding across a
+    pair (P ≈ 2⁻⁶⁰ per shingle pair, ~10⁻¹⁰ for a 30k-shingle
+    vocabulary) would inflate that pair's count by 1. The gate compares
+    the full output value-hash against the raw-string DuckDB twin on
+    real data, which verifies no collision exists there; at corpus
+    scale a collision mis-scores one pair by one shingle — strictly
+    better than the old plan's behaviour under the SAME collision,
+    which could silently merge two shingles' df counts past the cap.
+    """
+    occ = sh_full.select("__id", "__sz", F.explode("__hset").alias("__sh"))
+    hot = None
     if max_df is not None:
         # drop HOT shingles via a broadcast anti-join: the hot list is
         # at most n/max_df shingles by definition (always broadcastable)
@@ -205,21 +236,25 @@ def jaccard_pairs(
         # The anti-join also runs BEFORE the bucket strategy's
         # collect_list below — a boilerplate shingle must never reach
         # the agg buffer with millions of ids.
-        dfreq = sh.groupBy("__sh").agg(F.count("*").alias("__df"))
+        dfreq = occ.groupBy("__sh").agg(F.count("*").alias("__df"))
         hot = dfreq.filter(F.col("__df") > max_df).select("__sh")
-        sh = sh.join(F.broadcast(hot), "__sh", "left_anti")
+        occ = occ.join(F.broadcast(hot), "__sh", "left_anti")
     if use_bucket:
         # CAPPED buckets: expand each shingle's ≤ max_df sorted ids
         # into (i < j) pairs inside ONE groupBy — replaces the
-        # two-sided sort-merge self-join with a single shuffle of the
-        # inverted index. Pair arrays are bounded at C(max_df, 2)
-        # structs per shingle row and materialized into a real column
-        # BEFORE explode (CLAUDE.md rule 1; __ids is an agg output, so
-        # the HOF lambdas reference a cheap column, not an inlined
+        # two-sided self-join with a single shuffle of the inverted
+        # index. Pair arrays are bounded at C(max_df, 2) structs per
+        # shingle row and materialized into a real column BEFORE
+        # explode (CLAUDE.md rule 1; __ids is an agg output, so the
+        # HOF lambdas reference a cheap column, not an inlined
         # expensive expression — rule 8).
         grouped = (
-            sh.groupBy("__sh")
-            .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+            occ.groupBy("__sh")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__id", "__sz"))
+                ).alias("__ids")
+            )
             .filter(F.size("__ids") >= 2)
         )
         pair_arr = F.flatten(
@@ -231,62 +266,92 @@ def jaccard_pairs(
                         F.size("__ids") - i - F.lit(1),
                     ),
                     lambda b: F.struct(
-                        a.alias("id_a"), b.alias("id_b")
+                        a["__id"].alias("id_a"),
+                        a["__sz"].alias("sz_a"),
+                        b["__id"].alias("id_b"),
+                        b["__sz"].alias("sz_b"),
                     ),
                 ),
             )
         )
-        pairs = (
+        pair_rows = (
             grouped.withColumn("__pairs", pair_arr)
             .select(F.explode("__pairs").alias("__p"))
-            .select(
-                F.col("__p.id_a").alias("id_a"),
-                F.col("__p.id_b").alias("id_b"),
-            )
-            .dropDuplicates(["id_a", "id_b"])
+            .select("__p.id_a", "__p.sz_a", "__p.id_b", "__p.sz_b")
         )
     else:
-        pairs = (
-            sh.alias("a")
+        pair_rows = (
+            occ.alias("a")
             .join(
-                sh.alias("b"),
+                occ.alias("b"),
                 (F.col("a.__sh") == F.col("b.__sh"))
                 & (F.col("a.__id") < F.col("b.__id")),
             )
-            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+            .select(
+                F.col("a.__id").alias("id_a"),
+                F.col("a.__sz").alias("sz_a"),
+                F.col("b.__id").alias("id_b"),
+                F.col("b.__sz").alias("sz_b"),
+            )
         )
-    # exact verification over the full string shingle sets (both the
-    # capped and exact paths share it — precision never depends on the
-    # candidate hashing or the cap)
-    sa = sh_full.select(F.col("__id").alias("id_a"), F.col("__shset").alias("__sha"))
-    sb = sh_full.select(F.col("__id").alias("id_b"), F.col("__shset").alias("__shb"))
-    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
-    union = F.size(F.col("__sha")) + F.size(F.col("__shb")) - inter
+    # one row per shared capped shingle → count() = capped intersection.
+    # sz_* are functionally dependent on the ids, so keying on them too
+    # changes no cardinality but saves a join-back for the sizes.
+    counts = pair_rows.groupBy("id_a", "id_b", "sz_a", "sz_b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    if hot is None:
+        return counts.withColumn("__inter", F.col("__c"))
+    # hot-shingle adjustment: per-doc array of its df>cap shingles
+    # (empty table when nothing is hot — the bench/gate shape — so the
+    # two left joins degrade to empty-broadcast probes). At real corpus
+    # scale this table has ≤ one small array per doc; the joins are on
+    # the pair ids the rows already carry.
+    hot_docs = (
+        sh_full.select("__id", F.explode("__hset").alias("__sh"))
+        .join(F.broadcast(hot), "__sh")
+        .groupBy("__id")
+        .agg(F.collect_list("__sh").alias("__hot"))
+    )
+    ha = hot_docs.select(F.col("__id").alias("id_a"), F.col("__hot").alias("__hot_a"))
+    hb = hot_docs.select(F.col("__id").alias("id_b"), F.col("__hot").alias("__hot_b"))
     return (
-        pairs.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        counts.join(ha, "id_a", "left")
+        .join(hb, "id_b", "left")
+        .withColumn(
+            "__inter",
+            F.col("__c")
+            # explicit null guard: size(NULL) is -1 under the legacy
+            # sizeOfNull setting, so coalesce alone is not safe
+            + F.when(
+                F.col("__hot_a").isNull() | F.col("__hot_b").isNull(),
+                F.lit(0),
+            ).otherwise(F.size(F.array_intersect("__hot_a", "__hot_b"))),
+        )
     )
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(__id, __shset, __hset) projection shared by
-    :func:`jaccard_pairs` and :func:`jaccard_dropped_shingles` — ONE
-    plan shape, so Spark's plan-keyed CacheManager lets the counter
+    """(__id, __sz, __hset) projection shared by :func:`jaccard_pairs`,
+    :func:`containment_pairs` and :func:`jaccard_dropped_shingles` —
+    ONE plan shape, so Spark's plan-keyed CacheManager lets the counter
     read the frame jaccard_pairs cached instead of re-shingling the
     corpus (measured: the counter doubled the pipeline dedup stage
-    before this). ``__hset`` is the 60-bit md5 of each shingle —
-    computed once here (cached alongside the strings) so candidate
-    generation shuffles longs while verification keeps exact strings.
+    before this). ``__hset`` is the 60-bit md5 of each shingle, ``__sz``
+    the full set size. Since the r6 count-based verification the raw
+    shingle STRINGS never leave this projection — the cache holds only
+    8-byte hashes (≈¼ the bytes of the old string+hash cache).
     Repartition first: small corpora arrive as one parquet partition
     and the regex+sort shingle pass would run single-threaded."""
     par = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(par, id_col).select(
         F.col(id_col).alias("__id"),
         X.shingles(text_col, n).alias("__shset"),
-    ).withColumn("__hset", F.transform("__shset", X.md5_hash60))
+    ).select(
+        "__id",
+        F.size("__shset").alias("__sz"),
+        F.transform("__shset", X.md5_hash60).alias("__hset"),
+    )
 
 
 def jaccard_dropped_shingles(
@@ -338,28 +403,14 @@ def containment_pairs(
     sh_full = cache_latest(
         "dedup.containment.sh_full", _shingle_sets(df, id_col, text_col, n)
     )
-    sh = sh_full.select("__id", F.explode("__hset").alias("__sh"))
-    if max_df is not None:
-        dfreq = sh.groupBy("__sh").agg(F.count("*").alias("__df"))
-        hot = dfreq.filter(F.col("__df") > max_df).select("__sh")
-        sh = sh.join(F.broadcast(hot), "__sh", "left_anti")
-    pairs = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.__sh") == F.col("b.__sh"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sa = sh_full.select(F.col("__id").alias("id_a"), F.col("__shset").alias("__sha"))
-    sb = sh_full.select(F.col("__id").alias("id_b"), F.col("__shset").alias("__shb"))
-    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
-    c_ab = F.round(inter / F.greatest(F.size("__sha"), F.lit(1)), 6)
-    c_ba = F.round(inter / F.greatest(F.size("__shb"), F.lit(1)), 6)
+    # same count-based intersection machinery as jaccard_pairs (see
+    # :func:`_pair_intersections`) — only the final ratio differs
+    pair_counts = _pair_intersections(sh_full, max_df, use_bucket=False)
+    inter = F.col("__inter")
+    c_ab = F.round(inter / F.greatest(F.col("sz_a"), F.lit(1)), 6)
+    c_ba = F.round(inter / F.greatest(F.col("sz_b"), F.lit(1)), 6)
     return (
-        pairs.join(sa, "id_a").join(sb, "id_b")
+        pair_counts
         .withColumn("cont_a_in_b", c_ab)
         .withColumn("cont_b_in_a", c_ba)
         .filter(
@@ -523,7 +574,13 @@ def minhash_lsh_pairs(
     # cache_latest because the self-join + verify re-scan this 3×
     # (bounded: each call releases the previous call's cache)
     # repartition first: the shingle+md5+minhash pass is the expensive
-    # part and small corpora arrive as one parquet partition
+    # part and small corpora arrive as one parquet partition.
+    # The cache keeps the HASHED shingle array (__h), not the strings:
+    # verification intersects 8-byte longs instead of 30-40-byte
+    # strings (¼ the cache bytes, cheaper per-pair intersects); a
+    # cross-doc 60-bit collision (P ≈ 2⁻⁶⁰ per shingle pair) would
+    # shift one pair's jaccard by one shingle — the gate's value-hash
+    # against the raw-string DuckDB twin pins its absence on real data.
     par = df.sparkSession.sparkContext.defaultParallelism
     sig = cache_latest(
         "dedup.minhash_lsh.sig",
@@ -531,7 +588,7 @@ def minhash_lsh_pairs(
         .select(F.col(id_col).alias("__id"), X.shingles(text_col, 3).alias("__sh"))
         .withColumn("__h", F.transform(F.col("__sh"), X.md5_hash60))
         .withColumn("__sig", minhash_from_hashes("__h", num_hashes))
-        .drop("__h"),
+        .drop("__sh"),
     )
     # bands shuffle only (id, band, 16-byte key) — shingle arrays are
     # joined back per candidate pair afterwards, never multiplied ×bands
@@ -564,8 +621,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sha = sig.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
-    shb = sig.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    sha = sig.select(F.col("__id").alias("id_a"), F.col("__h").alias("__sha"))
+    shb = sig.select(F.col("__id").alias("id_b"), F.col("__h").alias("__shb"))
     cand = pairs.join(sha, "id_a").join(shb, "id_b")
     inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
     union = F.size(F.col("__sha")) + F.size(F.col("__shb")) - inter
@@ -637,36 +694,77 @@ def simhash_udf(num_bits: int = 64):
     def _simhash(texts: pd.Series) -> pd.Series:
         import hashlib
 
-        # token → ±1 bit-row memo: real corpora reuse vocabulary heavily,
-        # so md5 runs once per distinct token per worker, not per
-        # occurrence (worker processes are reused across batches).
-        # Keyed by num_bits — rows have length num_bits, so two UDF
-        # widths sharing one dict would reuse wrong-width rows — and
+        # token → uint64 md5 hash memo (8 bytes/entry — the r6 rewrite
+        # dropped the old per-token ±1 bit-row arrays, 64× the memory
+        # for the same information): real corpora reuse vocabulary
+        # heavily, so md5 runs once per distinct token per worker, not
+        # per occurrence (worker processes are reused across batches).
+        # Keyed by num_bits only to keep two UDF widths' stats separate;
         # size-capped: web-scale vocab (typos, ids, urls) is unbounded,
         # and an uncapped per-worker dict is a slow OOM at 100 TB. Cache
         # hits stay high because Zipf mass is in the head; past the cap
         # tail tokens just recompute (correctness unaffected).
-        memo: dict[str, np.ndarray] = _simhash_memo.setdefault(num_bits, {})
-        out = np.zeros(len(texts), dtype=np.int64)
+        memo: dict[str, int] = _simhash_memo.setdefault(num_bits, {})
         shifts = np.arange(num_bits, dtype=np.uint64)
         weights = (np.uint64(1) << shifts).astype(np.uint64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        # pass 1 (Python): tokenize + hash-lookup into one flat array —
+        # the only per-token Python work left
+        flat: list[int] = []
+        lens = np.zeros(len(texts), dtype=np.int64)
+        mget = memo.get
         for i, t in enumerate(texts):
             toks = _norm_words(t)
-            if not toks:
-                continue
-            rows = []
+            lens[i] = len(toks)
             for tok in toks:
-                r = memo.get(tok)
-                if r is None:
-                    h = np.uint64(int(hashlib.md5(tok.encode()).hexdigest()[:16], 16))
-                    bits = (h >> shifts) & np.uint64(1)
-                    r = np.where(bits == 1, np.int64(1), np.int64(-1))
+                h = mget(tok)
+                if h is None:
+                    h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
                     if len(memo) < _SIMHASH_MEMO_CAP:
-                        memo[tok] = r
-                rows.append(r)
-            acc = np.sum(rows, axis=0)
-            sig = ((acc > 0).astype(np.uint64) * weights).sum(dtype=np.uint64)
-            out[i] = sig.astype(np.int64)  # two's-complement wrap, no raise
+                        memo[tok] = h
+                flat.append(h)
+        if not flat:
+            return pd.Series(out)
+        # pass 2 (numpy, vectorized): per-doc per-bit counts via one
+        # segmented reduce — acc_j = 2·(# tokens with bit j set) − n_tok
+        # is exactly the old Σ(±1) accumulate, integer-exact. Chunked so
+        # the (tokens × num_bits) unpacked matrix stays ≲64 MB.
+        H = np.array(flat, dtype=np.uint64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        nz = np.flatnonzero(lens)
+        budget = max(1, (16 << 20) // max(1, num_bits))  # tokens/chunk
+
+        def _bit_counts(seg: np.ndarray) -> np.ndarray:
+            # (len(seg), num_bits) 0/1 matrix; int32 so reduceat sums
+            # cannot overflow for any realistic doc length
+            return ((seg[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+
+        pos = 0
+        while pos < len(nz):
+            j = pos + 1
+            tok0 = starts[nz[pos]]
+            while j < len(nz) and ends[nz[j]] - tok0 <= budget:
+                j += 1
+            sel = nz[pos:j]
+            seg = H[starts[sel[0]]:ends[sel[-1]]]
+            if len(sel) == 1 and len(seg) > budget:
+                # one monster doc: accumulate its per-bit counts in
+                # slices instead of unpacking all tokens at once
+                sums = np.zeros((1, num_bits), dtype=np.int64)
+                for lo in range(0, len(seg), budget):
+                    sums[0] += _bit_counts(seg[lo:lo + budget]).sum(
+                        axis=0, dtype=np.int64
+                    )
+            else:
+                idx = (starts[sel] - starts[sel[0]]).astype(np.int64)
+                sums = np.add.reduceat(_bit_counts(seg), idx, axis=0)
+            acc = 2 * sums - lens[sel][:, None]
+            sig = ((acc > 0).astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[sel] = sig.astype(np.int64)  # two's-complement wrap
+            pos = j
         return pd.Series(out)
 
     return _simhash
@@ -748,8 +846,18 @@ def simhash_pairs(
     if max_hamming >= chunks:
         raise ValueError("pigeonhole recall needs max_hamming < chunks")
     bits = 64 // chunks
-    sh = df.select(
-        F.col(id_col).alias("__id"), simhash_udf()(F.col(text_col)).alias("__sim")
+    # repartition: small corpora arrive as ONE parquet split, which
+    # would run the (expensive) simhash UDF single-task; cache_latest:
+    # the self-join would otherwise evaluate the UDF subtree once per
+    # side (measured: the two fixes plus the filter-before-dedup below
+    # took simhash_pairs 36.6 s → ~2 s at 50k docs, local[32])
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = cache_latest(
+        "dedup.simhash.sh",
+        df.repartition(par, id_col).select(
+            F.col(id_col).alias("__id"),
+            simhash_udf()(F.col(text_col)).alias("__sim"),
+        ),
     )
     chunked = sh.select(
         "__id",
@@ -783,6 +891,10 @@ def simhash_pairs(
                 F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))
             ).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # filter BEFORE the distinct: hamming is a pure function of the
+        # pair, so the result set is identical, but the aggregate now
+        # sees only surviving pairs (at 50k synthetic docs: 19.3M
+        # candidate rows → ~14k — the dedup was the dominant cost)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )

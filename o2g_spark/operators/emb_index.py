@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..plans.checkpoint import CheckpointManager
 from . import _delta_index as D
-from .similarity import cosine, lsh_band_keys_udf
+from .similarity import cosine_prenormed, lsh_band_keys_udf, norm
 
 BANDS_STAGE = "emb_bands"
 VECS_STAGE = "emb_vecs"
@@ -201,9 +201,23 @@ def embedding_near_dup_incremental(
     # verification vectors: old from the index, new fresh — an id
     # resolves from exactly one side (ids disjoint by contract)
     v_all = idx_v.unionByName(new_v)
-    va = v_all.select(F.col("did").alias("id_a"), F.col("vec").alias("__va"))
-    vb = v_all.select(F.col("did").alias("id_b"), F.col("vec").alias("__vb"))
-    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    # per-side norm computed once per vector row, not per pair
+    # (bit-identical: see similarity.cosine_prenormed)
+    v_all = v_all.select("did", "vec", norm(F.col("vec")).alias("__nrm"))
+    va = v_all.select(
+        F.col("did").alias("id_a"), F.col("vec").alias("__va"),
+        F.col("__nrm").alias("__na"),
+    )
+    vb = v_all.select(
+        F.col("did").alias("id_b"), F.col("vec").alias("__vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    sim = F.round(
+        cosine_prenormed(
+            F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+        ),
+        6,
+    )
     return (
         pairs.join(va, "id_a").join(vb, "id_b")
         .withColumn("sim", sim)

@@ -52,6 +52,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-300))
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with the norms supplied as columns. Bit-identical
+    to ``cosine(a, b)`` when ``na/nb`` are ``norm(a)/norm(b)`` (same
+    sqrt values, same multiply), but lets the caller compute each SIDE's
+    norm once per row instead of once per joined pair — the norm fold is
+    an interpreted HOF aggregate, so on a k-fanout join this removes
+    2k of the 3k per-pair array folds (guide §1.2: per-task work)."""
+    return dot(a, b) / F.greatest(na * nb, F.lit(1e-300))
+
+
 def dot_sql(a_tbl: str, b_tbl: str) -> str:
     """DuckDB zipped-unnest dot product (same left-to-right sum order)."""
     return (
@@ -75,11 +85,22 @@ def cosine_topk(
     deterministic tie-break on vec_id. Self-matches (same id) are NOT
     excluded — callers filter if the query set is drawn from the corpus.
     """
+    # per-side norms BEFORE the fanout join: one interpreted HOF fold
+    # per row instead of per (query × corpus) pair; bit-identical sim
     q = queries.select(
-        F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv")
+        F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
-    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    c = corpus.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
+    )
+    sim = F.round(
+        cosine_prenormed(
+            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+        ),
+        6,
+    )
     w = Window.partitionBy("__qid").orderBy(F.col("sim").desc(), F.col("__cid").asc())
     return (
         c.crossJoin(F.broadcast(q))
@@ -170,11 +191,13 @@ def ann_lsh_topk(
         F.col(id_col).alias("__cid"),
         F.col(vec_col).alias("__cv"),
         bucket(F.col(vec_col)).alias("__bkt"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
     q = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(vec_col).alias("__qv"),
         bucket(F.col(vec_col)).alias("__bkt0"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     if multiprobe:
         probes = F.array(
@@ -185,11 +208,16 @@ def ann_lsh_topk(
             ],
         )
         q = q.select(
-            "__qid", "__qv", F.explode(probes).alias("__bkt")
+            "__qid", "__qv", "__qn", F.explode(probes).alias("__bkt")
         )
     else:
         q = q.withColumnRenamed("__bkt0", "__bkt")
-    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    sim = F.round(
+        cosine_prenormed(
+            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+        ),
+        6,
+    )
     w = Window.partitionBy("__qid").orderBy(F.col("sim").desc(), F.col("__cid").asc())
     return (
         c.join(F.broadcast(q), "__bkt")
@@ -365,11 +393,20 @@ def ivf_topk_from_bucketed(
             F.col(query_id).alias("__qid"),
             F.col(vec_col).alias("__qv"),
             q_assign(F.col(vec_col)).alias("__bkts"),
+            norm(F.col(vec_col)).alias("__qn"),
         )
         .withColumn("__bkt", F.explode("__bkts"))
         .drop("__bkts")
     )
-    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    # corpus-side norm computed once per row before the probe join
+    # (bucketed_corpus may come from the persisted index without it)
+    bucketed_corpus = bucketed_corpus.withColumn("__cn", norm(F.col("__cv")))
+    sim = F.round(
+        cosine_prenormed(
+            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+        ),
+        6,
+    )
     w = Window.partitionBy("__qid").orderBy(F.col("sim").desc(), F.col("__cid").asc())
     return (
         bucketed_corpus.join(F.broadcast(q), "__bkt")
@@ -446,12 +483,15 @@ def embedding_near_dup_pairs(
     # vector fetch twice more; without caching the UDF matmul re-runs
     # per scan (bounded: each call releases the previous call's cache)
     par = df.sparkSession.sparkContext.defaultParallelism
+    # __n cached alongside: the verify step needs each side's norm once
+    # per PAIR otherwise (interpreted HOF fold — see cosine_prenormed)
     sig = cache_latest(
         "similarity.near_dup.sig",
         df.repartition(par, id_col).select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__v"),
             keys_udf(F.col(vec_col)).alias("__keys"),
+            norm(F.col(vec_col)).alias("__n"),
         ),
     )
     banded = sig.select("__id", F.posexplode("__keys").alias("__band", "__key"))
@@ -477,9 +517,22 @@ def embedding_near_dup_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = sig.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    vb = sig.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
-    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    va = sig.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = sig.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    sim = F.round(
+        cosine_prenormed(
+            F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+        ),
+        6,
+    )
     return (
         pairs.join(va, "id_a").join(vb, "id_b")
         .withColumn("sim", sim)
