@@ -198,6 +198,13 @@ def try_decode_avi(
             dec = J.try_decode_jpeg(raw)
             if dec is None:
                 return None
+            # a frame whose embedded JPEG dims differ from the container
+            # header would yield mixed-shape frame arrays — np.stack in
+            # the hashing/resize consumers then raises inside the task.
+            # Treat the clip as undecodable instead (the documented
+            # malformed-payload contract: no rows, not a crashed stage).
+            if dec[2].shape != (h, w, 3):
+                return None
             out.append(dec[2])
         else:
             if dsize < stride * h:

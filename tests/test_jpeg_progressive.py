@@ -166,3 +166,64 @@ def test_decode_images_progressive_physical_truth(spark):
     out = {r.media_id: r for r in mm.decode_images(media).collect()}
     assert (out[2].width, out[2].height) == (40, 24)
     assert out[1].feature == out[2].feature  # same pixels → same stats
+
+
+# ------------------------- hand-assembled SOF2 fixture (ADVICE r5 #2)
+
+
+def _seg(marker, body):
+    import struct
+    return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+
+def _hand_assembled_sof2() -> bytes:
+    """A spec-derived progressive stream built WITHOUT the sibling
+    encoder: 8×8, one component, all-ones quant table, coefficients
+    DC=16 / AC(zigzag 1)=3, delivered over FOUR scans exercising every
+    Annex G path the r5 ADVICE flagged — DC first at Al=1, DC
+    refinement raw bit, AC first at Al=1 with an EOB run, AC
+    refinement whose correction bit rides an EOB-run skip.
+
+    Bitstreams (derived by hand from T.81 §G.1.2, canonical Huffman):
+      DC table: counts [1,0,...], vals [4]          → '0' = category 4
+      AC table: counts [1,1,0,...], vals [0x01,0x00] → '0'=0x01, '10'=EOB0
+      scan1 DC first (Al=1): send DC>>1 = 8: '0' + '1000'  → 0x47 padded
+      scan2 DC refine:       raw bit DC&1 = 0: '0'         → 0x7F
+      scan3 AC first (Al=1): AC1>>1 = 1: '0'+'1', EOB '10' → 0x6F
+      scan4 AC refine:       EOB '10' + correction bit '1' → 0xBF
+    """
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof2 = _seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    dht_dc = _seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([4]))
+    dht_ac = _seg(0xC4, bytes([0x10]) + bytes([1, 1] + [0] * 14)
+                  + bytes([0x01, 0x00]))
+
+    def sos(ss, se, ah, al, data):
+        return _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) + data
+
+    return (b"\xff\xd8" + dqt + sof2 + dht_dc + dht_ac
+            + sos(0, 0, 0, 1, b"\x47")    # DC first, Al=1
+            + sos(0, 0, 1, 0, b"\x7f")    # DC refine
+            + sos(1, 63, 0, 1, b"\x6f")   # AC first, Al=1, EOB run
+            + sos(1, 63, 1, 0, b"\xbf")   # AC refine, bit in EOB skip
+            + b"\xff\xd9")
+
+
+def test_hand_assembled_sof2_pins_decoder_independently():
+    got = J.try_decode_jpeg(_hand_assembled_sof2())
+    assert got is not None, "decoder rejected the spec-derived stream"
+    w, h, px = got
+    assert (w, h) == (8, 8)
+    # expected pixels from the hand-written COEFFICIENT matrix through
+    # the (independently round-trip-tested) IDCT — entropy decode and
+    # Annex G ordering are what this fixture pins
+    zz = np.zeros(64)
+    zz[0], zz[1] = 16.0, 3.0
+    nat = np.zeros(64)
+    nat[J.ZIGZAG] = zz
+    block = nat.reshape(8, 8)
+    plane = J._C.T @ block @ J._C + 128.0
+    want = np.repeat(
+        np.clip(np.round(plane), 0, 255).astype(np.uint8)[..., None],
+        3, axis=2)
+    assert np.array_equal(px, want)

@@ -300,3 +300,49 @@ def test_video_frames_validates_args(spark):
         V.video_frames(media, every_k=0)
     with pytest.raises(ValueError):
         V.video_frames(media, width=0)
+
+
+def _splice_small_frame(good: bytes, small_jpeg: bytes) -> bytes:
+    """Replace the SECOND MJPEG frame chunk's payload with a JPEG whose
+    dimensions differ from the container header, fixing the chunk, movi
+    LIST and RIFF sizes (the ADVICE r5 adversarial shape)."""
+    import struct as S
+
+    i1 = good.index(b"00dc")
+    i2 = good.index(b"00dc", i1 + 1)
+    osz = S.unpack_from("<I", good, i2 + 4)[0]
+    old_total = 8 + osz + (osz & 1)
+    nsz = len(small_jpeg)
+    pad = b"\x00" if nsz & 1 else b""
+    new = (good[:i2] + b"00dc" + S.pack("<I", nsz) + small_jpeg + pad
+           + good[i2 + old_total:])
+    delta = (8 + nsz + (nsz & 1)) - old_total
+    movi = new.index(b"movi")
+    lsz = S.unpack_from("<I", new, movi - 4)[0]
+    new = new[:movi - 4] + S.pack("<I", lsz + delta) + new[movi:]
+    rsz = S.unpack_from("<I", new, 4)[0]
+    return new[:4] + S.pack("<I", rsz + delta) + new[8:]
+
+
+def test_mjpeg_frame_dim_mismatch_degrades_to_undecodable(spark):
+    # a clip whose embedded JPEG dims differ from the (w, h) header must
+    # take the undecodable path (None / no rows), not crash np.stack in
+    # the mapInPandas consumers
+    from o2g_spark.kernels import jpeg as J
+
+    big = _frames(2, h=16, w=16, seed=3)
+    small = _frames(1, h=8, w=8, seed=4)[0]
+    good = make_avi(big, fps=5, codec="mjpeg")
+    bad = _splice_small_frame(good, J.make_jpeg(small, quality=90))
+    assert try_decode_avi(good) is not None
+    assert try_decode_avi(bad) is None
+
+    media = spark.createDataFrame(
+        [(1, "u1", "video", bytearray(good), {}),
+         (9, "u9", "video", bytearray(bad), {})], MEDIA_SCHEMA)
+    # hashing consumer: bad clip contributes no rows, good clip decodes
+    hashed = V.video_frame_dhash(media).collect()
+    assert {r.media_id for r in hashed} == {1}
+    # frame-sample consumer: same contract (no ValueError inside tasks)
+    sampled = V.video_frames(media, width=8, height=8, every_k=1).collect()
+    assert {r.media_id for r in sampled} == {1}
