@@ -2966,7 +2966,76 @@ FROM ranked WHERE did != canon
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS for the driver's correctness artifact, not for
+    # correctness itself: the driver gate checks the FIRST 50 entries
+    # (CORRECTNESS_r05.json covered exactly the r4-era front half), so
+    # per the r5 verdict (#1) the 55 queries the driver has never
+    # checked — sketches, temporal joins, curation, model filters,
+    # media/video codecs, the stream twins, the incremental indexes —
+    # now lead. Five of the 55 (the simplest hash-split/sampling/regex
+    # ops, each twice replica-verified) sit at positions 51-55; the
+    # long-stable r1-r4 queries, all with driver-green artifacts from
+    # previous rounds, follow. Every query keeps its name, builder and
+    # oracle SQL unchanged.
     return {
+        # --- driver-window front: never driver-checked before r6 ---
+        "dup_stats": _q_dup_stats,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "emb_incremental": _q_emb_incremental,
+        "media_incremental": _q_media_incremental,
+        "domain_cap": _q_domain_cap,
+        "corpus_mix": _q_corpus_mix,
+        "corpus_mix_bucket": _q_corpus_mix_bucket,
+        "corpus_mix_rate": _q_corpus_mix_rate,
+        "tfidf_topk": _q_tfidf_topk,
+        "lm_train": _q_lm_train,
+        "lm_score": _q_lm_score,
+        "dsir_weights": _q_dsir_weights,
+        "bm25_topk": _q_bm25_topk,
+        "cms_users": _q_cms_users,
+        "quantiles": _q_quantiles,
+        "heavy_users": _q_heavy_users,
+        "hll_words": _q_hll_words,
+        "hll_window": _q_hll_window,
+        "quantiles_window": _q_quantiles_window,
+        "asof_join": _q_asof_join,
+        "asof_skew": _q_asof_skew,
+        "interval_join": _q_interval_join,
+        "pack_sequences": _q_pack_sequences,
+        "simhash_pairs": _q_simhash_pairs,
+        "cosine_topk": _q_cosine_topk,
+        "cosine_topk_q8": _q_cosine_topk_q8,
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "semdedup": _q_semdedup,
+        "gtfs_resolve": _q_gtfs_resolve,
+        "multimodal_decode": _q_multimodal_decode,
+        "html_to_text": _q_html_to_text,
+        "lineage_digest": _q_lineage_digest,
+        "bmp_decode": _q_bmp_decode,
+        "png_decode": _q_png_decode,
+        "gif_decode": _q_gif_decode,
+        "wav_decode": _q_wav_decode,
+        "image_phash": _q_image_phash,
+        "image_near_dup": _q_image_near_dup,
+        "audio_fp": _q_audio_fp,
+        "audio_near_dup": _q_audio_near_dup,
+        "near_dup_stream": _q_near_dup_stream,
+        "near_dup_emb_stream": _q_near_dup_emb_stream,
+        "near_dup_media_stream": _q_near_dup_media_stream,
+        "avi_decode": _q_avi_decode,
+        "video_frame_hash": _q_video_frame_hash,
+        "video_near_dup": _q_video_near_dup,
+        "near_dup_video_stream": _q_near_dup_video_stream,
+        "video_incremental": _q_video_incremental,
+        # --- slots 51-55: the 5 simplest of the never-checked set ---
+        "train_split": _q_train_split,
+        "strat_sample": _q_strat_sample,
+        "weighted_sample": _q_weighted_sample,
+        "doc_chunks": _q_doc_chunks,
+        "clean_text": _q_clean_text,
+        # --- long-stable back half (driver-green in r1-r5 artifacts) ---
         # relational core
         "filter_project": _q_filter_project,
         "agg_summary": _q_agg_summary,
@@ -3020,63 +3089,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "lsh_incremental": _q_lsh_incremental,
         "dup_clusters": _q_dup_clusters,
-        "dup_stats": _q_dup_stats,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "emb_incremental": _q_emb_incremental,
-        "media_incremental": _q_media_incremental,
-        # corpus curation / temporal / sketches
-        "train_split": _q_train_split,
-        "strat_sample": _q_strat_sample,
-        "weighted_sample": _q_weighted_sample,
-        "domain_cap": _q_domain_cap,
-        "corpus_mix": _q_corpus_mix,
-        "corpus_mix_bucket": _q_corpus_mix_bucket,
-        "corpus_mix_rate": _q_corpus_mix_rate,
-        "doc_chunks": _q_doc_chunks,
-        "tfidf_topk": _q_tfidf_topk,
-        "lm_train": _q_lm_train,
-        "lm_score": _q_lm_score,
-        "dsir_weights": _q_dsir_weights,
-        "bm25_topk": _q_bm25_topk,
-        "cms_users": _q_cms_users,
-        "quantiles": _q_quantiles,
-        "clean_text": _q_clean_text,
-        "heavy_users": _q_heavy_users,
-        "hll_words": _q_hll_words,
-        "hll_window": _q_hll_window,
-        "quantiles_window": _q_quantiles_window,
-        "asof_join": _q_asof_join,
-        "asof_skew": _q_asof_skew,
-        "interval_join": _q_interval_join,
-        "pack_sequences": _q_pack_sequences,
-        "simhash_pairs": _q_simhash_pairs,
-        "cosine_topk": _q_cosine_topk,
-        "cosine_topk_q8": _q_cosine_topk_q8,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "semdedup": _q_semdedup,
-        # rows-only showcases
-        "gtfs_resolve": _q_gtfs_resolve,
-        "multimodal_decode": _q_multimodal_decode,
-        "html_to_text": _q_html_to_text,
-        "lineage_digest": _q_lineage_digest,
-        "bmp_decode": _q_bmp_decode,
-        "png_decode": _q_png_decode,
-        "gif_decode": _q_gif_decode,
-        "wav_decode": _q_wav_decode,
-        "image_phash": _q_image_phash,
-        "image_near_dup": _q_image_near_dup,
-        "audio_fp": _q_audio_fp,
-        "audio_near_dup": _q_audio_near_dup,
-        "near_dup_stream": _q_near_dup_stream,
-        "near_dup_emb_stream": _q_near_dup_emb_stream,
-        "near_dup_media_stream": _q_near_dup_media_stream,
-        "avi_decode": _q_avi_decode,
-        "video_frame_hash": _q_video_frame_hash,
-        "video_near_dup": _q_video_near_dup,
-        "near_dup_video_stream": _q_near_dup_video_stream,
-        "video_incremental": _q_video_incremental,
     }
 
 

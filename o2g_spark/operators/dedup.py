@@ -590,17 +590,20 @@ def minhash_lsh_pairs(
         .withColumn("__sig", minhash_from_hashes("__h", num_hashes))
         .drop("__sh"),
     )
-    # bands shuffle only (id, band, 16-byte key) — shingle arrays are
-    # joined back per candidate pair afterwards, never multiplied ×bands
+    # bands shuffle only (id, band, 8-byte key) — shingle arrays are
+    # joined back per candidate pair afterwards, never multiplied ×bands.
+    # Band key = xxhash64 over the band's raw slot longs (codegen) —
+    # r6: replaced md5(concat_ws(cast-to-string…)), which built two
+    # strings per band row. The key only GENERATES candidates (equal
+    # bands ⇒ equal keys, so no true candidate is lost; a key collision
+    # merely adds a pair that exact-jaccard verification then scores),
+    # so the hash choice cannot change the output.
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
             b.alias("band"),
-            F.md5(
-                F.concat_ws(",", F.transform(
-                    F.slice(F.col("__sig"), b * rpb + 1, rpb),
-                    lambda v: v.cast("string"),
-                ))
+            F.xxhash64(
+                b, F.slice(F.col("__sig"), b * rpb + 1, rpb)
             ).alias("key"),
         ),
     )
