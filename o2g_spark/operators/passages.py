@@ -32,6 +32,25 @@ in the paper where k is the match threshold):
    spans. Docs with no duplicated window pass through the same
    single-space rejoin (whitespace-normalized output for every row).
 
+Exactness vs the suffix-array reference (r5 verdict #4, measured in
+scripts/bench_passage_exact.py): the token-REMOVAL set of the window
+form equals ExactSubstr's exactly — a token sits in a duplicated
+>= k-token substring with an earlier occurrence iff some k-window
+covering it has an earlier occurrence (any such substring contains a
+covering k-window that recurs inside the earlier occurrence; the
+window itself IS such a substring). Divergence is therefore confined
+to (a) joint fingerprint collisions (quantified above: ~1e-7 expected
+at 100 TB) and (b) whitespace vs BPE tokenization. Planted adversarial
+layouts (shifted windows, overlapping near-boundary dups, staggered
+triples, periodic within-doc repeats, kept-copy partial trims) compare
+byte-for-byte equal to a true-sequence brute reference for BOTH
+strategies — table in BENCH/BASELINE.md. Choosing k: k IS the match
+threshold (the paper uses 50); runs shorter than k are invisible and
+smaller k removes strictly more, so set k to the shortest duplication
+worth deleting — window count (cost) stays ~tokens regardless, and the
+collision margin E[collisions] ≈ W²/2¹¹² leaves ~2^26 headroom at
+W = 10¹³ windows.
+
 Scale shape: the only full-corpus exchanges are the rule-8 boundary
 repartition (materializes the per-token hash array out of HOF-lambda
 reach of CollapseProject) and the window-key shuffle (~40 B/token —

@@ -105,12 +105,40 @@ def _host_probe(lo: int, hi: int, work: int = 160_000_000) -> dict:
     }
 
 
+MIN_HOST_CEILING = 0.85  # r5 verdict #2: never commit a host-degraded window
+
+
+def _wait_for_clean_window(lo: int, hi: int, retries: int = 5,
+                           wait_s: int = 120) -> dict | None:
+    """Pre-gate (r5 verdict #2): probe the host BEFORE paying for the
+    Spark levels; a window whose own pure-CPU N-vs-4N ceiling is below
+    MIN_HOST_CEILING cannot demonstrate the 0.8 engine threshold, so
+    measuring in it wastes ~20 min to produce an unusable artifact.
+    Retries with a wait; returns the first clean probe, or None."""
+    for attempt in range(retries):
+        probe = _host_probe(lo, hi)
+        ceiling = probe["host_ceiling_efficiency"]
+        print(f"pre-probe attempt {attempt + 1}: host ceiling {ceiling}",
+              flush=True)
+        if ceiling >= MIN_HOST_CEILING:
+            return probe
+        time.sleep(wait_s)
+    return None
+
+
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     n_level = int(sys.argv[2]) if len(sys.argv) > 2 else 4  # N vs 4N
     bench_dir = os.path.join(REPO, "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
     pages_path = f"/tmp/o2g_scaling_pages_{n_pages}.parquet"
+
+    if _wait_for_clean_window(n_level, 4 * n_level) is None:
+        print(f"REFUSING to measure: host ceiling stayed < "
+              f"{MIN_HOST_CEILING} across retries — this window cannot "
+              "demonstrate a 0.8 engine efficiency; keeping the previous "
+              "committed artifact. Re-run later.", flush=True)
+        sys.exit(2)
 
     if not os.path.exists(pages_path):
         print(f"materializing {n_pages} pages → {pages_path}", flush=True)
@@ -162,6 +190,15 @@ def main():
     # OWN lo-vs-hi ceiling in the same window so the artifact carries
     # its noise control, like bench.py's cpu_control_sec
     probe = _host_probe(lo, hi)
+    if probe["host_ceiling_efficiency"] < MIN_HOST_CEILING:
+        # refuse-to-commit half of the r5 verdict-#2 guard: the window
+        # degraded DURING the run — do not overwrite the committed
+        # artifact with a reading the host itself cannot support
+        print(f"REFUSING to commit: post-run host ceiling "
+              f"{probe['host_ceiling_efficiency']} < {MIN_HOST_CEILING} "
+              f"(engine read {efficiency}); the previous artifact stands. "
+              "Re-run in a clean window.", flush=True)
+        sys.exit(2)
     summary = {
         "n_pages": n_pages,
         "levels": list(levels),
