@@ -203,7 +203,10 @@ def embedding_near_dup_incremental(
     v_all = idx_v.unionByName(new_v)
     # per-side norm computed once per vector row, not per pair
     # (bit-identical: see similarity.cosine_prenormed)
-    v_all = v_all.select("did", "vec", norm(F.col("vec")).alias("__nrm"))
+    dim = int(params["dim"])  # unrolled codegen dot/norm (size-guarded)
+    v_all = v_all.select(
+        "did", "vec", norm(F.col("vec")).alias("__nrm")
+    )
     va = v_all.select(
         F.col("did").alias("id_a"), F.col("vec").alias("__va"),
         F.col("__nrm").alias("__na"),
@@ -214,7 +217,7 @@ def embedding_near_dup_incremental(
     )
     sim = F.round(
         cosine_prenormed(
-            F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+            F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb"), dim
         ),
         6,
     )

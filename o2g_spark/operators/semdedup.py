@@ -44,7 +44,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .similarity import dot, dot_sql, ivf_assign_udf, ivf_train_centroids, norm
+from .similarity import (
+    dot_fixed, dot_sql, ivf_assign_udf, ivf_train_centroids, norm,
+)
 
 
 def semdedup(
@@ -105,7 +107,10 @@ def semdedup(
 
     # norms are computed ONCE per row BELOW the join's shuffle
     # boundary (the exchange materializes them), not per pair — same
-    # IEEE value as computing sqrt(fold) pair-side, |cluster|× cheaper
+    # IEEE value as computing sqrt(fold) pair-side, |cluster|× cheaper;
+    # the trained centroid matrix fixes the dim → unrolled codegen
+    # dot/norm chains (size-guarded, bit-identical)
+    dim = int(cent.shape[1])
     a = guarded.select("cluster", F.col("__id").alias("__ida"),
                        F.col("__v").alias("__va"),
                        norm(F.col("__v")).alias("__na"))
@@ -113,7 +118,7 @@ def semdedup(
                        F.col("__v").alias("__vb"),
                        norm(F.col("__v")).alias("__nb"))
     sim = F.round(
-        dot(F.col("__va"), F.col("__vb"))
+        dot_fixed(F.col("__va"), F.col("__vb"), dim)
         / F.greatest(F.col("__na") * F.col("__nb"), F.lit(1e-300)),
         6,
     )

@@ -168,6 +168,38 @@ def test_dot_and_norm_columns(spark):
     assert abs(r.n - np.sqrt(14.0)) < 1e-12
 
 
+def test_dot_fixed_bit_identical_to_fold(spark):
+    """The r6 unrolled-chain dot (dot_fixed) must equal the HOF fold
+    BIT-for-bit on every shape it can meet: matching dims (unrolled
+    branch), mismatched/short/long arrays and nulls (guard falls back
+    to the fold), and dims beyond the unroll cap (plain fold)."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    rows = [
+        # 64-dim pairs: the unrolled branch, non-trivial float content
+        *[
+            (rng.standard_normal(64).tolist(), rng.standard_normal(64).tolist())
+            for _ in range(50)
+        ],
+        ([1.0, 2.0], [3.0, 4.0]),          # shorter than dim → fold path
+        ([1.0] * 70, [2.0] * 70),           # longer than dim → fold path
+        ([1.0, 2.0], [3.0]),                # ragged → fold (null either way)
+        (None, [1.0] * 64),                 # null array
+        ([0.0] * 64, [0.0] * 64),           # zero vectors
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [r[0] for r in rows], "b": [r[1] for r in rows]})
+    )
+    for dim in (64, 1000):  # 1000 > _UNROLL_MAX_DIM → pure fold
+        cmp = df.select(
+            sim.dot(df.a, df.b).alias("d1"),
+            sim.dot_fixed(df.a, df.b, dim).alias("d2"),
+        )
+        bad = cmp.filter(~F.col("d1").eqNullSafe(F.col("d2"))).count()
+        assert bad == 0, f"dim={dim}: {bad} rows diverge"
+
+
 def test_ann_ivf_recall_and_determinism(emb, spark):
     pdf = _emb()
     qids = list(range(0, 40))
