@@ -265,6 +265,31 @@ def test_jaccard_candidate_strategies_equal(corpus):
                             candidate_strategy="bucket")
 
 
+def test_jaccard_attach_sizes_strategies_equal(corpus):
+    """r6: the default ids-only aggregation + broadcast size join-back
+    must equal the ride-the-agg-keys escape exactly, for both candidate
+    strategies and for the exact (max_df=None) path."""
+    for kw in (dict(max_df=5), dict(max_df=5, candidate_strategy="bucket"),
+               dict(max_df=None)):
+        a = sorted(map(tuple, dedup.jaccard_pairs(
+            corpus, "doc_id", "text", n=3, threshold=0.4,
+            attach_sizes="broadcast", **kw).collect()))
+        b = sorted(map(tuple, dedup.jaccard_pairs(
+            corpus, "doc_id", "text", n=3, threshold=0.4,
+            attach_sizes="agg", **kw).collect()))
+        assert a == b and len(a) > 0, kw
+    c = sorted(map(tuple, dedup.containment_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.5,
+        max_df=5, attach_sizes="agg").collect()))
+    d = sorted(map(tuple, dedup.containment_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.5,
+        max_df=5, attach_sizes="broadcast").collect()))
+    assert c == d and len(c) > 0
+    with pytest.raises(ValueError, match="attach_sizes"):
+        dedup.jaccard_pairs(corpus, "doc_id", "text", n=3, max_df=5,
+                            attach_sizes="nope")
+
+
 # ------------------------------------------------------- containment
 
 def test_containment_finds_embedded_quote_jaccard_misses(spark):
