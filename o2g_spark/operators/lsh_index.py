@@ -59,18 +59,27 @@ def _banded_rows(
         )
         .withColumn("__sig", minhash_signature_from_shingles("sh", num_hashes))
     )
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.cast("int").alias("band"),
-            F.md5(
-                F.concat_ws(",", F.transform(
-                    F.slice(F.col("__sig"), b * rpb + 1, rpb),
-                    lambda v: v.cast("string"),
-                ))
-            ).alias("key"),
-        ),
-    )
+    # __sig is LET-BOUND (transform over a 1-element array) so the
+    # banding stays one-signature-pass even if CollapseProject merges
+    # these projections and inlines the signature expression: as the
+    # outer transform's INPUT it evaluates once per row, whereas a bare
+    # F.col("__sig") reference inside the band lambda would re-derive
+    # the whole shingle+md5+minhash pass per BAND after inlining.
+    def _bands_of(s: F.Column) -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(",", F.transform(
+                        F.slice(s, b * rpb + 1, rpb),
+                        lambda v: v.cast("string"),
+                    ))
+                ).alias("key"),
+            ),
+        )
+
+    band_arr = F.transform(F.array(F.col("__sig")), _bands_of)[0]
     banded = (
         sig.select("did", band_arr.alias("__bands"))
         .withColumn("__b", F.explode("__bands"))

@@ -646,12 +646,25 @@ def quantized_embedding(vec: Column, bits: int = 8) -> tuple[Column, Column]:
     levels = (1 << (bits - 1)) - 1
     absmax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
     scale = absmax / F.lit(float(levels))
-    q = F.when(absmax == 0.0, F.transform(vec, lambda x: F.lit(0).cast("long"))).otherwise(
-        F.transform(
-            vec,
-            lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("long"),
+
+    # absmax is LET-BOUND for the code transform: referencing ``scale``
+    # directly from the per-element lambda re-evaluates the O(dim)
+    # array_max per ELEMENT (O(dim²)/row — HOF lambda bodies re-run
+    # captured expressions); as the outer transform's input it
+    # evaluates once, and the division value (hence every quantized
+    # code) is bit-identical.
+    def _codes(am: Column) -> Column:
+        s = am / F.lit(float(levels))
+        return F.when(
+            am == 0.0, F.transform(vec, lambda x: F.lit(0).cast("long"))
+        ).otherwise(
+            F.transform(
+                vec,
+                lambda x: F.floor(x.cast("double") / s + F.lit(0.5)).cast("long"),
+            )
         )
-    )
+
+    q = F.transform(F.array(absmax), _codes)[0]
     return scale, q
 
 
