@@ -63,12 +63,17 @@ def _seq_init(col):
 
 
 def _pairs(seq):
-    a = F.split(F.trim(seq), " ")
-    n = F.size(a)
-    return F.zip_with(
-        F.slice(a, 1, n - 1), F.slice(a, 2, n - 1),
-        lambda x, y: F.concat(x, F.lit(" "), y),
-    )
+    # the symbol array is LET-BOUND so split+trim runs once per row:
+    # handing the raw split expression to zip_with evaluates it 4×
+    # (each slice evaluates the array plus its size argument)
+    def _build(a: F.Column) -> F.Column:
+        n = F.size(a)
+        return F.zip_with(
+            F.slice(a, 1, n - 1), F.slice(a, 2, n - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+
+    return F.transform(F.array(F.split(F.trim(seq), " ")), _build)[0]
 
 
 def _apply_merge(seq, pair: str):
