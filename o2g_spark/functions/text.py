@@ -93,15 +93,23 @@ def _quality_raw(text: Column | str) -> dict[str, Column]:
     punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast(T.LongType())
     wds = words(t)
     n_words = F.size(wds).cast(T.LongType())
-    stop_hits = F.size(
-        F.filter(wds, lambda w: w.isin(*ALL_STOPWORDS))
-    ).cast(T.LongType())
+
+    # stopword_ratio references the word array twice (hits numerator,
+    # size denominator) — LET-BOUND so the words regex pass runs once
+    # per row inside this expression instead of twice (same casts,
+    # same division: bit-identical)
+    def _stop_ratio(w: Column) -> Column:
+        hits = F.size(
+            F.filter(w, lambda x: x.isin(*ALL_STOPWORDS))
+        ).cast(T.LongType())
+        return hits / F.greatest(F.size(w).cast(T.LongType()), F.lit(1))
+
     return {
         "n_chars": n_chars,
         "alpha_ratio": alpha / F.greatest(n_chars, F.lit(1)),
         "punct_ratio": punct / F.greatest(n_chars, F.lit(1)),
         "n_words": n_words,
-        "stopword_ratio": stop_hits / F.greatest(n_words, F.lit(1)),
+        "stopword_ratio": F.transform(F.array(wds), _stop_ratio)[0],
     }
 
 
@@ -177,24 +185,41 @@ def lang_id(text: Column | str) -> Column:
     marker-stopword hit count is highest wins; 'und' if all zero.
     """
     t = _c(text)
-    wds = words(t)
+    langs = sorted(STOPWORDS)
 
-    def _hits(stop: list[str]):
-        # single-arg lambda required: a 2-arg lambda would make Spark
-        # bind the second parameter to the array index
-        return F.size(F.filter(wds, lambda w: w.isin(*stop)))
+    # Two nested LET-BINDINGS keep this one-words-pass, one-scan-per-
+    # language: referencing the words expression from every score (and
+    # every score from both the max and its equality WHEN) re-ran the
+    # regex words pass ~2×languages per row and each stopword filter
+    # scan twice. The word array binds once (outer), the score array
+    # binds once (inner); array_max over the score array equals the old
+    # greatest(*scores) (order-insensitive, same null semantics), and
+    # the WHEN chain compares the same values in the same order —
+    # result-identical.
+    def _score_arr(wds: Column) -> Column:
+        def _hits(stop: list[str]):
+            # single-arg lambda required: a 2-arg lambda would make
+            # Spark bind the second parameter to the array index
+            return F.size(F.filter(wds, lambda w: w.isin(*stop)))
 
-    scores = {lang: _hits(stop) for lang, stop in STOPWORDS.items()}
-    best = None
-    # iterate in reverse-alphabetical order so that the final (applied
-    # last) WHEN of the alphabetically-smallest code wins exact ties
-    expr = F.lit("und")
-    mx = F.greatest(*scores.values())
-    for lang in sorted(scores, reverse=True):
-        expr = F.when((mx > 0) & (scores[lang] == mx), F.lit(lang)).otherwise(expr)
+        return F.array(*[_hits(STOPWORDS[lang]) for lang in langs])
+
+    def _pick(sc: Column) -> Column:
+        # iterate in reverse-alphabetical order so that the final
+        # (applied last) WHEN of the alphabetically-smallest code wins
+        # exact ties
+        mx = F.array_max(sc)
+        expr = F.lit("und")
+        for lang in sorted(langs, reverse=True):
+            score = sc[langs.index(lang)]
+            expr = F.when((mx > 0) & (score == mx), F.lit(lang)).otherwise(expr)
+        return expr
+
+    picked = F.transform(
+        F.array(F.transform(F.array(words(t)), _score_arr)[0]), _pick
+    )[0]
     has_cjk = F.regexp_count(t, F.lit(r"[一-鿿]")) > 0
-    best = F.when(has_cjk, F.lit("zh")).otherwise(expr)
-    return best
+    return F.when(has_cjk, F.lit("zh")).otherwise(picked)
 
 
 def lang_id_sql(text: str) -> str:
